@@ -1,0 +1,372 @@
+package graft.align
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Result of a char-level alignment.
+  *
+  * @param traAlign gapped transcript string ('_' = gap)
+  * @param ocrAlign gapped noisy-stream string ('_' = gap)
+  * @param bandUsed final band half-width that produced the accepted result
+  *                 (0 = full matrix / not banded)
+  * @param cellsFilled total DP cells filled across all banding attempts
+  */
+final case class AlignResult(
+    traAlign: String,
+    ocrAlign: String,
+    bandUsed: Int,
+    cellsFilled: Long)
+
+/** Needleman–Wunsch global alignment with affine gaps (Gotoh three-matrix DP).
+  *
+  * Faithful re-derivation of the reference kernel
+  * (textSeqCompare.py:13-177) including its quirks:
+  *   - a `' '` sentinel is appended to BOTH sequences before the DP
+  *     (textSeqCompare.py:21-22) and the forced sentinel-pair alignment is
+  *     later dropped by the `[-1:0:-1]` reversal (textSeqCompare.py:104-107,
+  *     167-170);
+  *   - boundary rows/cols use the module constant `gap_extend = -1`
+  *     (textSeqCompare.py:9, 53-60), NOT the scoring system's extend costs;
+  *   - off-matrix states are seeded with `-1e100` (textSeqCompare.py:55,60);
+  *   - argmax ties are broken by FIRST index in the exact candidate orders of
+  *     textSeqCompare.py:70, 75-77, 83-85;
+  *   - the traceback starts at the bottom-right cell, forcibly aligning the
+  *     sentinel chars, and drains any leftover prefix
+  *     (textSeqCompare.py:96-170).
+  *
+  * Two implementations are provided:
+  *   - [[alignTokens]] — literal-semantics port over token sequences (full
+  *     matrices); the correctness anchor, used by golden tests;
+  *   - [[alignChars]] — char-specialized banded DP (O(n·b) fill, rolling
+  *     score rows, in-band pointer storage) that self-verifies: if the
+  *     traceback path comes within a safety margin of the band edge the band
+  *     is doubled and the alignment re-run, falling back to the full matrix.
+  *     Property tests assert banded == full on randomized inputs.
+  */
+object NeedlemanWunsch {
+
+  import Scoring.{BoundaryGapExtend, NegInf}
+
+  /** First index of the maximum of three values (Python
+    * `vals.index(max(vals))` — first-wins on ties, textSeqCompare.py:72).
+    */
+  @inline private def argmax3(v0: Double, v1: Double, v2: Double): Int = {
+    var best = 0
+    var bv = v0
+    if (v1 > bv) { best = 1; bv = v1 }
+    if (v2 > bv) { best = 2; bv = v2 }
+    best
+  }
+
+  @inline private def max3(v0: Double, v1: Double, v2: Double): Double = {
+    var bv = v0
+    if (v1 > bv) bv = v1
+    if (v2 > bv) bv = v2
+    bv
+  }
+
+  /** Literal-semantics port of `perform_alignment` over token sequences
+    * (textSeqCompare.py:13-177). Full O(n·m) matrices — correctness anchor.
+    */
+  def alignTokens(
+      transcriptIn: IndexedSeq[String],
+      ocrIn: IndexedSeq[String],
+      scoring: Scoring = Scoring.Default): (Vector[String], Vector[String]) = {
+
+    // sentinel padding (textSeqCompare.py:21-22)
+    val tra = transcriptIn :+ " "
+    val ocr = ocrIn :+ " "
+    val n = tra.length
+    val m = ocr.length
+
+    val mat = Array.ofDim[Double](n, m)
+    val xMat = Array.ofDim[Double](n, m)
+    val yMat = Array.ofDim[Double](n, m)
+    val matPtr = Array.ofDim[Byte](n, m)
+    val xPtr = Array.ofDim[Byte](n, m)
+    val yPtr = Array.ofDim[Byte](n, m)
+
+    // boundary conditions (textSeqCompare.py:53-60)
+    var i = 0
+    while (i < n) {
+      mat(i)(0) = BoundaryGapExtend * i
+      xMat(i)(0) = NegInf
+      yMat(i)(0) = BoundaryGapExtend * i
+      i += 1
+    }
+    var j = 0
+    while (j < m) {
+      mat(0)(j) = BoundaryGapExtend * j
+      xMat(0)(j) = BoundaryGapExtend * j
+      yMat(0)(j) = NegInf
+      j += 1
+    }
+
+    // fill (textSeqCompare.py:62-88)
+    i = 1
+    while (i < n) {
+      j = 1
+      while (j < m) {
+        val matchScore = scoring.score(tra(i - 1), ocr(j - 1))
+
+        val m0 = mat(i - 1)(j - 1); val m1 = xMat(i - 1)(j - 1); val m2 = yMat(i - 1)(j - 1)
+        mat(i)(j) = max3(m0, m1, m2) + matchScore
+        matPtr(i)(j) = argmax3(m0, m1, m2).toByte
+
+        val y0 = mat(i)(j - 1) + scoring.gapOpenY + scoring.gapExtendY
+        val y1 = xMat(i)(j - 1) + scoring.gapOpenY + scoring.gapExtendY
+        val y2 = yMat(i)(j - 1) + scoring.gapExtendY
+        yMat(i)(j) = max3(y0, y1, y2)
+        yPtr(i)(j) = argmax3(y0, y1, y2).toByte
+
+        val x0 = mat(i - 1)(j) + scoring.gapOpenX + scoring.gapExtendX
+        val x1 = xMat(i - 1)(j) + scoring.gapExtendX
+        val x2 = yMat(i - 1)(j) + scoring.gapOpenX + scoring.gapExtendX
+        xMat(i)(j) = max3(x0, x1, x2)
+        xPtr(i)(j) = argmax3(x0, x1, x2).toByte
+        j += 1
+      }
+      i += 1
+    }
+
+    // traceback (textSeqCompare.py:96-170)
+    val traAlign = new ArrayBuffer[String](n + m)
+    val ocrAlign = new ArrayBuffer[String](n + m)
+    var xpt = n - 1
+    var ypt = m - 1
+    var mpt: Int = matPtr(xpt)(ypt)
+
+    // forced sentinel alignment (textSeqCompare.py:104-107)
+    traAlign += tra(xpt)
+    ocrAlign += ocr(ypt)
+
+    while (xpt > 0 && ypt > 0) {
+      if (mpt == 0) {
+        traAlign += tra(xpt - 1)
+        ocrAlign += ocr(ypt - 1)
+        mpt = matPtr(xpt)(ypt)
+        xpt -= 1; ypt -= 1
+      } else if (mpt == 1) {
+        traAlign += tra(xpt - 1)
+        ocrAlign += "_"
+        mpt = xPtr(xpt)(ypt)
+        xpt -= 1
+      } else {
+        traAlign += "_"
+        ocrAlign += ocr(ypt - 1)
+        mpt = yPtr(xpt)(ypt)
+        ypt -= 1
+      }
+    }
+    while (ypt > 0) {
+      traAlign += "_"; ocrAlign += ocr(ypt - 1); ypt -= 1
+    }
+    while (xpt > 0) {
+      ocrAlign += "_"; traAlign += tra(xpt - 1); xpt -= 1
+    }
+
+    // `[-1:0:-1]` — reverse dropping element 0 (the sentinel pair)
+    (traAlign.tail.reverse.toVector, ocrAlign.tail.reverse.toVector)
+  }
+
+  /** Default initial band half-width for [[alignChars]]. */
+  val DefaultInitialBand: Int = 64
+
+  /** Safety margin: if the traceback path comes within this many cells of a
+    * truncated band edge, the result is rejected and the band doubled.
+    */
+  private val EdgeMargin: Int = 2
+
+  /** Char-level alignment, banded with widen-on-edge retry. Byte-identical
+    * to [[alignTokens]] on single-char tokens (property-tested); the banded
+    * fast path keeps fill cost O(n·band) for the common near-diagonal case.
+    */
+  def alignChars(
+      transcript: String,
+      ocrStream: String,
+      scoring: Scoring = Scoring.Default,
+      initialBand: Int = DefaultInitialBand): AlignResult = {
+
+    val n = transcript.length + 1 // incl. sentinel
+    val m = ocrStream.length + 1
+    var cells = 0L
+    var band = math.max(1, initialBand)
+    var result: AlignResult = null
+
+    while (result == null) {
+      val full = band >= m // band covers every column: exact by construction
+      val attempt = alignCharsWithBand(transcript, ocrStream, scoring, if (full) m else band)
+      cells += attempt._2
+      attempt._1 match {
+        case Some((ta, oa)) =>
+          result = AlignResult(ta, oa, if (full) 0 else band, cells)
+        case None =>
+          band = math.min(m, band * 2)
+      }
+    }
+    result
+  }
+
+  /** One banded attempt. Returns (Some(alignments), cells) on success or
+    * (None, cells) if the traceback touched the band edge.
+    *
+    * Band: row i is filled for j in [max(1, c(i)-b), min(m-1, c(i)+b)] where
+    * c(i) = round(i·(m-1)/(n-1)) — the skewed diagonal, which always contains
+    * (0,0) and (n-1,m-1). Score matrices roll (two rows); pointers are stored
+    * only in-band (3 bits per cell worth, kept as bytes).
+    */
+  private def alignCharsWithBand(
+      transcript: String,
+      ocrStream: String,
+      scoring: Scoring,
+      band: Int): (Option[(String, String)], Long) = {
+
+    val sentinel = ' '
+    val n = transcript.length + 1
+    val m = ocrStream.length + 1
+    @inline def traAt(i: Int): Char = if (i == n - 1) sentinel else transcript.charAt(i)
+    @inline def ocrAt(j: Int): Char = if (j == m - 1) sentinel else ocrStream.charAt(j)
+
+    val slope = if (n > 1) (m - 1).toDouble / (n - 1).toDouble else 0.0
+    @inline def center(i: Int): Int = math.round(i * slope).toInt
+    @inline def lo(i: Int): Int = math.max(1, center(i) - band)
+    @inline def hi(i: Int): Int = math.min(m - 1, center(i) + band)
+
+    val width = 2 * band + 1
+    require(n.toLong * width <= Int.MaxValue - 8,
+      s"alignment pointer storage too large: n=$n band=$band — cap document length upstream")
+    // in-band pointer storage: (i, j) -> i*width + (j - (center(i)-band))
+    val matPtr = new Array[Byte](n * width)
+    val xPtr = new Array[Byte](n * width)
+    val yPtr = new Array[Byte](n * width)
+    @inline def bandIdx(i: Int, j: Int): Int = i * width + (j - (center(i) - band))
+
+    // rolling score rows (full width m; only band cells are written, reads
+    // outside the previous row's band are guarded)
+    var matPrev = new Array[Double](m)
+    var xPrev = new Array[Double](m)
+    var yPrev = new Array[Double](m)
+    var matCur = new Array[Double](m)
+    var xCur = new Array[Double](m)
+    var yCur = new Array[Double](m)
+
+    // row 0 boundary (textSeqCompare.py:57-60)
+    var j = 0
+    while (j < m) {
+      matPrev(j) = BoundaryGapExtend * j
+      xPrev(j) = BoundaryGapExtend * j
+      yPrev(j) = NegInf
+      j += 1
+    }
+
+    var cells = 0L
+    var i = 1
+    while (i < n) {
+      val jLo = lo(i)
+      val jHi = hi(i)
+      val pLo = if (i == 1) 1 else lo(i - 1)
+      val pHi = if (i == 1) m - 1 else hi(i - 1)
+      val ti = traAt(i - 1)
+
+      // col 0 boundary (textSeqCompare.py:53-56)
+      matCur(0) = BoundaryGapExtend * i
+      xCur(0) = NegInf
+      yCur(0) = BoundaryGapExtend * i
+
+      // previous-row accessor with band guard (col 0 always valid; row 0 fully valid)
+      @inline def pMat(jj: Int): Double =
+        if (jj == 0) matPrev(0) else if (i == 1 || (jj >= pLo && jj <= pHi)) matPrev(jj) else NegInf
+      @inline def pX(jj: Int): Double =
+        if (jj == 0) xPrev(0) else if (i == 1 || (jj >= pLo && jj <= pHi)) xPrev(jj) else NegInf
+      @inline def pY(jj: Int): Double =
+        if (jj == 0) yPrev(0) else if (i == 1 || (jj >= pLo && jj <= pHi)) yPrev(jj) else NegInf
+
+      j = jLo
+      while (j <= jHi) {
+        val matchScore = scoring.score(ti, ocrAt(j - 1))
+
+        val m0 = pMat(j - 1); val m1 = pX(j - 1); val m2 = pY(j - 1)
+        matCur(j) = max3(m0, m1, m2) + matchScore
+        matPtr(bandIdx(i, j)) = argmax3(m0, m1, m2).toByte
+
+        // within-row left neighbor: valid if j-1 == 0 or j-1 >= jLo
+        val lm = if (j - 1 == 0 || j - 1 >= jLo) matCur(j - 1) else NegInf
+        val lx = if (j - 1 == 0 || j - 1 >= jLo) xCur(j - 1) else NegInf
+        val ly = if (j - 1 == 0 || j - 1 >= jLo) yCur(j - 1) else NegInf
+        val y0 = lm + scoring.gapOpenY + scoring.gapExtendY
+        val y1 = lx + scoring.gapOpenY + scoring.gapExtendY
+        val y2 = ly + scoring.gapExtendY
+        yCur(j) = max3(y0, y1, y2)
+        yPtr(bandIdx(i, j)) = argmax3(y0, y1, y2).toByte
+
+        val x0 = pMat(j) + scoring.gapOpenX + scoring.gapExtendX
+        val x1 = pX(j) + scoring.gapExtendX
+        val x2 = pY(j) + scoring.gapOpenX + scoring.gapExtendX
+        xCur(j) = max3(x0, x1, x2)
+        xPtr(bandIdx(i, j)) = argmax3(x0, x1, x2).toByte
+
+        cells += 1
+        j += 1
+      }
+
+      // roll rows
+      val tm = matPrev; matPrev = matCur; matCur = tm
+      val tx = xPrev; xPrev = xCur; xCur = tx
+      val ty = yPrev; yPrev = yCur; yCur = ty
+      i += 1
+    }
+
+    // traceback (textSeqCompare.py:96-170); bails out if the path nears a
+    // truncated band edge (result may differ from the full matrix there).
+    @inline def edgeTouched(xi: Int, yj: Int): Boolean = {
+      if (xi == 0) false
+      else {
+        val l = lo(xi); val h = hi(xi)
+        (l > 1 && yj <= l + EdgeMargin) || (h < m - 1 && yj >= h - EdgeMargin)
+      }
+    }
+    @inline def inBand(xi: Int, yj: Int): Boolean = yj >= lo(xi) && yj <= hi(xi)
+
+    val traAlign = new java.lang.StringBuilder(n + m)
+    val ocrAlign = new java.lang.StringBuilder(n + m)
+    var xpt = n - 1
+    var ypt = m - 1
+    var mpt: Int = matPtr(bandIdx(xpt, ypt))
+
+    traAlign.append(traAt(xpt))
+    ocrAlign.append(ocrAt(ypt))
+
+    var aborted = false
+    while (!aborted && xpt > 0 && ypt > 0) {
+      if (edgeTouched(xpt, ypt)) { aborted = true }
+      else {
+        if (!inBand(xpt, ypt)) { aborted = true } // defensive; should not happen
+        else if (mpt == 0) {
+          traAlign.append(traAt(xpt - 1))
+          ocrAlign.append(ocrAt(ypt - 1))
+          mpt = matPtr(bandIdx(xpt, ypt))
+          xpt -= 1; ypt -= 1
+        } else if (mpt == 1) {
+          traAlign.append(traAt(xpt - 1))
+          ocrAlign.append('_')
+          mpt = xPtr(bandIdx(xpt, ypt))
+          xpt -= 1
+        } else {
+          traAlign.append('_')
+          ocrAlign.append(ocrAt(ypt - 1))
+          mpt = yPtr(bandIdx(xpt, ypt))
+          ypt -= 1
+        }
+      }
+    }
+    if (aborted && band < m) return (None, cells)
+
+    while (ypt > 0) { traAlign.append('_'); ocrAlign.append(ocrAt(ypt - 1)); ypt -= 1 }
+    while (xpt > 0) { ocrAlign.append('_'); traAlign.append(traAt(xpt - 1)); xpt -= 1 }
+
+    // `[-1:0:-1]` — drop the sentinel pair (index 0) and reverse
+    val ta = traAlign.toString
+    val oa = ocrAlign.toString
+    (Some((new StringBuilder(ta.substring(1)).reverse.toString,
+           new StringBuilder(oa.substring(1)).reverse.toString)), cells)
+  }
+}

@@ -1,0 +1,127 @@
+package graft.align
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Latin syllabification — faithful port of the reference tokenizer
+  * (latinSyllabification.py:22-109, 170-174).
+  *
+  * Algorithm: split the word into UNITS — consonant groups first, then
+  * diphthongs, then single chars; mark vowel/diphthong units with '*'
+  * (syllable seeds); alternately merge consonants forward then backward onto
+  * seeds until every unit holds a seed.
+  *
+  * Reference hazard (guarded here, latinSyllabification.py:71-105): a word
+  * with no vowel unit (e.g. 'dns') makes the merge loop spin forever. The
+  * port adds a no-progress guard that returns the unit list as-is.
+  */
+object Syllabify {
+
+  // latinSyllabification.py:5-7
+  val ConsonantGroups: Seq[String] =
+    Seq("qu", "ch", "ph", "fl", "fr", "st", "br", "cr", "cl", "pr", "tr", "ct", "th")
+  val Diphthongs: Seq[String] =
+    Seq("ae", "au", "ei", "oe", "ui", "ya", "ex", "ix")
+  val Vowels: Seq[String] = Seq("a", "e", "i", "o", "u", "y")
+
+  private val VowelsAndDiphthongs: Set[String] = (Vowels ++ Diphthongs).toSet
+
+  /** Python `segment.split(unit)` — split on ALL occurrences, keeping empty
+    * segments (unlike Java's split which drops trailing empties).
+    */
+  private def pySplit(segment: String, unit: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var start = 0
+    var idx = segment.indexOf(unit, start)
+    while (idx >= 0) {
+      out += segment.substring(start, idx)
+      start = idx + unit.length
+      idx = segment.indexOf(unit, start)
+    }
+    out += segment.substring(start)
+    out.result()
+  }
+
+  /** latinSyllabification.py:22-109. */
+  def syllabifyWord(inp: String): Vector[String] = {
+    // special cases (latinSyllabification.py:30-35)
+    if (inp == "euouae") return Vector("e", "u", "o", "u", "ae")
+    if (inp == "cuius") return Vector("cu", "ius")
+    if (inp == "eius") return Vector("e", "ius")
+
+    var word: Vector[String] = Vector(inp)
+
+    // isolate consonant groups then diphthongs (latinSyllabification.py:39-54)
+    for (unit <- ConsonantGroups ++ Diphthongs) {
+      val newWord = Vector.newBuilder[String]
+      for (segment <- word) {
+        if (segment.contains('*')) newWord += segment
+        else {
+          val split = pySplit(segment, unit)
+          // interleave [s0, unit*, s1, unit*, ...], chop last extra, drop blanks
+          val interleaved = new ArrayBuffer[String](split.length * 2)
+          for (s <- split) { interleaved += s; interleaved += unit + "*" }
+          newWord ++= interleaved.dropRight(1).filter(_.nonEmpty)
+        }
+      }
+      word = newWord.result()
+    }
+
+    // split remaining segments into chars (latinSyllabification.py:57-63)
+    word = word.flatMap { segment =>
+      if (segment.contains('*')) Vector(segment.replace("*", ""))
+      else segment.map(_.toString)
+    }
+
+    // mark vowels/diphthongs (latinSyllabification.py:66-68)
+    word = word.map(u => if (VowelsAndDiphthongs.contains(u)) u + "*" else u)
+
+    // merge loop (latinSyllabification.py:71-105) with no-progress guard:
+    // a word with no seed unit would never terminate in the reference.
+    var newWord: Vector[String] = word
+    var progress = true
+    while (!word.forall(_.contains('*')) && progress) {
+      // stick consonants to the syllable ahead of them
+      var buf = Vector.newBuilder[String]
+      var i = 0
+      var brk = false
+      while (i < word.length && !brk) {
+        if (i + 1 >= word.length) { buf += word(i); brk = true }
+        else {
+          val cur = word(i); val proc = word(i + 1)
+          if (proc.contains('*') && !cur.contains('*')) { buf += cur + proc; i += 2 }
+          else { buf += cur; i += 1 }
+        }
+      }
+      val afterFwd = buf.result()
+
+      // then stick consonants to the syllable behind them
+      buf = Vector.newBuilder[String]
+      i = 0
+      brk = false
+      while (i < afterFwd.length && !brk) {
+        if (i + 1 >= afterFwd.length) { buf += afterFwd(i); brk = true }
+        else {
+          val cur = afterFwd(i); val proc = afterFwd(i + 1)
+          if (cur.contains('*') && !proc.contains('*')) { buf += cur + proc; i += 2 }
+          else { buf += cur; i += 1 }
+        }
+      }
+      newWord = buf.result()
+      progress = newWord != word
+      word = newWord
+    }
+
+    // latinSyllabification.py:107 strips markers from the LAST merge result
+    // (== word here); for the guarded no-seed case this returns units as-is.
+    newWord.map(_.replace("*", ""))
+  }
+
+  /** latinSyllabification.py:170-174 — split on single spaces, syllabify
+    * each word, flatten. Empty words (from leading/double spaces) syllabify
+    * to the empty list, as in the reference.
+    */
+  def syllabifyText(input: String): Vector[String] = {
+    val words = pySplit(input, " ")
+    words.flatMap(syllabifyWord)
+  }
+}
