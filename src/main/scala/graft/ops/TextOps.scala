@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline over the
+  * `documents` table. Everything here is pure Catalyst (codegen'd built-ins)
+  * unless a kernel function genuinely can't be expressed — those live in
+  * [[graft.ops.Kernels]] and are registered as UDFs.
+  */
+object TextOps {
+
+  /** Non-empty whitespace tokens — built-ins only (no UDF), exact integer
+    * semantics shared with the DuckDB oracle.
+    */
+  def tokenCountCol(text: Column): Column =
+    size(filter(split(text, " "), x => x =!= lit("")))
+
+  /** Token count per document. */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      tokenCountCol(col("text")).as("n_tokens"),
+      length(col("text")).as("n_chars_actual"),
+      col("n_chars"))
+
+  /** Quality scoring: exact integer components + single final divisions so
+    * the oracle (DuckDB) reproduces the doubles bit-for-bit.
+    *   - mean token length
+    *   - alpha ratio (letters / chars)
+    *   - space ratio
+    *   - distinct-token ratio (type/token)
+    */
+  def qualityScores(documents: DataFrame): DataFrame = {
+    val toks = filter(split(col("text"), " "), x => x =!= lit(""))
+    documents.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_actual"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      length(regexp_replace(col("text"), "[^a-z]", "")).as("n_alpha"),
+      (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).as("n_spaces")
+    ).withColumn("mean_token_len",
+        when(col("n_tokens") > 0,
+          (col("n_chars_actual") - col("n_spaces")).cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .withColumn("alpha_ratio",
+        when(col("n_chars_actual") > 0,
+          col("n_alpha").cast("double") / col("n_chars_actual")).otherwise(lit(0.0)))
+      .withColumn("type_token_ratio",
+        when(col("n_tokens") > 0,
+          col("n_distinct_tokens").cast("double") / col("n_tokens")).otherwise(lit(0.0)))
+  }
+
+  /** Stopword tables for the language-ID heuristic (tiny, compile-time;
+    * broadcast not needed).
+    */
+  val StopwordsByLang: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "a", "of", "and", "to", "in", "is", "it", "that", "for", "on", "with", "as", "at", "this"),
+    "es" -> Set("el", "la", "de", "que", "y", "en", "un", "una", "es", "los", "las", "por", "con", "para", "del"),
+    "de" -> Set("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von", "mit", "auf", "für", "im", "nicht"),
+    "fr" -> Set("le", "la", "les", "de", "des", "et", "un", "une", "est", "en", "du", "que", "pour", "dans", "sur"),
+    "zh" -> Set("的", "了", "是", "在", "我", "有", "和", "就", "不", "人", "都", "一", "这", "他", "们"))
+
+  /** Language-ID over a token sequence: stopword hits per language, argmax
+    * with deterministic tie-break (lexicographic language code). A fallback
+    * char-class vote handles zh (CJK codepoints count as zh evidence).
+    * Pure function — used by the registered `lang_id` UDF.
+    */
+  def langIdOf(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    var cjk = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c >= 0x4e00 && c <= 0x9fff) cjk += 1
+      i += 1
+    }
+    val tokens = text.toLowerCase.split(" ").iterator.filter(_.nonEmpty).toArray
+    val scores = StopwordsByLang.map { case (lang, sw) =>
+      val base = tokens.count(sw.contains)
+      lang -> (if (lang == "zh") base + cjk else base)
+    }
+    val best = scores.toSeq.sortBy { case (lang, s) => (-s, lang) }.head
+    if (best._2 == 0) "und" else best._1
+  }
+
+  /** Winnowing document fingerprint (rolling polynomial hash over k-grams,
+    * min-sampled in windows of w) — standard near-dup fingerprint
+    * (Schleimer et al., SIGMOD'03 winnowing). Returns a stable 64-bit value.
+    */
+  def fingerprintOf(text: String, k: Int = 8, w: Int = 16): Long = {
+    if (text == null || text.length < k) return 0L
+    val n = text.length - k + 1
+    val hashes = new Array[Long](n)
+    val B = 1000003L
+    var pow = 1L
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * B + text.charAt(i); if (i < k - 1) pow *= B; i += 1 }
+    hashes(0) = mix(h)
+    i = 1
+    while (i < n) {
+      h = (h - text.charAt(i - 1) * pow) * B + text.charAt(i + k - 1)
+      hashes(i) = mix(h)
+      i += 1
+    }
+    // winnow: sequential mix of per-window minima (XOR would cancel repeated
+    // minima on repetitive text — observed collisions on the documents table)
+    var acc = 0x2545f4914f6cdd1dL
+    var start = 0
+    while (start < n) {
+      val end = math.min(start + w, n)
+      var mn = Long.MaxValue
+      var j = start
+      while (j < end) { if (hashes(j) < mn) mn = hashes(j); j += 1 }
+      acc = mix(acc ^ mn)
+      start += w
+    }
+    acc
+  }
+
+  @inline def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}

@@ -1,0 +1,28 @@
+package graft.pipeline
+
+import graft.align._
+import graft.ops.{Dedup, Multimodal, TextOps}
+import org.apache.spark.sql.SparkSession
+
+/** Registered SQL functions so single kernel ops are testable from SQL
+  * (SURVEY.md §4 "what needs custom code" item 2). The relational pipeline
+  * itself prefers Catalyst built-ins; these UDFs exist for the ops that
+  * genuinely can't be expressed (alignment, syllabification, language-ID,
+  * fingerprints).
+  */
+object Functions {
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("clean_text", (s: String) => CleanText.clean(if (s == null) "" else s))
+    spark.udf.register("extract_text", (b: Array[Byte]) => ExtractHtml.extractText(b))
+    spark.udf.register("syllabify", (s: String) => Syllabify.syllabifyText(if (s == null) "" else s))
+    spark.udf.register("lang_id", (s: String) => TextOps.langIdOf(s))
+    spark.udf.register("doc_fingerprint", (s: String) => TextOps.fingerprintOf(if (s == null) "" else s))
+    spark.udf.register("simhash64", (s: String) => Dedup.simhashOf(if (s == null) "" else s))
+    spark.udf.register("ngram_jaccard",
+      (a: String, b: String) => Dedup.jaccard(if (a == null) "" else a, if (b == null) "" else b))
+    spark.udf.register("align_spans_json", (transcript: String, html: Array[Byte]) => {
+      val r = AlignKernel.process(transcript, html)
+      SpanProject.toJson(r.spans, Array.empty)
+    })
+  }
+}

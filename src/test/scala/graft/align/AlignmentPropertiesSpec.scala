@@ -1,0 +1,83 @@
+package graft.align
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+/** T3 property tests (SURVEY.md §5): structural invariants of the alignment
+  * and the banded == full equivalence gate that licenses the banded fast
+  * path. Alphabet excludes '_' (the gap char — same ambiguity exists in the
+  * reference).
+  */
+object AlignmentPropertiesSpec extends Properties("alignment") {
+
+  private val charGen: Gen[Char] = Gen.frequency(
+    8 -> Gen.oneOf('a', 'b', 'c', 'd', 'e'),
+    2 -> Gen.const(' '))
+  private val strGen: Gen[String] =
+    Gen.chooseNum(0, 60).flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+
+  private val scoringGen: Gen[Scoring] = for {
+    m <- Gen.chooseNum(1, 12)
+    mm <- Gen.chooseNum(-12, -1)
+    gox <- Gen.chooseNum(-9, 0)
+    goy <- Gen.chooseNum(-9, 0)
+    gex <- Gen.chooseNum(-5, 0)
+    gey <- Gen.chooseNum(-5, 0)
+  } yield Scoring(m, mm, gox, goy, gex, gey)
+
+  // NOTE: initial bands below NeedlemanWunsch.MinBand are clamped up — tiny
+  // bands can survive the agreement rule with wrong output (see BandSweep).
+  property("banded (agreement rule) == literal full-matrix token kernel") =
+    forAll(strGen, strGen, scoringGen, Gen.oneOf(16, 24, 64)) {
+      (a: String, b: String, sc: Scoring, band: Int) =>
+        val (ta, oa) = NeedlemanWunsch.alignTokens(
+          a.map(_.toString).toVector, b.map(_.toString).toVector, sc)
+        val r = NeedlemanWunsch.alignCharsBanded(a, b, sc, band)
+        (r.traAlign == ta.mkString) :| s"tra: ${r.traAlign} vs ${ta.mkString}" &&
+        (r.ocrAlign == oa.mkString) :| s"ocr: ${r.ocrAlign} vs ${oa.mkString}"
+    }
+
+  property("full char kernel == literal token kernel") =
+    forAll(strGen, strGen, scoringGen) { (a: String, b: String, sc: Scoring) =>
+      val (ta, oa) = NeedlemanWunsch.alignTokens(
+        a.map(_.toString).toVector, b.map(_.toString).toVector, sc)
+      val r = NeedlemanWunsch.alignCharsFull(a, b, sc)
+      r.traAlign == ta.mkString && r.ocrAlign == oa.mkString
+    }
+
+  property("equal lengths; de-gapped outputs reproduce inputs; no gap-gap column") =
+    forAll(strGen, strGen) { (a: String, b: String) =>
+      val r = NeedlemanWunsch.alignChars(a, b)
+      Prop.all(
+        (r.traAlign.length == r.ocrAlign.length) :| "lengths",
+        (r.traAlign.replace("_", "") == a) :| "degap tra",
+        (r.ocrAlign.replace("_", "") == b) :| "degap ocr",
+        (!r.traAlign.indices.exists(i =>
+          r.traAlign.charAt(i) == '_' && r.ocrAlign.charAt(i) == '_')) :| "gap-gap")
+    }
+
+  private val wordGen: Gen[String] =
+    Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("abcdefghijklmnopqrstuvwxyz".toSeq)).map(_.mkString))
+
+  property("syllabify terminates and concatenation reproduces the word") =
+    forAll(wordGen) { w: String =>
+      Syllabify.syllabifyWord(w).mkString == w
+    }
+
+  property("clean is idempotent") =
+    forAll(strGen) { s: String =>
+      val once = CleanText.clean(s)
+      CleanText.clean(once) == once
+    }
+
+  property("spans ordered and within stream bounds") =
+    forAll(strGen, strGen) { (a0: String, b: String) =>
+      val a = CleanText.clean(a0)
+      val stream = b.zipWithIndex.map { case (c, k) => CharBox.at(c, k) }.toVector
+      val r = AlignKernel.processStream(a, stream)
+      Prop.all(
+        r.spans.forall(s => s.ulx >= 0 && s.lrx <= b.length) :| "bounds",
+        (r.spans.map(_.ulx) == r.spans.map(_.ulx).sorted) :| "ordered")
+    }
+}

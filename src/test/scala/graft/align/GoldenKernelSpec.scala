@@ -31,12 +31,14 @@ class GoldenKernelSpec extends AnyFunSuite {
   }
 
   test("char-level alignment fixture, default scoring (banded char path)") {
-    // tiny initial band forces the widen-on-edge retry machinery
+    // tiny initial band forces the doubling-agreement machinery
     for (band <- Seq(1, 4, 64, 4096)) {
-      val r = NeedlemanWunsch.alignChars(seq1, seq2, Scoring.Default, band)
+      val r = NeedlemanWunsch.alignCharsBanded(seq1, seq2, Scoring.Default, band)
       assert(r.traAlign === goldTra, s"band=$band")
       assert(r.ocrAlign === goldOcr, s"band=$band")
     }
+    val rf = NeedlemanWunsch.alignChars(seq1, seq2)
+    assert(rf.traAlign === goldTra && rf.ocrAlign === goldOcr)
   }
 
   test("syllabification fixtures (latinSyllabification.py:215-219)") {
