@@ -1,8 +1,8 @@
 package graft
 
-import graft.align.CleanText
+import graft.align.{CleanText, Syllabify}
 import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
-import graft.pipeline.{AlignJob, Functions, PageGen}
+import graft.pipeline.{AlignJob, EvalJob, Functions, PageGen}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -241,6 +241,84 @@ object SparkEntry {
       import s.implicits._
       Multimodal.extractFeatures(Multimodal.synthMedia(s, dir)).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"), col("frames_sampled"))
+    }),
+
+    // ---- O17 parse_transcript (syllables + word-begin flags) ----
+    "q_parse_transcript" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val (syls, flags) = Syllabify.parseTranscript(Seq(CleanText.clean(text)))
+          syls.zip(flags).zipWithIndex.map { case ((syl, fl), i) => (id, i, syl, fl) }
+        }.toDF("doc_id", "pos", "syl", "word_begin")
+    }),
+
+    // ---- O40–O43 evaluation: alternative-scoring spans vs default-scoring
+    //      ground truth on the SAME noisy stream (the reference's try_params
+    //      shape: fixed GT boxes, varying seq_align_params) ----
+    "q_eval_alignment" -> ((s, dir) => {
+      val pages = AlignJob.synthPages(s, dir)
+      val salt = s.sparkContext.defaultParallelism
+      val gt = AlignJob.spans(AlignJob.align(pages, saltPartitions = salt))
+      val pred = AlignJob.spans(AlignJob.align(pages,
+        scoring = graft.align.Scoring.symmetric(10, -5, -7, -7), saltPartitions = salt))
+      EvalJob.evaluate(gt, pred).orderBy(col("url"))
+    }),
+
+    // ---- O44 scoring-parameter grid search (distributed fan-out) ----
+    "q_grid_search" -> ((s, dir) => {
+      import s.implicits._
+      val fixtures = docs(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)].orderBy(col("doc_id")).take(3)
+        .map { case (id, text) =>
+          val tra = CleanText.clean(text)
+          (tra, PageGen.noisyRender(tra, id))
+        }.toSeq
+      EvalJob.gridSearch(s, fixtures)
+    }),
+
+    // ---- parse_cantus_csv composite: per-folio transcript assembly
+    //      (filter→group→within-group sort→concat→lag of previous folio's
+    //      last chant, parse_cantus_csv.py:81-126) over orders ----
+    "q_folio_text" -> ((s, dir) => {
+      val orders = tbl(s, dir, "orders")
+      val perCust = orders.groupBy(col("o_custkey"))
+        .agg(
+          max(col("o_orderkey")).as("last_okey"),
+          array_join(array_sort(collect_list(col("o_orderkey").cast("string"))), " ")
+            .as("own_text"))
+      perCust
+        .withColumn("prev_last",
+          lag(col("last_okey"), 1).over(Window.orderBy(col("o_custkey"))))
+        .select(col("o_custkey"),
+          trim(concat_ws(" ", col("prev_last").cast("string"), col("own_text")))
+            .as("folio_text"))
+    }),
+
+    // ---- per-document JSON sink shape (to_JSON_dict, alignToOCR.py:333-351) ----
+    "q_doc_json" -> ((s, dir) => {
+      val pages = AlignJob.synthPages(s, dir)
+      val spans = AlignJob.spans(AlignJob.align(pages,
+        saltPartitions = s.sparkContext.defaultParallelism))
+      spans.groupBy(col("url"))
+        .agg(to_json(expr(
+          "transform(array_sort(collect_list(struct(seq, syl, array(ulx, uly) AS ul, array(lrx, lry) AS lr))), " +
+            "x -> struct(x.syl AS syl, x.ul AS ul, x.lr AS lr))"))
+          .as("syl_boxes"))
+        .orderBy(col("url"))
+    }),
+
+    // ---- CSV source scan (O23) ----
+    "q_csv_scan" -> ((s, dir) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_scan"
+      docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true")
+        .schema("doc_id LONG, lang STRING, n_chars LONG")
+        .csv(tmp)
+        .filter(col("n_chars") > 100)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -317,6 +395,21 @@ object SparkEntry {
     "q_token_count" ->
       ("SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens, " +
         "length(text) AS n_chars_actual, n_chars FROM documents"),
+
+    "q_folio_text" ->
+      ("""WITH per_cust AS (
+         |  SELECT o_custkey, max(o_orderkey) AS last_okey,
+         |         string_agg(CAST(o_orderkey AS VARCHAR), ' '
+         |                    ORDER BY CAST(o_orderkey AS VARCHAR)) AS own_text
+         |  FROM orders GROUP BY o_custkey)
+         |SELECT o_custkey,
+         |  trim(concat_ws(' ',
+         |    CAST(lag(last_okey) OVER (ORDER BY o_custkey) AS VARCHAR),
+         |    own_text)) AS folio_text
+         |FROM per_cust""".stripMargin.replace("\n", " ")),
+
+    "q_csv_scan" ->
+      ("SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 100 ORDER BY doc_id"),
 
     "q_quality" ->
       ("""WITH base AS (

@@ -32,4 +32,18 @@ object BBox {
     val area2 = (lrx2 - ulx2).toLong * (lry2 - uly2)
     areaInt.toDouble / (area1 + area2 - areaInt)
   }
+
+  /** Char-count IOU over span x-ranges — the graft analogue of
+    * `black_area_IOU` (evaluate_text_alignment.py:56-76, SURVEY.md O42): in
+    * the web-text degeneration a span's "black area" is the count of stream
+    * character cells it covers, so pixel-mass IOU degenerates to interval
+    * IOU over [ulx, lrx).
+    */
+  def rangeIou(ulx1: Int, lrx1: Int, ulx2: Int, lrx2: Int): Double = {
+    val inter = math.max(0, math.min(lrx1, lrx2) - math.max(ulx1, ulx2))
+    val len1 = math.max(0, lrx1 - ulx1)
+    val len2 = math.max(0, lrx2 - ulx2)
+    val union = len1 + len2 - inter
+    if (union <= 0) 0.0 else inter.toDouble / union
+  }
 }

@@ -124,4 +124,39 @@ object Syllabify {
     val words = pySplit(input, " ")
     words.flatMap(syllabifyWord)
   }
+
+  /** O17 `parse_transcript` (latinSyllabification.py:177-212).
+    *
+    * NOTE: the reference function is DEAD CODE — it raises
+    * `TypeError: sequence item 0: expected str instance, list found` on any
+    * input (verified live: `' '.join(words)` at :195 joins lists of
+    * syllable-lists). This port implements the documented intent — drop `#`
+    * lines, lowercase, strip `|` and `.`, syllabify, and emit per-syllable
+    * `words_begin` 0/1 flags (first syllable of the whole text flagged 0, a
+    * quirk of the `' '`→`'- '` replacement at :198).
+    *
+    * Returns (syllables, wordsBegin).
+    */
+  def parseTranscript(lines: Seq[String]): (Vector[String], Vector[Int]) = {
+    val kept = lines.filterNot(l => l.startsWith("#"))
+    val sb = new StringBuilder
+    for (line <- kept) {
+      val l = line.toLowerCase.replace("|", "").replace(".", "")
+        .dropWhile(c => " \t\n\r".contains(c)).reverse
+        .dropWhile(c => " \t\n\r".contains(c)).reverse
+      val words = pySplit(l, " ").map(w => syllabifyWord(w).mkString("-"))
+      sb.append(words.mkString(" ")).append(' ')
+    }
+    var text = sb.toString.strip()
+    text = text.replace(" ", "- ")
+    val toks = pySplit(text, "-")
+      .filter(t => t.nonEmpty && !t.forall(_.isWhitespace))
+    val syls = Vector.newBuilder[String]
+    val flags = Vector.newBuilder[Int]
+    for (t <- toks) {
+      if (t.startsWith(" ")) { syls += t.substring(1); flags += 1 }
+      else { syls += t; flags += 0 }
+    }
+    (syls.result(), flags.result())
+  }
 }
