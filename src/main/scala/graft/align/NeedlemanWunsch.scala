@@ -293,14 +293,14 @@ object NeedlemanWunsch {
     val width = 2 * band + 1
     require(n.toLong * width <= Int.MaxValue - 8,
       s"alignment pointer storage too large: n=$n band=$band — cap document length upstream")
-    // in-band pointer storage: (i, j) -> i*width + (j - (center(i)-band))
-    val matPtr = new Array[Byte](n * width)
-    val xPtr = new Array[Byte](n * width)
-    val yPtr = new Array[Byte](n * width)
+    // packed in-band pointers: bits 0-1 mat, 2-3 x, 4-5 y;
+    // (i, j) -> i*width + (j - (center(i)-band))
+    val ptrs = new Array[Byte](n * width)
     @inline def bandIdx(i: Int, j: Int): Int = i * width + (j - (center(i) - band))
 
-    // rolling score rows (full width m; only band cells are written, reads
-    // outside the previous row's band are guarded)
+    // rolling score rows (full width m; cells a row reads but its
+    // predecessor didn't write are poisoned with NegInf before the fill,
+    // keeping the hot loop branch-free)
     var matPrev = new Array[Double](m)
     var xPrev = new Array[Double](m)
     var yPrev = new Array[Double](m)
@@ -317,55 +317,67 @@ object NeedlemanWunsch {
       j += 1
     }
 
+    val gox = scoring.gapOpenX; val gex = scoring.gapExtendX
+    val goy = scoring.gapOpenY; val gey = scoring.gapExtendY
+    val matchS = scoring.matchScore; val mismatchS = scoring.mismatch
+
     var cells = 0L
     var i = 1
     while (i < n) {
-      val jLo = lo(i)
-      val jHi = hi(i)
-      val pLo = if (i == 1) 1 else lo(i - 1)
-      val pHi = if (i == 1) m - 1 else hi(i - 1)
-      val ti = traAt(i - 1)
+      val ci = center(i)
+      val jLo = math.max(1, ci - band)
+      val jHi = math.min(m - 1, ci + band)
+      val rowOff = i * width - (ci - band)
+      val ti = transcript.charAt(i - 1) // fill never touches the sentinels
 
       // col 0 boundary (textSeqCompare.py:53-56)
       matCur(0) = BoundaryGapExtend * i
       xCur(0) = NegInf
       yCur(0) = BoundaryGapExtend * i
 
-      // previous-row accessor with band guard (col 0 always valid; row 0 fully valid)
-      @inline def pMat(jj: Int): Double =
-        if (jj == 0) matPrev(0) else if (i == 1 || (jj >= pLo && jj <= pHi)) matPrev(jj) else NegInf
-      @inline def pX(jj: Int): Double =
-        if (jj == 0) xPrev(0) else if (i == 1 || (jj >= pLo && jj <= pHi)) xPrev(jj) else NegInf
-      @inline def pY(jj: Int): Double =
-        if (jj == 0) yPrev(0) else if (i == 1 || (jj >= pLo && jj <= pHi)) yPrev(jj) else NegInf
+      if (i > 1) {
+        // poison prev-row cells read this row ([jLo-1, jHi]) that the
+        // previous row did not write ({0} ∪ [pLo, pHi] are valid)
+        val pLo = lo(i - 1)
+        val pHi = hi(i - 1)
+        var jj = math.max(1, jLo - 1)
+        while (jj < pLo) { matPrev(jj) = NegInf; xPrev(jj) = NegInf; yPrev(jj) = NegInf; jj += 1 }
+        jj = math.max(pHi + 1, math.max(1, jLo - 1))
+        while (jj <= jHi) { matPrev(jj) = NegInf; xPrev(jj) = NegInf; yPrev(jj) = NegInf; jj += 1 }
+      }
+      // current-row left neighbor of the band start (unless it's col 0)
+      if (jLo - 1 >= 1) { matCur(jLo - 1) = NegInf; xCur(jLo - 1) = NegInf; yCur(jLo - 1) = NegInf }
 
       j = jLo
       while (j <= jHi) {
-        val matchScore = scoring.score(ti, ocrAt(j - 1))
+        val msc = if (ti == ocrStream.charAt(j - 1)) matchS else mismatchS
 
-        val m0 = pMat(j - 1); val m1 = pX(j - 1); val m2 = pY(j - 1)
-        matCur(j) = max3(m0, m1, m2) + matchScore
-        matPtr(bandIdx(i, j)) = argmax3(m0, m1, m2).toByte
+        val m0 = matPrev(j - 1); val m1 = xPrev(j - 1); val m2 = yPrev(j - 1)
+        var mBest = 0; var mVal = m0
+        if (m1 > mVal) { mBest = 1; mVal = m1 }
+        if (m2 > mVal) { mBest = 2; mVal = m2 }
+        matCur(j) = mVal + msc
 
-        // within-row left neighbor: valid if j-1 == 0 or j-1 >= jLo
-        val lm = if (j - 1 == 0 || j - 1 >= jLo) matCur(j - 1) else NegInf
-        val lx = if (j - 1 == 0 || j - 1 >= jLo) xCur(j - 1) else NegInf
-        val ly = if (j - 1 == 0 || j - 1 >= jLo) yCur(j - 1) else NegInf
-        val y0 = lm + scoring.gapOpenY + scoring.gapExtendY
-        val y1 = lx + scoring.gapOpenY + scoring.gapExtendY
-        val y2 = ly + scoring.gapExtendY
-        yCur(j) = max3(y0, y1, y2)
-        yPtr(bandIdx(i, j)) = argmax3(y0, y1, y2).toByte
+        val y0 = matCur(j - 1) + goy + gey
+        val y1 = xCur(j - 1) + goy + gey
+        val y2 = yCur(j - 1) + gey
+        var yBest = 0; var yVal = y0
+        if (y1 > yVal) { yBest = 1; yVal = y1 }
+        if (y2 > yVal) { yBest = 2; yVal = y2 }
+        yCur(j) = yVal
 
-        val x0 = pMat(j) + scoring.gapOpenX + scoring.gapExtendX
-        val x1 = pX(j) + scoring.gapExtendX
-        val x2 = pY(j) + scoring.gapOpenX + scoring.gapExtendX
-        xCur(j) = max3(x0, x1, x2)
-        xPtr(bandIdx(i, j)) = argmax3(x0, x1, x2).toByte
+        val x0 = matPrev(j) + gox + gex
+        val x1 = xPrev(j) + gex
+        val x2 = yPrev(j) + gox + gex
+        var xBest = 0; var xVal = x0
+        if (x1 > xVal) { xBest = 1; xVal = x1 }
+        if (x2 > xVal) { xBest = 2; xVal = x2 }
+        xCur(j) = xVal
 
-        cells += 1
+        ptrs(rowOff + j) = (mBest | (xBest << 2) | (yBest << 4)).toByte
         j += 1
       }
+      cells += jHi - jLo + 1
 
       // roll rows
       val tm = matPrev; matPrev = matCur; matCur = tm
@@ -384,7 +396,7 @@ object NeedlemanWunsch {
     var ypt = m - 1
     // boundary cells have pointer 0 (the reference's np.zeros init); they are
     // never stored in the band, so guard the corner read when a side is empty
-    var mpt: Int = if (xpt == 0 || ypt == 0) 0 else matPtr(bandIdx(xpt, ypt))
+    var mpt: Int = if (xpt == 0 || ypt == 0) 0 else ptrs(bandIdx(xpt, ypt)) & 3
 
     traAlign.append(traAt(xpt))
     ocrAlign.append(ocrAt(ypt))
@@ -396,17 +408,17 @@ object NeedlemanWunsch {
         else if (mpt == 0) {
           traAlign.append(traAt(xpt - 1))
           ocrAlign.append(ocrAt(ypt - 1))
-          mpt = matPtr(bandIdx(xpt, ypt))
+          mpt = ptrs(bandIdx(xpt, ypt)) & 3
           xpt -= 1; ypt -= 1
         } else if (mpt == 1) {
           traAlign.append(traAt(xpt - 1))
           ocrAlign.append('_')
-          mpt = xPtr(bandIdx(xpt, ypt))
+          mpt = (ptrs(bandIdx(xpt, ypt)) >> 2) & 3
           xpt -= 1
         } else {
           traAlign.append('_')
           ocrAlign.append(ocrAt(ypt - 1))
-          mpt = yPtr(bandIdx(xpt, ypt))
+          mpt = (ptrs(bandIdx(xpt, ypt)) >> 4) & 3
           ypt -= 1
         }
       }
