@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -15,6 +16,13 @@ import org.apache.spark.sql.expressions.Window
   *    — turns the cross product into a bucket-local join at scale.
   */
 object Similarity {
+
+  /** Cosine as a native codegen'd Catalyst expression (no UDF boxing). */
+  def cosineCol(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(CosineSimilarity(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  }
 
   /** Deterministic random hyperplanes: nBits × dim gaussian-ish values from
     * SplitMix64 (Box–Muller-free: sum of uniforms is fine for sign tests).
@@ -57,12 +65,11 @@ object Similarity {
     * tie-break on (score desc, vec_id asc).
     */
   def bruteForceTopK(embeddings: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
-    val cosUdf = udf((a: Seq[Float], b: Seq[Float]) => cosine(a.toArray, b.toArray))
     val queries = embeddings.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id").asc)
     embeddings.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-      .withColumn("score", cosUdf(col("q_emb"), col("embedding")))
+      .withColumn("score", cosineCol(col("q_emb"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("score"))
@@ -85,7 +92,6 @@ object Similarity {
     val planes = hyperplanes(nBits, dim, seed)
     val planesB = spark.sparkContext.broadcast(planes)
     val sigUdf = udf((v: Seq[Float]) => signBits(v.toArray, planesB.value))
-    val cosUdf = udf((a: Seq[Float], b: Seq[Float]) => cosine(a.toArray, b.toArray))
 
     val signed = embeddings.withColumn("bucket", sigUdf(col("embedding")))
     val queries = signed.filter(col("vec_id") < queryMaxId)
@@ -94,7 +100,7 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id").asc)
     signed.join(queries, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("score", cosUdf(col("q_emb"), col("embedding")))
+      .withColumn("score", cosineCol(col("q_emb"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("score"))
@@ -115,14 +121,13 @@ object Similarity {
     val planes = hyperplanes(nBits, dim, seed)
     val planesB = spark.sparkContext.broadcast(planes)
     val sigUdf = udf((v: Seq[Float]) => signBits(v.toArray, planesB.value))
-    val cosUdf = udf((a: Seq[Float], b: Seq[Float]) => cosine(a.toArray, b.toArray))
 
     val signed = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("bucket", sigUdf(col("embedding")))
 
     signed.as("l").join(signed.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
-      .withColumn("cos", cosUdf(col("l.embedding"), col("r.embedding")))
+      .withColumn("cos", cosineCol(col("l.embedding"), col("r.embedding")))
       .filter(col("cos") >= threshold)
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"), col("cos"))
   }

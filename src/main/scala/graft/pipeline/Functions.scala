@@ -12,6 +12,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Functions {
   def register(spark: SparkSession): Unit = {
+    // native codegen'd Catalyst expression (preferred over a UDF: no boxing,
+    // stays inside whole-stage codegen)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_f32",
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.CosineSimilarity(exprs(0), exprs(1)),
+      "built-in")
     spark.udf.register("clean_text", (s: String) => CleanText.clean(if (s == null) "" else s))
     spark.udf.register("extract_text", (b: Array[Byte]) => ExtractHtml.extractText(b))
     spark.udf.register("syllabify", (s: String) => Syllabify.syllabifyText(if (s == null) "" else s))

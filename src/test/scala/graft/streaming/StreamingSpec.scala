@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.pipeline.{AlignJob, PageGen}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+import java.util.Comparator
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def rmTree(p: String): Unit = {
+    val path = Paths.get(p)
+    if (Files.exists(path))
+      Files.walk(path).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+  }
+
+  test("streaming align == batch align; checkpoint resumes incrementally") {
+    import spark.implicits._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_test"
+    rmTree(base)
+    val pagesDir = s"$base/pages"
+    val outDir = s"$base/out"
+
+    val first = AlignJob.synthPages(spark, sfDir).filter(_.url < PageGen.urlFor(60))
+    first.write.parquet(pagesDir)
+
+    StreamingJobs.runAvailableNow(StreamingJobs.alignStream(spark, pagesDir), outDir)
+    def readSpans(): Array[String] =
+      spark.read.parquet(s"$outDir/data")
+        .selectExpr("concat_ws(':', url, seq, syl, ulx, uly, lrx, lry)")
+        .as[String].collect().sorted
+
+    val batchFirst = AlignJob.spans(AlignJob.align(first))
+      .selectExpr("concat_ws(':', url, seq, syl, ulx, uly, lrx, lry)")
+      .as[String].collect().sorted
+    assert(readSpans() sameElements batchFirst)
+
+    // drop a second file into the source dir; AvailableNow picks up ONLY the
+    // new data thanks to the checkpoint
+    val second = AlignJob.synthPages(spark, sfDir)
+      .filter(p => p.url >= PageGen.urlFor(60) && p.url < PageGen.urlFor(90))
+    second.write.mode("append").parquet(pagesDir)
+    StreamingJobs.runAvailableNow(StreamingJobs.alignStream(spark, pagesDir), outDir)
+
+    val all = AlignJob.synthPages(spark, sfDir).filter(_.url < PageGen.urlFor(90))
+    val batchAll = AlignJob.spans(AlignJob.align(all))
+      .selectExpr("concat_ws(':', url, seq, syl, ulx, uly, lrx, lry)")
+      .as[String].collect().sorted
+    assert(readSpans() sameElements batchAll)
+    rmTree(base)
+  }
+
+  test("windowed event aggregation with watermark emits finalized windows") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_events"
+    rmTree(base)
+    val eventsDir = s"$base/events"
+    val outDir = s"$base/out"
+    spark.read.parquet(s"$sfDir/events.parquet").write.parquet(eventsDir)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(eventsDir).schema)
+      .parquet(eventsDir)
+    StreamingJobs.runAvailableNow(StreamingJobs.eventWindowCounts(stream), outDir)
+
+    val got = spark.read.parquet(s"$outDir/data")
+    assert(got.count() > 0, "no finalized windows emitted")
+
+    // every emitted window must equal the batch computation of that window
+    import org.apache.spark.sql.functions._
+    val batch = spark.read.parquet(eventsDir)
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    val mismatches = got.alias("g").join(batch.alias("b"),
+        Seq("window_start", "event_type"), "left")
+      .filter(col("g.n_events") =!= col("b.n_events") ||
+        abs(col("g.sum_value") - col("b.sum_value")) > 1e-9)
+      .count()
+    assert(mismatches === 0)
+    rmTree(base)
+  }
+}
