@@ -36,7 +36,8 @@ object AlignKernel {
       transcriptRaw: String,
       html: Array[Byte],
       scoring: Scoring = Scoring.Default,
-      initialBand: Int = NeedlemanWunsch.DefaultInitialBand): KernelResult = {
+      initialBand: Int = NeedlemanWunsch.DefaultInitialBand,
+      ws: NeedlemanWunsch.Workspace = new NeedlemanWunsch.Workspace): KernelResult = {
     try {
       val transcriptFull = CleanText.clean(if (transcriptRaw == null) "" else transcriptRaw)
       val extracted = ExtractHtml.extractCharBoxes(html)
@@ -53,7 +54,7 @@ object AlignKernel {
           extracted.take(MaxAlignChars)
         } else extracted
 
-      processStream(transcript, extracted2, scoring, initialBand, note)
+      processStream(transcript, extracted2, scoring, initialBand, note, ws)
     } catch {
       case e: Exception =>
         KernelResult(Vector.empty, "", "", 0, 0, 0, 0L, s"kernel: ${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -68,7 +69,8 @@ object AlignKernel {
       stream: IndexedSeq[CharBox],
       scoring: Scoring = Scoring.Default,
       initialBand: Int = NeedlemanWunsch.DefaultInitialBand,
-      note: String = ""): KernelResult = {
+      note: String = "",
+      ws: NeedlemanWunsch.Workspace = new NeedlemanWunsch.Workspace): KernelResult = {
 
     // abbreviation expansion (alignToOCR.py:251-264)
     val allChars = Abbrev.expand(stream)
@@ -79,7 +81,7 @@ object AlignKernel {
     }
 
     // alignment (textSeqCompare.py:13-177)
-    val ar = NeedlemanWunsch.alignChars(transcript, ocr, scoring, initialBand)
+    val ar = NeedlemanWunsch.alignChars(transcript, ocr, scoring, initialBand, ws)
 
     // syllabification of the *unaligned* transcript (alignToOCR.py:277)
     val syls = Syllabify.syllabifyText(transcript)

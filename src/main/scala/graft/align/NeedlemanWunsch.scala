@@ -46,6 +46,20 @@ object NeedlemanWunsch {
 
   import Scoring.{BoundaryGapExtend, NegInf}
 
+  /** Reusable grow-only DP buffers. One instance per partition (kernel
+    * reused across rows inside mapPartitions — SURVEY.md §3) removes the
+    * per-document allocation of the rolling rows and pointer storage.
+    * NOT thread-safe; one per task.
+    */
+  final class Workspace {
+    private[align] var rows: Array[Array[Double]] = Array.fill(6)(new Array[Double](0))
+    private[align] var ptrs: Array[Byte] = new Array[Byte](0)
+    private[align] def ensureRows(m: Int): Unit =
+      if (rows(0).length < m) rows = Array.fill(6)(new Array[Double](m))
+    private[align] def ensurePtrs(sz: Int): Unit =
+      if (ptrs.length < sz) ptrs = new Array[Byte](sz)
+  }
+
   /** First index of the maximum of three values (Python
     * `vals.index(max(vals))` — first-wins on ties, textSeqCompare.py:72).
     */
@@ -193,19 +207,24 @@ object NeedlemanWunsch {
       transcript: String,
       ocrStream: String,
       scoring: Scoring = Scoring.Default,
-      initialBand: Int = DefaultInitialBand): AlignResult = {
+      initialBand: Int = DefaultInitialBand,
+      ws: Workspace = new Workspace): AlignResult = {
     val n = transcript.length + 1L
     val m = ocrStream.length + 1L
     if (n * m <= FullMatrixCellThreshold)
-      alignCharsFull(transcript, ocrStream, scoring)
+      alignCharsFull(transcript, ocrStream, scoring, ws)
     else
-      alignCharsBanded(transcript, ocrStream, scoring, initialBand)
+      alignCharsBanded(transcript, ocrStream, scoring, initialBand, ws)
   }
 
   /** Full-matrix char alignment (band = m covers every column). */
-  def alignCharsFull(transcript: String, ocrStream: String, scoring: Scoring): AlignResult = {
+  def alignCharsFull(
+      transcript: String,
+      ocrStream: String,
+      scoring: Scoring,
+      ws: Workspace = new Workspace): AlignResult = {
     val m = ocrStream.length + 1
-    val (res, cells) = alignCharsWithBand(transcript, ocrStream, scoring, m)
+    val (res, cells) = alignCharsWithBand(transcript, ocrStream, scoring, m, ws)
     val (ta, oa) = res.get // full band never aborts
     AlignResult(ta, oa, 0, cells)
   }
@@ -230,26 +249,27 @@ object NeedlemanWunsch {
       transcript: String,
       ocrStream: String,
       scoring: Scoring = Scoring.Default,
-      initialBand: Int = DefaultInitialBand): AlignResult = {
+      initialBand: Int = DefaultInitialBand,
+      ws: Workspace = new Workspace): AlignResult = {
     val m = ocrStream.length + 1
     var cells = 0L
     var band = math.max(MinBand, initialBand)
 
     if (band >= m) {
-      val (res, c) = alignCharsWithBand(transcript, ocrStream, scoring, m)
+      val (res, c) = alignCharsWithBand(transcript, ocrStream, scoring, m, ws)
       val (ta, oa) = res.get
       return AlignResult(ta, oa, 0, c)
     }
 
     var prev: Option[(String, String)] = {
-      val (res, c) = alignCharsWithBand(transcript, ocrStream, scoring, band)
+      val (res, c) = alignCharsWithBand(transcript, ocrStream, scoring, band, ws)
       cells += c
       res
     }
     while (true) {
       val nextBand = math.min(m, band * 2)
       val full = nextBand >= m
-      val (cur, c) = alignCharsWithBand(transcript, ocrStream, scoring, nextBand)
+      val (cur, c) = alignCharsWithBand(transcript, ocrStream, scoring, nextBand, ws)
       cells += c
       if (full) {
         val (ta, oa) = cur.get
@@ -277,7 +297,8 @@ object NeedlemanWunsch {
       transcript: String,
       ocrStream: String,
       scoring: Scoring,
-      band: Int): (Option[(String, String)], Long) = {
+      band: Int,
+      ws: Workspace): (Option[(String, String)], Long) = {
 
     val sentinel = ' '
     val n = transcript.length + 1
@@ -295,18 +316,20 @@ object NeedlemanWunsch {
       s"alignment pointer storage too large: n=$n band=$band — cap document length upstream")
     // packed in-band pointers: bits 0-1 mat, 2-3 x, 4-5 y;
     // (i, j) -> i*width + (j - (center(i)-band))
-    val ptrs = new Array[Byte](n * width)
+    ws.ensurePtrs(n * width)
+    val ptrs = ws.ptrs
     @inline def bandIdx(i: Int, j: Int): Int = i * width + (j - (center(i) - band))
 
     // rolling score rows (full width m; cells a row reads but its
     // predecessor didn't write are poisoned with NegInf before the fill,
     // keeping the hot loop branch-free)
-    var matPrev = new Array[Double](m)
-    var xPrev = new Array[Double](m)
-    var yPrev = new Array[Double](m)
-    var matCur = new Array[Double](m)
-    var xCur = new Array[Double](m)
-    var yCur = new Array[Double](m)
+    ws.ensureRows(m)
+    var matPrev = ws.rows(0)
+    var xPrev = ws.rows(1)
+    var yPrev = ws.rows(2)
+    var matCur = ws.rows(3)
+    var xCur = ws.rows(4)
+    var yCur = ws.rows(5)
 
     // row 0 boundary (textSeqCompare.py:57-60)
     var j = 0

@@ -68,8 +68,10 @@ object AlignJob {
 
     repartitioned.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
+      // one reusable DP workspace per partition: no per-document buffer churn
+      val ws = new graft.align.NeedlemanWunsch.Workspace
       it.map { p =>
-        val r = AlignKernel.process(p.text, p.html)
+        val r = AlignKernel.process(p.text, p.html, scoring, ws = ws)
         cellsAcc.add(r.cellsFilled)
         docsAcc.add(1)
         AlignedDoc(

@@ -29,12 +29,13 @@ object KernelBench {
     val (_, extractSec) = time { docs.foreach { case (_, _, html) => ExtractHtml.extractText(html) } }
     val (_, sylSec) = time { docs.foreach { case (t, _, _) => Syllabify.syllabifyText(t) } }
     var cells = 0L
+    val ws = new NeedlemanWunsch.Workspace
     val (_, alignSec) = time {
       docs.foreach { case (t, noisy, _) =>
-        cells += NeedlemanWunsch.alignChars(t, noisy).cellsFilled
+        cells += NeedlemanWunsch.alignChars(t, noisy, ws = ws).cellsFilled
       }
     }
-    val (_, fullSec) = time { docs.foreach { case (t, _, html) => AlignKernel.process(t, html) } }
+    val (_, fullSec) = time { docs.foreach { case (t, _, html) => AlignKernel.process(t, html, ws = ws) } }
 
     println(f"docs=${docs.length} extract=${extractSec}%.3fs syllabify=${sylSec}%.3fs " +
       f"alignOnly=${alignSec}%.3fs full=${fullSec}%.3fs")

@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-shape assertions: plan structure of the flagship job, skew guard
+  * behavior, and kernel totality on degenerate rows.
+  */
+class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("flagship plan: exactly one Exchange (the salt), kernel as MapPartitions, pruned scan") {
+    val df = AlignJob.metrics(AlignJob.align(
+      AlignJob.synthPages(spark, sfDir), saltPartitions = 4))
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected exactly one shuffle, got $exchanges:\n${plan.take(3000)}")
+    assert(plan.contains("MapPartitions"), plan.take(2000))
+    // scan must read only the three columns the generator needs
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
+      plan.take(3000))
+  }
+
+  test("unsalted flagship plan has no shuffle at all") {
+    val df = AlignJob.metrics(AlignJob.align(AlignJob.synthPages(spark, sfDir)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  test("skew guard: a pathologically long document is truncated, flagged, and finishes") {
+    import spark.implicits._
+    val hugeText = ("alleluia dominus dixit " * 9000).trim // ~207k chars > MaxAlignChars
+    val pages = Seq(
+      PageGen.pageFor(1L, hugeText, "la"),
+      PageGen.pageFor(2L, "dominus meus", "la")).toDS()
+    val m = AlignJob.metrics(AlignJob.align(pages)).collect()
+      .map(r => r.getAs[String]("url") ->
+        ((r.getAs[String]("error"), r.getAs[Int]("tra_len"), r.getAs[Int]("n_spans"))))
+      .toMap
+    val (bigErr, bigLen, bigSpans) = m(PageGen.urlFor(1L))
+    assert(bigErr.contains("truncated"), bigErr)
+    assert(bigLen <= 2 * graft.align.AlignKernel.MaxAlignChars + 2)
+    assert(bigSpans > 0)
+    val (smallErr, _, smallSpans) = m(PageGen.urlFor(2L))
+    assert(smallErr === "" && smallSpans > 0)
+  }
+
+  test("kernel is total on degenerate rows (null/empty text and html)") {
+    import spark.implicits._
+    val ts = PageGen.tsFor(0L)
+    val pages = Seq(
+      Page("u1", ts, null, "some text", "en"),
+      Page("u2", ts, Array.emptyByteArray, "", "en"),
+      Page("u3", ts, "<html><body>only stream</body></html>".getBytes("UTF-8"), null, "en"),
+      Page("u4", ts, null, null, "en")).toDS()
+    val rows = AlignJob.metrics(AlignJob.align(pages)).collect()
+    assert(rows.length === 4)
+    // no uncaught failures: every row lands with empty or informative error
+    assert(rows.forall(_.getAs[String]("error") != null))
+  }
+}
