@@ -46,10 +46,66 @@ object Abbrev {
     "ō" -> Seq("om")  // ō
   )
 
-  /** Expand abbreviations in-place over the box stream. Segment i of the
-    * expansion inherits the box of original char i+idx (alignToOCR.py:261-263).
+  /** Expand abbreviations over the box stream. Segment i of the expansion
+    * inherits the box of original char i+idx (alignToOCR.py:261-263).
+    *
+    * Output-equivalent optimization of the reference loop: the reference
+    * rescans from index 0 after each splice; since a splice leaves all chars
+    * before `idx` untouched (and `idx` was the FIRST occurrence), any new
+    * occurrence must overlap the spliced region, i.e. start at
+    * ≥ idx - len(key) + 1 — so the scan resumes there instead of 0, and the
+    * boxes live in a spliced ArrayBuffer rather than rebuilt strings. Bounds
+    * an abbreviation-dense adversarial page (e.g. 100k '^' chars) to seconds
+    * instead of minutes, with byte-identical output (differential-tested).
+    *
+    * Assumes 1-char boxes (guaranteed by ExtractHtml and by expansion
+    * itself); falls back to the literal reference algorithm otherwise.
     */
   def expand(allCharsIn: IndexedSeq[CharBox]): IndexedSeq[CharBox] = {
+    if (allCharsIn.exists(_.ch.length != 1)) return expandLiteral(allCharsIn)
+
+    val buf = new scala.collection.mutable.ArrayBuffer[CharBox](allCharsIn.length + 16)
+    buf ++= allCharsIn
+
+    @inline def matchesAt(pos: Int, key: String): Boolean = {
+      if (pos + key.length > buf.length) false
+      else {
+        var i = 0
+        while (i < key.length && buf(pos + i).ch.charAt(0) == key.charAt(i)) i += 1
+        i == key.length
+      }
+    }
+
+    for ((abb, segments) <- Abbreviations) {
+      var from = 0
+      while (from >= 0 && from + abb.length <= buf.length) {
+        var idx = from
+        while (idx + abb.length <= buf.length && !matchesAt(idx, abb)) idx += 1
+        if (idx + abb.length > buf.length) from = -1 // no more occurrences
+        else {
+          val ins = Vector.newBuilder[CharBox]
+          var i = 0
+          while (i < segments.length) {
+            val splitBox = buf(i + idx)
+            for (x <- segments(i))
+              ins += CharBox(x.toString, splitBox.ulx, splitBox.uly, splitBox.lrx, splitBox.lry)
+            i += 1
+          }
+          buf.remove(idx, abb.length)
+          buf.insertAll(idx, ins.result())
+          from = math.max(0, idx - abb.length + 1)
+        }
+      }
+    }
+    buf.toIndexedSeq
+  }
+
+  /** Literal port of alignToOCR.py:251-264 (rescan from 0, rebuilt string
+    * per iteration) — semantics anchor; used directly only when a box holds
+    * a multi-char string (possible in the reference's .llocs flow, never in
+    * the HTML-extraction flow).
+    */
+  def expandLiteral(allCharsIn: IndexedSeq[CharBox]): IndexedSeq[CharBox] = {
     var allChars: Vector[CharBox] = allCharsIn.toVector
     for ((abb, segments) <- Abbreviations) {
       var done = false

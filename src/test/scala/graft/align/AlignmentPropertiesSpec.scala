@@ -81,3 +81,24 @@ object AlignmentPropertiesSpec extends Properties("alignment") {
         (r.spans.map(_.ulx) == r.spans.map(_.ulx).sorted) :| "ordered")
     }
 }
+
+/** Equivalence of the forward-scan abbreviation expansion with the literal
+  * reference algorithm (rescan-from-0). See Abbrev.expand scaladoc for the
+  * proof sketch; this is the empirical gate.
+  */
+object AbbrevPropertiesSpec extends Properties("abbrev") {
+  import org.scalacheck.Gen
+
+  private val abbrevChars = "dnsūeal^āēūō"
+  private val charGen: Gen[Char] = Gen.frequency(
+    5 -> Gen.oneOf('a', 'l', 'd', 'n', 's', 'e', 'u', 'm', ' '),
+    3 -> Gen.oneOf(abbrevChars.toSeq),
+    1 -> Gen.oneOf('x', 'y', 'z'))
+
+  property("forward-scan expand == literal reference expand") =
+    Prop.forAll(Gen.chooseNum(0, 80).flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))) {
+      s: String =>
+        val stream = s.zipWithIndex.map { case (c, k) => CharBox.at(c, k) }.toVector
+        Abbrev.expand(stream) == Abbrev.expandLiteral(stream)
+    }
+}
