@@ -308,6 +308,21 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // ---- union-bbox UDAF (the O19 span-union fold, relational form) ----
+    "q_bbox_union" -> ((s, dir) => {
+      Functions.register(s)
+      tbl(s, dir, "part").select(
+          col("p_brand"),
+          (col("p_partkey") % 97).as("ulx"), (col("p_partkey") % 89).as("uly"),
+          (col("p_partkey") % 97 + 1 + col("p_size") % 13).as("lrx"),
+          (col("p_partkey") % 89 + 1 + col("p_size") % 11).as("lry"))
+        .groupBy(col("p_brand"))
+        .agg(expr("bbox_union(ulx, uly, lrx, lry)").as("bb"))
+        .select(col("p_brand"), col("bb.ulx").as("ulx"), col("bb.uly").as("uly"),
+          col("bb.lrx").as("lrx"), col("bb.lry").as("lry"))
+        .orderBy(col("p_brand"))
+    }),
+
     // ---- CSV source scan (O23) ----
     "q_csv_scan" -> ((s, dir) => {
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_scan"
@@ -410,6 +425,17 @@ object SparkEntry {
 
     "q_csv_scan" ->
       ("SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 100 ORDER BY doc_id"),
+
+    "q_bbox_union" ->
+      ("""WITH boxes AS (
+         |  SELECT p_brand,
+         |         p_partkey % 97 AS ulx, p_partkey % 89 AS uly,
+         |         p_partkey % 97 + 1 + p_size % 13 AS lrx,
+         |         p_partkey % 89 + 1 + p_size % 11 AS lry
+         |  FROM part)
+         |SELECT p_brand, min(ulx) AS ulx, min(uly) AS uly,
+         |       max(lrx) AS lrx, max(lry) AS lry
+         |FROM boxes GROUP BY p_brand ORDER BY p_brand""".stripMargin.replace("\n", " ")),
 
     "q_quality" ->
       ("""WITH base AS (

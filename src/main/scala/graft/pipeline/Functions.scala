@@ -19,6 +19,9 @@ object Functions {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.CosineSimilarity(exprs(0), exprs(1)),
       "built-in")
+    // typed Aggregator UDAF: union bounding box (partial + final merge)
+    spark.udf.register("bbox_union",
+      org.apache.spark.sql.functions.udaf(new graft.functions.BBoxUnionAggregator))
     spark.udf.register("clean_text", (s: String) => CleanText.clean(if (s == null) "" else s))
     spark.udf.register("extract_text", (b: Array[Byte]) => ExtractHtml.extractText(b))
     spark.udf.register("syllabify", (s: String) => Syllabify.syllabifyText(if (s == null) "" else s))
