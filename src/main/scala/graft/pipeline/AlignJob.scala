@@ -50,6 +50,11 @@ object AlignJob {
     *   the explicit skew break of SURVEY.md §4 item 3 (kernel cost is opaque
     *   to AQE; one pathologically long document must not straggle a
     *   partition). 0 = no extra shuffle (input partitioning is trusted).
+    *   Trade-off at 10^12 rows: the salt Exchange moves the full page
+    *   payloads once — worth it when per-partition kernel-cost variance is
+    *   high; skip it when input splits are already well-mixed and rely on
+    *   the MaxAlignChars cap + many-docs-per-partition averaging (the
+    *   metrics table's per-partition lineage shows which regime you're in).
     */
   def align(
       pages: Dataset[Page],

@@ -137,4 +137,18 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(deduped.count() === base.select("text").distinct().count())
     assert(deduped.agg(org.apache.spark.sql.functions.max("doc_id")).head().getLong(0) < 5000)
   }
+
+  test("digest-based duplicate groups equal the text-based grouping") {
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val withDups = base.unionAll(base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    val byDigest = Dedup.exactDuplicateGroups(withDups)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byText = withDups.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("c"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(byDigest === byText)
+  }
 }
