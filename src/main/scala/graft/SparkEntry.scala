@@ -221,6 +221,10 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(tbl(s, dir, "embeddings"), queryMaxId = 20, k = 5)),
 
+    // ---- ANN: IVF (k-means inverted lists, probe re-rank) ----
+    "q_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(tbl(s, dir, "embeddings"), queryMaxId = 20, k = 5)),
+
     // ---- embedding-cosine near-dup pairs (planted perturbed copies) ----
     "q_embed_near_dups" -> ((s, dir) => {
       import s.implicits._

@@ -106,6 +106,99 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("score"))
   }
 
+  /** Deterministic Lloyd k-means over a sample (driver-side: the sample is
+    * tiny relative to the corpus). Seeded init; an emptied cluster keeps its
+    * previous centroid.
+    */
+  def kmeans(sample: Array[Array[Float]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+    require(sample.nonEmpty, "empty k-means sample")
+    val dim = sample(0).length
+    val rng = new graft.pipeline.PageGen.Rng(seed)
+    val centroids = Array.tabulate(math.min(k, sample.length)) { _ =>
+      sample(rng.nextInt(sample.length)).map(_.toDouble)
+    }
+    @inline def dist2(v: Array[Float], c: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < dim) { val t = v(i) - c(i); d += t * t; i += 1 }
+      d
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      for (v <- sample) {
+        var best = 0; var bd = dist2(v, centroids(0))
+        var c = 1
+        while (c < centroids.length) {
+          val d = dist2(v, centroids(c)); if (d < bd) { bd = d; best = c }; c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      var c = 0
+      while (c < centroids.length) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { centroids(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        }
+        c += 1
+      }
+    }
+    centroids
+  }
+
+  /** Nearest-centroid list ids for a vector (ascending distance, first
+    * nProbe).
+    */
+  def nearestLists(v: Array[Float], centroids: Array[Array[Double]], nProbe: Int): Array[Int] = {
+    val dists = centroids.indices.map { c =>
+      var d = 0.0; var i = 0
+      val n = math.min(v.length, centroids(c).length)
+      while (i < n) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+      (d, c)
+    }
+    dists.sorted.take(nProbe).map(_._2).toArray
+  }
+
+  /** IVF (inverted-file) ANN: k-means centroids from a deterministic sample,
+    * broadcast; the corpus is assigned map-side to its nearest centroid (the
+    * inverted lists — ONE narrow pass, no shuffle of the corpus beyond the
+    * list-key join); each query probes its nProbe nearest lists and re-ranks
+    * exactly (native cosine expression) inside them. The 100 TB shape:
+    * candidate volume ≈ corpus × nProbe / nLists.
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      queryMaxId: Long,
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+
+    val sample = embeddings.orderBy(col("vec_id")).limit(256)
+      .select(col("embedding")).as[Seq[Float]].collect().map(_.toArray)
+    val centroids = kmeans(sample, nLists, iters = 5, seed = seed)
+    val centroidsB = spark.sparkContext.broadcast(centroids)
+
+    val assignUdf = udf((v: Seq[Float]) => nearestLists(v.toArray, centroidsB.value, 1)(0))
+    val probeUdf = udf((v: Seq[Float]) => nearestLists(v.toArray, centroidsB.value, nProbe))
+
+    val listed = embeddings.withColumn("list", assignUdf(col("embedding")))
+    val queries = embeddings.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(probeUdf(col("embedding"))).as("list"))
+
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id").asc)
+    listed.join(queries, Seq("list"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", cosineCol(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("score"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs in the
     * same bucket with cosine ≥ threshold.
     */

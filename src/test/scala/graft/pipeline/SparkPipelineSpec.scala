@@ -89,6 +89,27 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expected)
   }
 
+  test("IVF ANN: deterministic, scores exact, useful recall vs brute force") {
+    import spark.implicits._
+    def collectPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf1 = SparkEntry.queries("q_ann_ivf")(spark, sfDir)
+    val pairs1 = collectPairs(ivf1)
+    val pairs2 = collectPairs(SparkEntry.queries("q_ann_ivf")(spark, sfDir))
+    assert(pairs1 === pairs2, "IVF not deterministic")
+    val brute = collectPairs(SparkEntry.queries("q_ann_brute")(spark, sfDir))
+    val recall = pairs1.intersect(brute).size.toDouble / brute.size
+    assert(recall > 0.15, s"IVF recall collapsed: $recall")
+    // every reported score equals the exact cosine of that pair
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.toArray }.toMap
+    ivf1.select("q_id", "neighbor_id", "score").as[(Long, Long, Double)].collect()
+      .foreach { case (q, n, s) =>
+        assert(s === Similarity.cosine(vecs(q), vecs(n)), s"score mismatch for ($q,$n)")
+      }
+  }
+
   test("lang_id classifies real multilingual sentences") {
     assert(TextOps.langIdOf("the cat sat on the mat and it is warm") === "en")
     assert(TextOps.langIdOf("el perro come en la casa y es grande") === "es")
