@@ -35,6 +35,26 @@ class EvalAndResumeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(flags === Vector(0, 0, 0, 0, 1, 0, 0, 1, 0, 1, 0, 1, 0))
   }
 
+  test("PASCAL-VOC XML ground truth parses and feeds EvalJob (O43 input shape)") {
+    val xml =
+      """<annotation><filename>f.png</filename>
+        |<object><name>al</name><difficult>0</difficult>
+        |  <bndbox><xmin>0</xmin><ymin>0</ymin><xmax>2</xmax><ymax>1</ymax></bndbox></object>
+        |<object><name>le</name><difficult>1</difficult>
+        |  <bndbox><xmin>2</xmin><ymin>0</ymin><xmax>4</xmax><ymax>1</ymax></bndbox></object>
+        |<object><name>lu</name><difficult>0</difficult>
+        |  <bndbox><xmin>4</xmin><ymin>0</ymin><xmax>7</xmax><ymax>1</ymax></bndbox></object>
+        |</annotation>""".stripMargin
+    val parsed = GtXml.parse(xml)
+    assert(parsed === Vector(
+      GtBox("al", 0, 0, 0, 2, 1), GtBox("le", 1, 2, 0, 4, 1), GtBox("lu", 0, 4, 0, 7, 1)))
+    // difficult boxes dropped by default (evaluate_text_alignment.py:111-113)
+    val gt = GtXml.toDataFrame(spark, "u1", xml)
+    assert(gt.count() === 2)
+    val res = EvalJob.evaluate(gt, gt).collect()
+    assert(res.length === 1 && res(0).getAs[Double]("mean_iou") === 1.0)
+  }
+
   test("EvalJob: a span set evaluated against itself scores IOU 1.0 everywhere") {
     import spark.implicits._
     val pages = AlignJob.synthPages(spark, sfDir).filter(_.url < PageGen.urlFor(40))
