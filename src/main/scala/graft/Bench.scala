@@ -34,11 +34,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // JIT/IO warmup on the benchmark corpus itself (not timed) — the kernel
-    // and codegen paths need a real pass before steady-state timing
+    // and codegen paths need two real passes before steady-state timing
     try {
-      graft.pipeline.AlignJob.spans(graft.pipeline.AlignJob.align(
-        graft.pipeline.AlignJob.synthPages(spark, sfDir)))
-        .write.format("noop").mode("overwrite").save()
+      var w = 0
+      while (w < 2) {
+        graft.pipeline.AlignJob.spans(graft.pipeline.AlignJob.align(
+          graft.pipeline.AlignJob.synthPages(spark, sfDir)))
+          .write.format("noop").mode("overwrite").save()
+        w += 1
+      }
     } catch { case _: Throwable => }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
