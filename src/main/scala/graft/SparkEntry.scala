@@ -312,6 +312,28 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // ---- sessionization over events (gap-based, 30-minute timeout):
+    //      lag + cumulative sum — the batch form of stateful sessionizing ----
+    "q_sessionize" -> ((s, dir) => {
+      // exact microsecond arithmetic on both engines (second-level casts
+      // truncate/round differently across engines)
+      val tsUs = unix_micros(col("ts").cast("timestamp"))
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      tbl(s, dir, "events")
+        .withColumn("ts_us", tsUs)
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            (col("ts_us") - col("prev_us")) > 1800000000L, 1).otherwise(0))
+        .withColumn("session_seq", sum(col("new_session")).over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("session_start_us"),
+          max(col("ts_us")).as("session_end_us"))
+    }),
+
     // ---- union-bbox UDAF (the O19 span-union fold, relational form) ----
     "q_bbox_union" -> ((s, dir) => {
       Functions.register(s)
@@ -429,6 +451,23 @@ object SparkEntry {
 
     "q_csv_scan" ->
       ("SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 100 ORDER BY doc_id"),
+
+    "q_sessionize" ->
+      ("""WITH flagged AS (
+         |  SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sessions AS (
+         |  SELECT user_id, ts_us,
+         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+         |                           ROWS UNBOUNDED PRECEDING) AS session_seq
+         |  FROM flagged)
+         |SELECT user_id, session_seq, count(*) AS n_events,
+         |       min(ts_us) AS session_start_us,
+         |       max(ts_us) AS session_end_us
+         |FROM sessions GROUP BY user_id, session_seq""".stripMargin.replace("\n", " ")),
 
     "q_bbox_union" ->
       ("""WITH boxes AS (

@@ -45,6 +45,65 @@ object StreamingJobs {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Open-session state carried across micro-batches. */
+  final case class SessionState(startUs: Long, endUs: Long, nEvents: Long)
+
+  /** A closed (emitted) session. */
+  final case class ClosedSession(
+      user_id: Long, session_start_us: Long, session_end_us: Long, n_events: Long)
+
+  /** Gap-based (30-minute) stateful sessionization over the events stream —
+    * `flatMapGroupsWithState` with event-time timeout: the custom-state
+    * streaming form of the batch `q_sessionize` query. Sessions close when a
+    * later event arrives past the gap or when the watermark passes
+    * end + gap (timeout).
+    */
+  def sessionizeStream(events: DataFrame, gapUs: Long = 1800L * 1000000): Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val typed = events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "2 minutes")
+      .select(col("user_id").as[Long], unix_micros(col("ts")).as[Long],
+        col("ts").as[java.sql.Timestamp])
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[SessionState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // watermark passed: close the open session
+            val out = state.getOption.map(s =>
+              ClosedSession(userId, s.startUs, s.endUs, s.nEvents)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.map(_._2).toArray.sorted
+            val closed = Vector.newBuilder[ClosedSession]
+            var cur = state.getOption
+            for (ts <- sorted) {
+              cur match {
+                case Some(s) if ts - s.endUs <= gapUs =>
+                  cur = Some(SessionState(s.startUs, math.max(s.endUs, ts), s.nEvents + 1))
+                case Some(s) =>
+                  closed += ClosedSession(userId, s.startUs, s.endUs, s.nEvents)
+                  cur = Some(SessionState(ts, ts, 1))
+                case None =>
+                  cur = Some(SessionState(ts, ts, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endUs / 1000 + gapUs / 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Run a streaming query to completion over the currently-available input
     * (AvailableNow) writing parquet + checkpoint under outDir. Returns rows
     * written (from the sink directory).

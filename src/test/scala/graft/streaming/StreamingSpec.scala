@@ -67,6 +67,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     rmTree(base)
   }
 
+  test("stateful sessionization (flatMapGroupsWithState) matches the batch sessions it closes") {
+    import spark.implicits._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_sessions"
+    rmTree(base)
+    val eventsDir = s"$base/events"
+    val outDir = s"$base/out"
+    spark.read.parquet(s"$sfDir/events.parquet").write.parquet(eventsDir)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(eventsDir).schema)
+      .parquet(eventsDir)
+    StreamingJobs.runAvailableNow(StreamingJobs.sessionizeStream(stream).toDF(), outDir)
+
+    val got = spark.read.parquet(s"$outDir/data")
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got.nonEmpty, "no sessions closed")
+
+    // closed sessions must be a subset of the batch sessionization result
+    val batch = graft.SparkEntry.queries("q_sessionize")(spark, sfDir)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val bogus = got.diff(batch)
+    assert(bogus.isEmpty, s"streaming emitted sessions absent from batch: ${bogus.take(3)}")
+    rmTree(base)
+  }
+
   test("windowed event aggregation with watermark emits finalized windows") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_events"
     rmTree(base)
