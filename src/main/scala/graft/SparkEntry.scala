@@ -351,7 +351,7 @@ object SparkEntry {
 
     // ---- CSV source scan (O23) ----
     "q_csv_scan" -> ((s, dir) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_scan"
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_scan_${s.sparkContext.applicationId}"
       docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
         .write.mode("overwrite").option("header", "true").csv(tmp)
@@ -461,7 +461,7 @@ object SparkEntry {
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          |sessions AS (
          |  SELECT user_id, ts_us,
-         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
          |                           ROWS UNBOUNDED PRECEDING) AS session_seq
          |  FROM flagged)
          |SELECT user_id, session_seq, count(*) AS n_events,

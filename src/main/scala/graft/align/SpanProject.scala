@@ -116,10 +116,12 @@ object SpanProject {
       angleDeg: Double,
       origCols: Int, origRows: Int,
       targetCols: Int, targetRows: Int): SylBox = {
-    val pivotX = origCols / 2
-    val pivotY = origRows / 2
-    val dx = (origCols - targetCols) / 2
-    val dy = (origRows - targetRows) / 2
+    // Python-2 `/` on ints FLOORS; Scala `/` truncates -- differs for the
+    // negative odd differences that arise when target dims exceed orig dims
+    val pivotX = Math.floorDiv(origCols, 2)
+    val pivotY = Math.floorDiv(origRows, 2)
+    val dx = Math.floorDiv(origCols - targetCols, 2)
+    val dy = Math.floorDiv(origRows - targetRows, 2)
     val angle = angleDeg * math.Pi / 180
     val s = math.sin(angle)
     val c = math.cos(angle)

@@ -11,8 +11,10 @@ import org.apache.spark.sql.expressions.Window
   *  - MinHash LSH: per-row signature (map-side, no shuffle) → explode to
   *    (band, bandHash) keys → ONE shuffle groups candidates; candidate pairs
   *    are verified with exact Jaccard before reporting. Bucket sizes are
-  *    bounded (bandHash space is 2^64), skew handled by dropping
-  *    pathological buckets above a cap (reported, not silent).
+  *    bounded (bandHash space is 2^64); skew is handled by count-first
+  *    capping — bucket sizes are counted with a partial aggregation (no id
+  *    list materialized), oversized buckets dropped before any collect_list
+  *    runs (reporting opt-in via `reportDropped`; eager, one extra pass).
   *  - SimHash: 64-bit signature per row; banding on 16-bit chunks → same
   *    single-shuffle candidate generation; Hamming-verified.
   */
@@ -107,7 +109,8 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 4,
       shingleN: Int = 3,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      reportDropped: Boolean = false): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val numPerm = bands * rowsPerBand
@@ -126,12 +129,24 @@ object Dedup {
       })
       .toDF("doc_id", "band_keys")
 
-    // one shuffle: (band index, band hash) buckets
-    val buckets = sigs
+    // count per bucket FIRST (partial-aggregating counts — no id list is
+    // ever materialized for a pathological bucket, so a 10M-document
+    // boilerplate key cannot OOM an aggregation buffer), then collect ids
+    // only for buckets under the cap
+    val exploded = sigs
       .select(col("doc_id"), posexplode(col("band_keys")).as(Seq("band", "key")))
+    val keyCounts = exploded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("sz"))
+    if (reportDropped) {
+      // opt-in: eager counting costs one extra pass over the signatures
+      val dropped = keyCounts.filter(col("sz") > maxBucketSize).count()
+      if (dropped > 0)
+        System.err.println(s"[graft.minhash] dropped $dropped oversized buckets (> $maxBucketSize)")
+    }
+    val buckets = exploded
+      .join(keyCounts.filter(col("sz") > 1 && col("sz") <= maxBucketSize), Seq("band", "key"))
       .groupBy(col("band"), col("key"))
-      .agg(collect_list(col("doc_id")).as("ids"), count(lit(1)).as("sz"))
-      .filter(col("sz") > 1 && col("sz") <= maxBucketSize)
+      .agg(collect_list(col("doc_id")).as("ids"))
 
     val candidates = buckets
       .select(explode(expr(

@@ -85,12 +85,8 @@ object TextOps {
     if (best._2 == 0) "und" else best._1
   }
 
-  /** Winnowing document fingerprint (rolling polynomial hash over k-grams,
-    * min-sampled in windows of w) — standard near-dup fingerprint
-    * (Schleimer et al., SIGMOD'03 winnowing). Returns a stable 64-bit value.
-    */
-  def fingerprintOf(text: String, k: Int = 8, w: Int = 16): Long = {
-    if (text == null || text.length < k) return 0L
+  /** Rolling polynomial k-gram hashes of a text. */
+  private def kgramHashes(text: String, k: Int): Array[Long] = {
     val n = text.length - k + 1
     val hashes = new Array[Long](n)
     val B = 1000003L
@@ -105,18 +101,56 @@ object TextOps {
       hashes(i) = mix(h)
       i += 1
     }
-    // winnow: sequential mix of per-window minima (XOR would cancel repeated
-    // minima on repetitive text — observed collisions on the documents table)
-    var acc = 0x2545f4914f6cdd1dL
-    var start = 0
-    while (start < n) {
-      val end = math.min(start + w, n)
-      var mn = Long.MaxValue
-      var j = start
-      while (j < end) { if (hashes(j) < mn) mn = hashes(j); j += 1 }
-      acc = mix(acc ^ mn)
-      start += w
+    hashes
+  }
+
+  /** Winnowing fingerprint selection (Schleimer et al., SIGMOD'03): SLIDING
+    * windows of w consecutive k-gram hashes; each window selects its minimum
+    * (rightmost on ties); a hash is recorded when its selected position is
+    * new. The returned sequence is position-robust: a local edit only
+    * perturbs the selections whose windows overlap it.
+    */
+  def winnowedMinima(text: String, k: Int = 8, w: Int = 16): Array[Long] = {
+    if (text == null || text.length < k) return Array.empty
+    val hashes = kgramHashes(text, k)
+    val n = hashes.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var lastPos = -1
+    var s = 0
+    val windows = math.max(1, n - w + 1)
+    while (s < windows) {
+      val end = math.min(s + w, n)
+      var minPos = s
+      var j = s + 1
+      while (j < end) { if (hashes(j) <= hashes(minPos)) minPos = j; j += 1 } // rightmost min
+      if (minPos != lastPos) { out += hashes(minPos); lastPos = minPos }
+      s += 1
     }
+    out.toArray
+  }
+
+  /** Jaccard similarity of the winnowed-minima SETS — the near-dup use of
+    * winnowing (robust to local edits, unlike a single digest).
+    */
+  def winnowSimilarity(a: String, b: String, k: Int = 8, w: Int = 16): Double = {
+    val sa = winnowedMinima(a, k, w).toSet
+    val sb = winnowedMinima(b, k, w).toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else {
+      val inter = sa.intersect(sb).size
+      inter.toDouble / (sa.size + sb.size - inter)
+    }
+  }
+
+  /** Single 64-bit document digest: sequential fold of the winnowed minima.
+    * NOTE: folding makes this an IDENTITY hash (any selection change changes
+    * everything) — use [[winnowSimilarity]] / [[winnowedMinima]] for near-dup
+    * work; this digest is for exact/near-exact grouping where two docs
+    * collide only when their entire winnowed selection sequence matches.
+    */
+  def fingerprintOf(text: String, k: Int = 8, w: Int = 16): Long = {
+    var acc = 0x2545f4914f6cdd1dL
+    for (mn <- winnowedMinima(text, k, w)) acc = mix(acc ^ mn)
     acc
   }
 

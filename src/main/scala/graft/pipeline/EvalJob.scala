@@ -71,8 +71,11 @@ object EvalJob {
   /** Scoring-parameter grid search (evaluate_text_alignment.py:178-198,
     * SURVEY.md O44), distributed: the param grid is the Dataset, the fixture
     * pages are broadcast, each task aligns the fixtures under its params and
-    * scores against the ground-truth spans (spans from the noise-free
-    * stream). Returns (params, mean_range_iou) sorted ascending like the
+    * scores against fixed ground-truth spans -- the DEFAULT-scoring
+    * alignment of the same noisy stream (the shared coordinate system; the
+    * reference scores against fixed human GT on the same page image).
+    * mean_score is agreement-with-default, so the default combo scores
+    * exactly 1.0. Returns (params, mean_score) sorted ascending like the
     * reference's final sort.
     */
   def gridSearch(

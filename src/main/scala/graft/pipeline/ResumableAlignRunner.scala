@@ -56,6 +56,15 @@ object ResumableAlignRunner {
 
     for (wave <- waves) {
       val waveSet = wave.toSet
+      // a crash can land mid-wave AFTER some parquet appends but BEFORE the
+      // manifest commit; uncommitted bucket dirs are partial garbage -- wipe
+      // them so the rewrite below cannot duplicate rows
+      for (b <- wave; sub <- Seq("spans", "metrics")) {
+        val dir = Paths.get(outDir, sub, s"bucket=$b")
+        if (Files.exists(dir))
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => Files.delete(f))
+      }
       val bucketCol = pmod(xxhash64(col("url")), lit(nBuckets)).cast("int")
       val waved = pages.toDF()
         .withColumn("bucket", bucketCol)

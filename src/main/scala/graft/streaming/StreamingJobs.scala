@@ -87,7 +87,10 @@ object StreamingJobs {
             for (ts <- sorted) {
               cur match {
                 case Some(s) if ts - s.endUs <= gapUs =>
-                  cur = Some(SessionState(s.startUs, math.max(s.endUs, ts), s.nEvents + 1))
+                  // out-of-order events (within the watermark) may extend the
+                  // session backwards as well as forwards
+                  cur = Some(SessionState(math.min(s.startUs, ts),
+                    math.max(s.endUs, ts), s.nEvents + 1))
                 case Some(s) =>
                   closed += ClosedSession(userId, s.startUs, s.endUs, s.nEvents)
                   cur = Some(SessionState(ts, ts, 1))
@@ -97,7 +100,10 @@ object StreamingJobs {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.endUs / 1000 + gapUs / 1000)
+              // a backfilled file can put endUs+gap behind the watermark;
+              // setTimeoutTimestamp throws for past timestamps -- clamp
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs + 1, s.endUs / 1000 + gapUs / 1000))
             }
             closed.result().iterator
           }

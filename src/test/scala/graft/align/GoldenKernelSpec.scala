@@ -112,6 +112,29 @@ class GoldenKernelSpec extends AnyFunSuite {
     assert(SpanProject.rotateBbox(b, 0.0, 100, 50, 100, 50) === b)
   }
 
+  test("rotate_bbox matches NumPy/Python-2 semantics (floor div, half-even round, int16)") {
+    // goldens computed by executing the reference formula under NumPy
+    def r(b: (Int, Int, Int, Int), a: Double, oc: Int, or: Int, tc: Int, tr: Int) = {
+      val o = SpanProject.rotateBbox(SylBox("x", b._1, b._2, b._3, b._4), a, oc, or, tc, tr)
+      (o.ulx, o.uly, o.lrx, o.lry)
+    }
+    // negative odd dimension delta — floor vs truncation divergence case
+    assert(r((3, 0, 7, 1), 0.0, 100, 50, 103, 50) === ((5, 0, 9, 1)))
+    assert(r((10, 20, 30, 40), 5.0, 200, 100, 195, 99) === ((11, 12, 29, 34)))
+    assert(r((10, 20, 30, 40), -3.5, 101, 51, 104, 54) === ((12, 24, 33, 43)))
+    assert(r((0, 0, 1, 1), 182.5, 7, 9, 8, 10) === ((7, 9, 6, 8)))
+  }
+
+  test("winnowing: local edit preserves most minima; fold digest is identity-grade") {
+    import graft.ops.TextOps
+    val a = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val b = "the Xquick brown fox jumps over the lazy dog and runs far away home tonight"
+    assert(TextOps.winnowSimilarity(a, a) === 1.0)
+    assert(TextOps.winnowSimilarity(a, b) > 0.6, s"got ${TextOps.winnowSimilarity(a, b)}")
+    assert(TextOps.fingerprintOf(a) !== TextOps.fingerprintOf(b))
+    assert(TextOps.fingerprintOf(a) === TextOps.fingerprintOf(a))
+  }
+
   test("bbox intersect / IOU (evaluate_text_alignment.py:16-53)") {
     assert(BBox.intersectArea(0, 0, 4, 4, 2, 2, 6, 6) === 4L)
     assert(BBox.intersectArea(0, 0, 1, 1, 5, 5, 6, 6) === 0L)
