@@ -60,6 +60,39 @@ class ScaleShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(smallErr === "" && smallSpans > 0)
   }
 
+  test("bucketed co-located join plans with zero Exchange") {
+    import graft.ops.Bucketing
+    // (managed tables land in the default ./spark-warehouse — gitignored)
+    // disable broadcast so the join shape is genuinely decided by bucketing
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Bucketing.writeBucketed(
+        spark.read.parquet(s"$sfDir/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+        "orders_b", "o_orderkey", 4)
+      Bucketing.writeBucketed(
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(org.apache.spark.sql.functions.col("l_orderkey").as("o_orderkey"),
+            org.apache.spark.sql.functions.col("l_quantity")),
+        "lineitem_b", "o_orderkey", 4)
+      val joined = Bucketing.cooperativeJoin(spark, "orders_b", "lineitem_b", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(3000))
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      // and it computes the right thing
+      val expected = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .join(spark.read.parquet(s"$sfDir/orders.parquet"),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey")).count()
+      assert(joined.count() === expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
   test("kernel is total on degenerate rows (null/empty text and html)") {
     import spark.implicits._
     val ts = PageGen.tsFor(0L)
