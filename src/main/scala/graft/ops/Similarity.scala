@@ -114,8 +114,17 @@ object Similarity {
     require(sample.nonEmpty, "empty k-means sample")
     val dim = sample(0).length
     val rng = new graft.pipeline.PageGen.Rng(seed)
-    val centroids = Array.tabulate(math.min(k, sample.length)) { _ =>
-      sample(rng.nextInt(sample.length)).map(_.toDouble)
+    // init from DISTINCT sample rows (sampling with replacement can freeze a
+    // duplicated centroid with an empty list forever): seeded Fisher-Yates
+    val idx = Array.tabulate(sample.length)(identity)
+    var i0 = sample.length - 1
+    while (i0 > 0) {
+      val j0 = rng.nextInt(i0 + 1)
+      val t = idx(i0); idx(i0) = idx(j0); idx(j0) = t
+      i0 -= 1
+    }
+    val centroids = Array.tabulate(math.min(k, sample.length)) { c =>
+      sample(idx(c)).map(_.toDouble)
     }
     @inline def dist2(v: Array[Float], c: Array[Double]): Double = {
       var d = 0.0; var i = 0

@@ -16,9 +16,11 @@ object GtXml {
   def parse(xml: String): Vector[GtBox] = {
     val root = XML.loadString(xml)
     (root \ "object").iterator.map { el =>
+      // <difficult> is optional in real PASCAL-VOC files — default 0
+      val diffTxt = (el \ "difficult").text.trim
       GtBox(
         syl = (el \ "name").text,
-        difficult = (el \ "difficult").text.trim.toInt,
+        difficult = if (diffTxt.isEmpty) 0 else diffTxt.toInt,
         ulx = (el \ "bndbox" \ "xmin").text.trim.toInt,
         uly = (el \ "bndbox" \ "ymin").text.trim.toInt,
         lrx = (el \ "bndbox" \ "xmax").text.trim.toInt,
@@ -36,9 +38,11 @@ object GtXml {
       xml: String,
       evalDifficult: Boolean = false): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val boxes = parse(xml).filter(b => evalDifficult || b.difficult == 0)
-    boxes.zipWithIndex.map { case (b, i) =>
-      (url, i, b.syl, b.ulx, b.uly, b.lrx, b.lry)
-    }.toDF("url", "seq", "syl", "ulx", "uly", "lrx", "lry")
+    // seq is assigned BEFORE the difficult filter so it stably identifies
+    // the source XML object regardless of evalDifficult
+    parse(xml).zipWithIndex
+      .filter { case (b, _) => evalDifficult || b.difficult == 0 }
+      .map { case (b, i) => (url, i, b.syl, b.ulx, b.uly, b.lrx, b.lry) }
+      .toDF("url", "seq", "syl", "ulx", "uly", "lrx", "lry")
   }
 }

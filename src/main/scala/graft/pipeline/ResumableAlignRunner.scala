@@ -27,13 +27,20 @@ object ResumableAlignRunner {
 
   def manifestPath(outDir: String) = Paths.get(outDir, "_manifest.jsonl")
 
+  /** Full-line match only: a crash mid-append can leave a truncated trailing
+    * line — such garbage must parse as "not committed" (recomputed, never
+    * silently swallowed).
+    */
+  private val ManifestLine =
+    """\{"bucket":(\d+),"rows":\d+,"spans":\d+\}""".r
+
   def committedBuckets(outDir: String): Set[Int] = {
     val p = manifestPath(outDir)
     if (!Files.exists(p)) Set.empty
-    else Files.readAllLines(p).asScala
-      .filter(_.contains("\"bucket\""))
-      .map(l => "\"bucket\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(l).map(_.group(1).toInt))
-      .flatten.toSet
+    else Files.readAllLines(p).asScala.flatMap {
+      case ManifestLine(b) => Some(b.toInt)
+      case _ => None // blank or truncated line
+    }.toSet
   }
 
   /** Run (or resume) the job. Returns the buckets processed in THIS
@@ -61,9 +68,12 @@ object ResumableAlignRunner {
       // them so the rewrite below cannot duplicate rows
       for (b <- wave; sub <- Seq("spans", "metrics")) {
         val dir = Paths.get(outDir, sub, s"bucket=$b")
-        if (Files.exists(dir))
-          Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        if (Files.exists(dir)) {
+          val walk = Files.walk(dir)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
             .forEach(f => Files.delete(f))
+          finally walk.close()
+        }
       }
       val bucketCol = pmod(xxhash64(col("url")), lit(nBuckets)).cast("int")
       val waved = pages.toDF()
@@ -97,8 +107,10 @@ object ResumableAlignRunner {
           val w = byBucket.getOrElse(b, WaveResult(b, 0, 0))
           s"""{"bucket":${w.bucket},"rows":${w.rows},"spans":${w.spans}}"""
         }
+        // leading newline isolates this wave's block from any truncated
+        // partial line a previous crash may have left behind
         Files.write(manifestPath(outDir),
-          (lines.mkString("", "\n", "\n")).getBytes("UTF-8"),
+          (lines.mkString("\n", "\n", "\n")).getBytes("UTF-8"),
           StandardOpenOption.CREATE, StandardOpenOption.APPEND)
         processed ++= wave
       } finally aligned.unpersist()

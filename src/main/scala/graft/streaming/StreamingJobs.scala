@@ -111,8 +111,7 @@ object StreamingJobs {
   }
 
   /** Run a streaming query to completion over the currently-available input
-    * (AvailableNow) writing parquet + checkpoint under outDir. Returns rows
-    * written (from the sink directory).
+    * (AvailableNow), writing parquet + checkpoint under outDir.
     */
   def runAvailableNow(df: DataFrame, outDir: String): Unit = {
     val q = df.writeStream
