@@ -203,6 +203,17 @@ object SparkEntry {
       Dedup.simhashNearDups(docsWithNearDups(s, dir))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // ---- winnowing similarity over the planted near-dup pairs ----
+    "q_winnow_dedup" -> ((s, dir) => {
+      Functions.register(s)
+      val d = docsWithNearDups(s, dir)
+      d.as("a").join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1000000)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("winnow_similarity(a.text, b.text)").as("winnow_sim"))
+        .filter(col("winnow_sim") >= 0.3)
+        .orderBy(col("doc_a"))
+    }),
+
     // ---- n-gram Jaccard verification of planted pairs ----
     "q_ngram_jaccard" -> ((s, dir) => {
       Functions.register(s)

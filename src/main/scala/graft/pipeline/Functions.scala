@@ -30,6 +30,8 @@ object Functions {
     spark.udf.register("simhash64", (s: String) => Dedup.simhashOf(if (s == null) "" else s))
     spark.udf.register("ngram_jaccard",
       (a: String, b: String) => Dedup.jaccard(if (a == null) "" else a, if (b == null) "" else b))
+    spark.udf.register("winnow_similarity",
+      (a: String, b: String) => TextOps.winnowSimilarity(if (a == null) "" else a, if (b == null) "" else b))
     spark.udf.register("align_spans_json", (transcript: String, html: Array[Byte]) => {
       val r = AlignKernel.process(transcript, html)
       SpanProject.toJson(r.spans, Array.empty)
