@@ -186,12 +186,20 @@ object NeedlemanWunsch {
   val DefaultInitialBand: Int = 64
 
   /** Minimum band half-width the banded path will run. Degenerate bands
-    * (1–8) can produce stable-but-wrong outputs that survive the agreement
-    * rule (measured: 211/8000 disagreements with bands 1–5 vs 0/8000 at ≥16
-    * across default, adversarial and realistic scorings — see
-    * graft.tools.BandSweep).
+    * (1–8) produce stable-but-wrong outputs far more often (measured
+    * 211/8000 at bands 1–5 — see graft.tools.BandSweep).
     */
   val MinBand: Int = 16
+
+  /** Consecutive agreeing band doublings required before a banded result is
+    * accepted (bands b, 2b, 4b must produce identical output). Measured on
+    * ≤60-char adversarial gibberish — the worst case, where the band is a
+    * large fraction of the matrix — single agreement is wrong ≈0.2% of the
+    * time; production documents only reach this path above the full-matrix
+    * threshold (band ≤3% of the matrix), where the long-document
+    * differential suite shows byte-identity against the reference.
+    */
+  val AgreementStreak: Int = 2
 
   /** Below this many DP cells the full matrix is run directly — guaranteed
     * byte-identical by construction (and banding wouldn't win at this size).
@@ -266,6 +274,7 @@ object NeedlemanWunsch {
       cells += c
       res
     }
+    var streak = 0 // consecutive band doublings with identical output
     while (true) {
       val nextBand = math.min(m, band * 2)
       val full = nextBand >= m
@@ -276,9 +285,12 @@ object NeedlemanWunsch {
         return AlignResult(ta, oa, 0, cells)
       }
       if (cur.isDefined && cur == prev) {
-        val (ta, oa) = cur.get
-        return AlignResult(ta, oa, nextBand, cells)
-      }
+        streak += 1
+        if (streak >= AgreementStreak) {
+          val (ta, oa) = cur.get
+          return AlignResult(ta, oa, nextBand, cells)
+        }
+      } else streak = 0
       prev = cur
       band = nextBand
     }
