@@ -72,8 +72,24 @@ object AlignmentPropertiesSpec extends Properties("alignment") {
       Syllabify.syllabifyWord(w).mkString == w
     }
 
-  property("clean is idempotent") =
-    forAll(strGen) { s: String =>
+  // NOTE: clean is NOT idempotent in general (reference parity: the
+  // non-overlapping " | " collapse means clean("a | | a") == "a | a", which
+  // cleans again to "a a"). Idempotence holds exactly on pipe-free inputs,
+  // and the output alphabet is always [\w\s|] lowercase.
+  private val messyGen: Gen[String] =
+    Gen.chooseNum(0, 60).flatMap(n => Gen.listOfN(n, Gen.frequency(
+      6 -> Gen.oneOf('a', 'B', 'c', '1', ' '),
+      2 -> Gen.oneOf('!', '.', ',', '?', '%'),
+      1 -> Gen.const('|'))).map(_.mkString))
+
+  property("clean output alphabet is word/space/pipe, lowercase") =
+    forAll(messyGen) { s: String =>
+      CleanText.clean(s).forall(c =>
+        (c.isLetterOrDigit && !c.isUpper) || c == '_' || c == '|' || c.isWhitespace)
+    }
+
+  property("clean is idempotent on pipe-free inputs") =
+    forAll(messyGen.map(_.replace('|', 'x'))) { s: String =>
       val once = CleanText.clean(s)
       CleanText.clean(once) == once
     }

@@ -118,7 +118,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         col("n_events"), col("sum_value"))
     val mismatches = got.alias("g").join(batch.alias("b"),
         Seq("window_start", "event_type"), "left")
-      .filter(col("g.n_events") =!= col("b.n_events") ||
+      .filter(col("b.n_events").isNull || col("g.n_events") =!= col("b.n_events") ||
         abs(col("g.sum_value") - col("b.sum_value")) > 1e-9)
       .count()
     assert(mismatches === 0)
