@@ -323,6 +323,13 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // ---- the reference's CSV entry point end-to-end (O23-O29 + O8 + O11,
+    //      parse_cantus_csv.filename_to_text_func) over the committed
+    //      Cantus-shaped fixture; byte-identical to the reference
+    //      (CantusCsvSpec) ----
+    "q_cantus_folio_text" -> ((s, _) =>
+      pipeline.CantusCsv.folioTexts(s, "/root/repo/src/test/resources/cantus_like.csv")),
+
     // ---- sessionization over events (gap-based, 30-minute timeout):
     //      lag + cumulative sum — the batch form of stateful sessionizing ----
     "q_sessionize" -> ((s, dir) => {
