@@ -46,14 +46,27 @@ object Bench {
     } catch { case _: Throwable => }
 
     // flagship throughput FIRST (right after warmup, before 30+ queries
-    // churn the heap): aligned documents / sec at this parallelism
-    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
-    val t0 = System.nanoTime()
-    force(graft.pipeline.AlignJob.metrics(graft.pipeline.AlignJob.align(
-      graft.pipeline.AlignJob.synthPages(spark, sfDir),
-      saltPartitions = spark.sparkContext.defaultParallelism)))
-    val alignSec = (System.nanoTime() - t0) / 1e9
-    val docsPerSec = nDocs / alignSec
+    // churn the heap): aligned documents / sec at this parallelism.
+    // Three timed runs, best-of reported — the SAME warmed steady-state
+    // protocol as graft.ScalingBench, so the two instruments agree
+    // (VERDICT r1: one protocol, one number); all runs recorded for
+    // variance reading. Guarded so a bad sfDir still emits the JSON line.
+    var nDocs = 0L
+    var runsSec: Seq[Double] = Seq.empty
+    try {
+      nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+      runsSec = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        force(graft.pipeline.AlignJob.metrics(graft.pipeline.AlignJob.align(
+          graft.pipeline.AlignJob.synthPages(spark, sfDir),
+          saltPartitions = spark.sparkContext.defaultParallelism)))
+        (System.nanoTime() - t0) / 1e9
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] flagship failed: ${e.getMessage}")
+    }
+    val docsPerSec = if (runsSec.nonEmpty) nDocs / runsSec.min else -1.0
+    val runsJson = runsSec.map(s => f"$s%.3f").mkString("[", ",", "]")
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec =
@@ -66,7 +79,7 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","align_docs_per_sec":$docsPerSec,"align_docs":$nDocs,"cpus":"$cpus"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","align_docs_per_sec":$docsPerSec,"align_docs":$nDocs,"align_runs_sec":$runsJson,"cpus":"$cpus"}""")
     spark.stop()
   }
 }

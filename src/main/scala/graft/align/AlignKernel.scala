@@ -32,6 +32,27 @@ object AlignKernel {
     */
   val MaxAlignChars: Int = 100000
 
+  /** Cleaned + truncated (transcript, stream, note) for a raw page — the
+    * shared prep ahead of the per-scoring DP.
+    */
+  private def prep(transcriptRaw: String, html: Array[Byte]): (String, IndexedSeq[CharBox], String) = {
+    val transcriptFull = CleanText.clean(if (transcriptRaw == null) "" else transcriptRaw)
+    val extracted = ExtractHtml.extractCharBoxes(html)
+
+    var note = ""
+    val transcript =
+      if (transcriptFull.length > MaxAlignChars) {
+        note = s"transcript truncated ${transcriptFull.length}->$MaxAlignChars;"
+        transcriptFull.substring(0, MaxAlignChars)
+      } else transcriptFull
+    val extracted2 =
+      if (extracted.length > MaxAlignChars) {
+        note += s"stream truncated ${extracted.length}->$MaxAlignChars;"
+        extracted.take(MaxAlignChars)
+      } else extracted
+    (transcript, extracted2, note)
+  }
+
   def process(
       transcriptRaw: String,
       html: Array[Byte],
@@ -39,27 +60,35 @@ object AlignKernel {
       initialBand: Int = NeedlemanWunsch.DefaultInitialBand,
       ws: NeedlemanWunsch.Workspace = new NeedlemanWunsch.Workspace): KernelResult = {
     try {
-      val transcriptFull = CleanText.clean(if (transcriptRaw == null) "" else transcriptRaw)
-      val extracted = ExtractHtml.extractCharBoxes(html)
-
-      var note = ""
-      val transcript =
-        if (transcriptFull.length > MaxAlignChars) {
-          note = s"transcript truncated ${transcriptFull.length}->$MaxAlignChars;"
-          transcriptFull.substring(0, MaxAlignChars)
-        } else transcriptFull
-      val extracted2 =
-        if (extracted.length > MaxAlignChars) {
-          note += s"stream truncated ${extracted.length}->$MaxAlignChars;"
-          extracted.take(MaxAlignChars)
-        } else extracted
-
-      processStream(transcript, extracted2, scoring, initialBand, note, ws)
+      val (transcript, extracted, note) = prep(transcriptRaw, html)
+      processStream(transcript, extracted, scoring, initialBand, note, ws)
     } catch {
       case e: Exception =>
         KernelResult(Vector.empty, "", "", 0, 0, 0, 0L, s"kernel: ${e.getClass.getSimpleName}: ${e.getMessage}")
     }
   }
+
+  /** Align one page under SEVERAL scoring systems: the page is cleaned and
+    * extracted ONCE; only the DP + projection re-run per system. Used by the
+    * evaluation queries, which need a GT and a candidate alignment of the
+    * same page (VERDICT r1: don't synthesize + extract the corpus twice).
+    */
+  def processMulti(
+      transcriptRaw: String,
+      html: Array[Byte],
+      systems: Seq[(String, Scoring)],
+      ws: NeedlemanWunsch.Workspace = new NeedlemanWunsch.Workspace): Seq[(String, KernelResult)] =
+    try {
+      val (transcript, extracted, note) = prep(transcriptRaw, html)
+      systems.map { case (name, sc) =>
+        name -> processStream(transcript, extracted, sc, note = note, ws = ws)
+      }
+    } catch {
+      case e: Exception =>
+        val r = KernelResult(Vector.empty, "", "", 0, 0, 0, 0L,
+          s"kernel: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        systems.map { case (name, _) => name -> r }
+    }
 
   /** Kernel from a pre-cleaned transcript and an extracted box stream —
     * the exact scope covered by the reference differential fixtures.
@@ -100,6 +129,7 @@ object AlignKernel {
       i += 1
     }
 
-    KernelResult(spans, ar.traAlign, ar.ocrAlign, edit, gaps, ar.bandUsed, ar.cellsFilled, note)
+    KernelResult(spans, ar.traAlign, ar.ocrAlign, edit, gaps, ar.bandUsed, ar.cellsFilled,
+      note + ar.note)
   }
 }

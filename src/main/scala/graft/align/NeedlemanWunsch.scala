@@ -9,12 +9,19 @@ import scala.collection.mutable.ArrayBuffer
   * @param bandUsed final band half-width that produced the accepted result
   *                 (0 = full matrix / not banded)
   * @param cellsFilled total DP cells filled across all banding attempts
+  * @param note non-empty when the giant-document policy engaged:
+  *             `band_capped:<b>` (result from the widest runnable band,
+  *             accepted WITHOUT full agreement) or `band_overflow_drop:<b>`
+  *             (no runnable band produced an in-band traceback; alignment
+  *             dropped). Surfaces in the metrics table's `error` column so a
+  *             10^12-row run can count and re-route these documents.
   */
 final case class AlignResult(
     traAlign: String,
     ocrAlign: String,
     bandUsed: Int,
-    cellsFilled: Long)
+    cellsFilled: Long,
+    note: String = "")
 
 /** Needleman–Wunsch global alignment with affine gaps (Gotoh three-matrix DP).
   *
@@ -237,10 +244,10 @@ object NeedlemanWunsch {
     AlignResult(ta, oa, 0, cells)
   }
 
-  /** Banded char alignment with doubling-agreement acceptance: run band b
-    * and band 2b; accept when their outputs are IDENTICAL, else keep
-    * doubling; at band ≥ m the result is the full matrix (exact by
-    * construction).
+  /** Banded char alignment with the three-band agreement rule: keep doubling
+    * the band; accept once THREE consecutive band widths (b, 2b, 4b —
+    * [[AgreementStreak]] = 2 agreeing doublings) produce IDENTICAL output;
+    * at band ≥ m the result is the full matrix (exact by construction).
     *
     * Rationale: with a zero gap-extend cost (the default scoring has
     * gap_extend_y = 0) band-edge truncation can influence cells arbitrarily
@@ -258,10 +265,24 @@ object NeedlemanWunsch {
       ocrStream: String,
       scoring: Scoring = Scoring.Default,
       initialBand: Int = DefaultInitialBand,
-      ws: Workspace = new Workspace): AlignResult = {
+      ws: Workspace = new Workspace,
+      maxPtrCells: Long = Int.MaxValue - 8): AlignResult = {
+    val n = transcript.length + 1
     val m = ocrStream.length + 1
     var cells = 0L
-    var band = math.max(MinBand, initialBand)
+
+    // Giant-document policy (VERDICT r1 #8): the widest band whose packed
+    // in-band pointer storage n·(2b+1) fits the budget. A document that
+    // never reaches band agreement STOPS doubling here and returns a
+    // deterministic, metricized result instead of tripping the storage
+    // `require` into a per-row error.
+    val maxBandStorage: Int =
+      (math.min((maxPtrCells / n - 1) / 2, Int.MaxValue.toLong)).toInt
+
+    if (maxBandStorage < MinBand)
+      return AlignResult("", "", 0, 0L, note = s"band_overflow_drop:0")
+
+    var band = math.min(math.max(MinBand, initialBand), maxBandStorage)
 
     if (band >= m) {
       val (res, c) = alignCharsWithBand(transcript, ocrStream, scoring, m, ws)
@@ -277,6 +298,16 @@ object NeedlemanWunsch {
     var streak = 0 // consecutive band doublings with identical output
     while (true) {
       val nextBand = math.min(m, band * 2)
+      if (nextBand > maxBandStorage) {
+        // cannot widen further: accept the widest successful result
+        // (explicitly marked as agreement-uncertified) or drop
+        return prev match {
+          case Some((ta, oa)) =>
+            AlignResult(ta, oa, band, cells, note = s"band_capped:$band")
+          case None =>
+            AlignResult("", "", band, cells, note = s"band_overflow_drop:$band")
+        }
+      }
       val full = nextBand >= m
       val (cur, c) = alignCharsWithBand(transcript, ocrStream, scoring, nextBand, ws)
       cells += c

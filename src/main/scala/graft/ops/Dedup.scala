@@ -196,7 +196,9 @@ object Dedup {
   def simhashNearDups(
       documents: DataFrame,
       maxHamming: Int = 7,
-      chunks: Int = 8): DataFrame = {
+      chunks: Int = 8,
+      maxBucketSize: Int = 1000,
+      reportDropped: Boolean = false): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
 
@@ -214,11 +216,26 @@ object Dedup {
           .bitwiseAND(lit(mask)).as("key"))): _*)).as("b"))
       .select(col("doc_id"), col("sig"), col("b.chunk"), col("b.key"))
 
-    val pairs = banded.as("l").join(banded.as("r"),
-        col("l.chunk") === col("r.chunk") && col("l.key") === col("r.key") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+    // count-first skew cap (same pattern as minhashNearDups): an 8-bit chunk
+    // key shared by millions of boilerplate-identical pages must NOT feed a
+    // quadratic self-join. Counts partial-aggregate (no id list for the hot
+    // key); buckets over the cap are dropped before any pairing.
+    val keyCounts = banded.groupBy(col("chunk"), col("key"))
+      .agg(count(lit(1)).as("sz"))
+    if (reportDropped) {
+      val dropped = keyCounts.filter(col("sz") > maxBucketSize).count()
+      if (dropped > 0)
+        System.err.println(s"[graft.simhash] dropped $dropped oversized buckets (> $maxBucketSize)")
+    }
+    val pairs = banded
+      .join(keyCounts.filter(col("sz") > 1 && col("sz") <= maxBucketSize), Seq("chunk", "key"))
+      .groupBy(col("chunk"), col("key"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
+      .select(explode(expr(
+        "filter(flatten(transform(members, a -> transform(members, b -> struct(a, b)))), " +
+          "p -> p.a.doc_id < p.b.doc_id)")).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.sig").as("sig_a"), col("p.b.sig").as("sig_b"))
       .distinct()
 
     pairs

@@ -215,7 +215,9 @@ object Similarity {
       embeddings: DataFrame,
       threshold: Double = 0.95,
       nBits: Int = 10,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucketSize: Int = 1000,
+      reportDropped: Boolean = false): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
 
@@ -227,10 +229,25 @@ object Similarity {
     val signed = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("bucket", sigUdf(col("embedding")))
 
-    signed.as("l").join(signed.as("r"),
-        col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
-      .withColumn("cos", cosineCol(col("l.embedding"), col("r.embedding")))
+    // count-first skew cap (same pattern as Dedup.minhashNearDups): a hot
+    // bucket — near-identical boilerplate embeddings all hashing together —
+    // must not go quadratic. Counts partial-aggregate; oversized buckets are
+    // dropped before pairing.
+    val bucketCounts = signed.groupBy(col("bucket")).agg(count(lit(1)).as("sz"))
+    if (reportDropped) {
+      val dropped = bucketCounts.filter(col("sz") > maxBucketSize).count()
+      if (dropped > 0)
+        System.err.println(s"[graft.embdup] dropped $dropped oversized buckets (> $maxBucketSize)")
+    }
+    signed
+      .join(bucketCounts.filter(col("sz") > 1 && col("sz") <= maxBucketSize), Seq("bucket"))
+      .groupBy(col("bucket"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("members"))
+      .select(explode(expr(
+        "filter(flatten(transform(members, a -> transform(members, b -> struct(a, b)))), " +
+          "p -> p.a.vec_id < p.b.vec_id)")).as("p"))
+      .withColumn("cos", cosineCol(col("p.a.embedding"), col("p.b.embedding")))
       .filter(col("cos") >= threshold)
-      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"), col("cos"))
+      .select(col("p.a.vec_id").as("vec_a"), col("p.b.vec_id").as("vec_b"), col("cos"))
   }
 }

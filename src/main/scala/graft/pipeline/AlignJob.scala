@@ -97,6 +97,37 @@ object AlignJob {
     }
   }
 
+  /** Flat spans under SEVERAL scoring systems in ONE kernel pass:
+    * (system, url, seq, syl, ulx, uly, lrx, lry). Pages are scanned,
+    * synthesized and HTML-extracted once; only the DP re-runs per system —
+    * the evaluation queries' shape (GT scoring vs candidate scoring of the
+    * same corpus) without aligning the corpus twice.
+    */
+  def spansMulti(
+      pages: Dataset[Page],
+      systems: Seq[(String, Scoring)],
+      saltPartitions: Int = 0): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+
+    val repartitioned =
+      if (saltPartitions > 0)
+        pages.repartition(saltPartitions, pmod(xxhash64(col("url")), lit(saltPartitions)))
+      else pages
+
+    repartitioned.mapPartitions { it =>
+      val ws = new graft.align.NeedlemanWunsch.Workspace
+      it.flatMap { p =>
+        AlignKernel.processMulti(p.text, p.html, systems, ws).iterator.flatMap {
+          case (system, r) =>
+            r.spans.iterator.zipWithIndex.map { case (s, i) =>
+              (system, p.url, i, s.syl, s.ulx, s.uly, s.lrx, s.lry)
+            }
+        }
+      }
+    }.toDF("system", "url", "seq", "syl", "ulx", "uly", "lrx", "lry")
+  }
+
   /** Flat spans table: (url, seq, syl, ulx, uly, lrx, lry). */
   def spans(aligned: Dataset[AlignedDoc]): DataFrame =
     aligned

@@ -40,29 +40,44 @@ object CantusCsv {
     val cn = raw.columns
     def c(i: Int) = col(cn(i))
 
-    // O24: drop chants with no melody and header-ish rows
-    val arr = raw.filter(c(10) =!= "*" && c(2) =!= "folio")
+    // O24: drop chants with no melody and header-ish rows. NULL-SAFE: the
+    // CSV reader maps empty fields to null, and Python's csv gives '' —
+    // `x[10] == '*'` is False for '', so empty-Mode rows are KEPT
+    // (parse_cantus_csv.py:54). A plain =!= would null-drop them.
+    val arr = raw.filter(!(c(10) <=> "*") && !(c(2) <=> "folio"))
 
-    // O26 + O11: per folio, chants ordered by int(seq), j/i-repaired
+    // O26 + O11: per folio, chants ordered by int(seq), j/i-repaired.
+    // A monotonic input row index reproduces Python's STABLE sort
+    // (parse_cantus_csv.py:85): seq ties keep CSV order. (Values of the
+    // index differ across parallelism but its ORDER always matches file
+    // order, which is all the sort uses.) Non-integer seq casts to null and
+    // sorts first with CSV order — the reference raises there; documented
+    // deviation.
     val chants = arr.select(
       c(2).as("folio"),
       c(3).cast("int").as("seq"),
+      monotonically_increasing_id().as("rid"),
       combineUdf(c(13), c(14)).as("chant"))
 
     val perFolio = chants
       .groupBy(col("folio"))
-      .agg(
-        array_join(expr("transform(array_sort(collect_list(struct(seq, chant))), x -> x.chant)"), " ")
-          .as("own_text"),
-        max_by(col("chant"), col("seq")).as("last_chant"))
+      .agg(expr("array_sort(collect_list(struct(seq, rid, chant)))").as("sorted"))
+      .select(
+        col("folio"),
+        expr("array_join(transform(sorted, x -> x.chant), ' ')").as("own_text"),
+        // the reference takes the LAST chant of the SORTED list
+        // (folio_to_chants[prev_folio][-1], parse_cantus_csv.py:112) — on
+        // seq ties that's the last in CSV order, which max_by would not
+        // guarantee
+        expr("element_at(sorted, -1).chant").as("last_chant"))
 
     // O28 with the reference's wrap-around: first folio's "previous" is the
-    // last folio (Python mapping[idx-1] negative indexing)
-    val w = Window.orderBy(col("folio"))
-    val wrapLast = perFolio.orderBy(col("folio").desc).limit(1)
-      .select(col("last_chant").as("wrap_last"))
-    perFolio
-      .withColumn("prev_last", lag(col("last_chant"), 1).over(w))
+    // last folio (Python mapping[idx-1] negative indexing). The lag is the
+    // boundary-exchange form (no single-partition window over the folio
+    // table); the wrap row is a single-row aggregate.
+    val wrapLast = perFolio.agg(max_by(col("last_chant"), col("folio")).as("wrap_last"))
+    graft.ops.ScaleWindows
+      .withGlobalLag(perFolio, "folio", "last_chant", "prev_last")
       .crossJoin(broadcast(wrapLast))
       .select(
         col("folio"),

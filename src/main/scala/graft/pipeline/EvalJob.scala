@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.align.{AlignKernel, BBox, Scoring}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -15,58 +15,105 @@ import org.apache.spark.sql.expressions.Window
   */
 object EvalJob {
 
-  /** @param gt   ground-truth spans: (url, seq, syl, ulx, uly, lrx, lry)
-    * @param pred predicted spans: same schema
-    * @return per-url mean IOU / mean range-IOU over GT spans
+  /** Intersection area as a pure Column expression (BBox.intersectArea,
+    * evaluate_text_alignment.py:16-31): dx*dy when both positive, else 0.
+    * Long arithmetic mirrors the Scala kernel exactly.
     */
-  def evaluate(gt: DataFrame, pred: DataFrame): DataFrame = {
-    val iouUdf = udf((a1: Int, b1: Int, c1: Int, d1: Int,
-                      a2: Int, b2: Int, c2: Int, d2: Int) =>
-      BBox.iou(a1, b1, c1, d1, a2, b2, c2, d2))
-    val interUdf = udf((a1: Int, b1: Int, c1: Int, d1: Int,
-                        a2: Int, b2: Int, c2: Int, d2: Int) =>
-      BBox.intersectArea(a1, b1, c1, d1, a2, b2, c2, d2))
-    val rangeIouUdf = udf((u1: Int, l1: Int, u2: Int, l2: Int) =>
-      BBox.rangeIou(u1, l1, u2, l2))
+  def interCol(gUlx: Column, gUly: Column, gLrx: Column, gLry: Column,
+               pUlx: Column, pUly: Column, pLrx: Column, pLry: Column): Column = {
+    val dx = least(gLrx, pLrx).cast("long") - greatest(gUlx, pUlx)
+    val dy = least(gLry, pLry).cast("long") - greatest(gUly, pUly)
+    when(dx > 0 && dy > 0, dx * dy).otherwise(lit(0L))
+  }
 
+  /** Per-GT-span scored rows: (url, gt_seq, iou, range_iou) — one row per
+    * surviving (dict-collapsed) GT span, zero-filled where no candidate
+    * matched. Exact values (single integer-ratio divisions), independent of
+    * plan/partitioning — the hash-stable form for oracles.
+    *
+    * All bbox math is pure Column arithmetic (codegen'd — no UDF boxing in
+    * the theta-join hot path); the Scala BBox functions remain the unit-test
+    * single-row form.
+    *
+    * @param gt   ground-truth spans: (url, seq, syl, ulx, uly, lrx, lry)
+    * @param pred predicted spans: same schema
+    */
+  def evaluatePerSpan(gt: DataFrame, pred: DataFrame): DataFrame = {
+    // Reference quirk replicated (evaluate_text_alignment.py:109-131): the
+    // per-document score dict is keyed by box['syl'], so GT spans with the
+    // SAME syllable text collapse — the LAST occurrence (in GT order) wins —
+    // and the mean runs over distinct GT syllable texts.
+    val lastPerSyl = Window.partitionBy(col("url"), col("gt_syl"))
+      .orderBy(col("gt_seq").desc)
     val g = gt.select(col("url"), col("seq").as("gt_seq"), col("syl").as("gt_syl"),
       col("ulx").as("g_ulx"), col("uly").as("g_uly"),
       col("lrx").as("g_lrx"), col("lry").as("g_lry"))
+      .withColumn("syl_rn", row_number().over(lastPerSyl))
+      .filter(col("syl_rn") === 1)
+      .drop("syl_rn")
     val p = pred.select(col("url"), col("seq").as("p_seq"), col("syl").as("p_syl"),
       col("ulx").as("p_ulx"), col("uly").as("p_uly"),
       col("lrx").as("p_lrx"), col("lry").as("p_lry"))
 
+    val inter = interCol(
+      col("g_ulx"), col("g_uly"), col("g_lrx"), col("g_lry"),
+      col("p_ulx"), col("p_uly"), col("p_lrx"), col("p_lry"))
+
     // substring theta-join within each document (equi on url, theta on syl)
     val joined = g.join(p, Seq("url"))
       .filter(col("gt_syl").contains(col("p_syl")) || col("p_syl").contains(col("gt_syl")))
-      .withColumn("inter", interUdf(
-        col("g_ulx"), col("g_uly"), col("g_lrx"), col("g_lry"),
-        col("p_ulx"), col("p_uly"), col("p_lrx"), col("p_lry")))
+      .withColumn("inter", inter)
 
     // argmax-per-GT-span: FIRST max in prediction order (reference
     // `ints.index(max(ints))`, evaluate_text_alignment.py:127)
     val w = Window.partitionBy(col("url"), col("gt_seq"))
       .orderBy(col("inter").desc, col("p_seq").asc)
+
+    // IOU (unclamped reference form — but only evaluated under inter > 0,
+    // where areaInt == inter; evaluate_text_alignment.py:34-53) and
+    // char-range IOU, both as Column arithmetic
+    val areaG = (col("g_lrx") - col("g_ulx")).cast("long") * (col("g_lry") - col("g_uly"))
+    val areaP = (col("p_lrx") - col("p_ulx")).cast("long") * (col("p_lry") - col("p_uly"))
+    val iouExpr = col("inter").cast("double") / (areaG + areaP - col("inter"))
+    val rInter = greatest(lit(0), least(col("g_lrx"), col("p_lrx")) - greatest(col("g_ulx"), col("p_ulx")))
+    val rLenG = greatest(lit(0), col("g_lrx") - col("g_ulx"))
+    val rLenP = greatest(lit(0), col("p_lrx") - col("p_ulx"))
+    val rUnion = rLenG + rLenP - rInter
+    val rangeIouExpr = when(rUnion <= 0, lit(0.0))
+      .otherwise(rInter.cast("double") / rUnion)
+
     val best = joined
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       // reference zeroes the score when no candidate overlaps (:124-126)
-      .withColumn("iou", when(col("inter") > 0, iouUdf(
-        col("g_ulx"), col("g_uly"), col("g_lrx"), col("g_lry"),
-        col("p_ulx"), col("p_uly"), col("p_lrx"), col("p_lry"))).otherwise(lit(0.0)))
-      .withColumn("range_iou", when(col("inter") > 0, rangeIouUdf(
-        col("g_ulx"), col("g_lrx"), col("p_ulx"), col("p_lrx"))).otherwise(lit(0.0)))
+      .withColumn("iou", when(col("inter") > 0, iouExpr).otherwise(lit(0.0)))
+      .withColumn("range_iou", when(col("inter") > 0, rangeIouExpr).otherwise(lit(0.0)))
       .select(col("url"), col("gt_seq"), col("iou"), col("range_iou"))
 
     // GT spans with no substring candidate score 0 (:119-121)
     val allGt = g.select(col("url"), col("gt_seq"))
     allGt.join(best, Seq("url", "gt_seq"), "left")
       .na.fill(0.0, Seq("iou", "range_iou"))
-      .groupBy(col("url"))
-      .agg(avg(col("iou")).as("mean_iou"),
-        avg(col("range_iou")).as("mean_range_iou"),
-        count(lit(1)).as("n_gt_spans"))
   }
+
+  /** Per-url mean IOU / mean char-range IOU over (dict-collapsed) GT spans.
+    *
+    * Deterministic mean: folds scores in ascending gt_seq order (double
+    * addition is order-sensitive; a plain avg() would hash-differ across
+    * plans/parallelism). Per-document span counts are bounded, so the
+    * collect_list is safe. The reference's np.mean sums in dict order — the
+    * value set is identical; only the last-ulp summation order is pinned
+    * differently here.
+    */
+  def evaluate(gt: DataFrame, pred: DataFrame): DataFrame =
+    evaluatePerSpan(gt, pred)
+      .groupBy(col("url"))
+      .agg(
+        expr("array_sort(collect_list(struct(gt_seq, iou, range_iou)))").as("xs"))
+      .select(col("url"),
+        (expr("aggregate(xs, 0.0D, (a, x) -> a + x.iou)") / size(col("xs"))).as("mean_iou"),
+        (expr("aggregate(xs, 0.0D, (a, x) -> a + x.range_iou)") / size(col("xs"))).as("mean_range_iou"),
+        size(col("xs")).as("n_gt_spans"))
 
   /** Scoring-parameter grid search (evaluate_text_alignment.py:178-198,
     * SURVEY.md O44), distributed: the param grid is the Dataset, the fixture
@@ -112,9 +159,16 @@ object EvalJob {
         val scores = fixturesB.value.zip(gtB.value).map { case ((tra, noisy), gtSpans) =>
           val stream = noisy.zipWithIndex.map { case (c, k) => graft.align.CharBox.at(c, k) }.toVector
           val pred = AlignKernel.processStream(tra, stream, sc).spans
-          if (gtSpans.isEmpty) 1.0
+          // same dict-keyed collapse as evaluate(): last GT span per
+          // syllable text wins (evaluate_text_alignment.py:119-129);
+          // key order pinned to first occurrence so the double mean is
+          // deterministic (hash-map order would wobble the last ulp)
+          val byText = new scala.collection.mutable.LinkedHashMap[String, graft.align.SylBox]
+          gtSpans.foreach(sp => byText.put(sp.syl, sp))
+          val gtCollapsed = byText.valuesIterator.toVector
+          if (gtCollapsed.isEmpty) 1.0
           else {
-            val perGt = gtSpans.map { g =>
+            val perGt = gtCollapsed.map { g =>
               val cands = pred.filter(p => g.syl.contains(p.syl) || p.syl.contains(g.syl))
               if (cands.isEmpty) 0.0
               else {

@@ -12,6 +12,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Functions {
   def register(spark: SparkSession): Unit = {
+    // idempotent per session: queries call register() freely; re-registering
+    // every function spams SimpleFunctionRegistry replace-warnings into
+    // driver logs (VERDICT r1 #10)
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("clean_text"))) return
     // native codegen'd Catalyst expression (preferred over a UDF: no boxing,
     // stays inside whole-stage codegen)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

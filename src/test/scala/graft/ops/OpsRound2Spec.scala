@@ -1,0 +1,134 @@
+package graft.ops
+
+import graft.align.NeedlemanWunsch
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-2 fixes: scale-safe global lag, skew-capped bucket self-joins,
+  * giant-document band policy.
+  */
+class OpsRound2Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("withGlobalLag matches the single-partition global lag (numeric key)") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i * 7 % 501, s"v$i")).toDF("k", "v")
+      .filter(col("k") > 0).distinct()
+    val expected = df
+      .withColumn("prev", lag(col("v"), 1).over(Window.orderBy(col("k"))))
+      .select("k", "prev").as[(Int, Option[String])].collect().toMap
+    val got = ScaleWindows.withGlobalLag(df, "k", "v", "prev", numBuckets = 7)
+      .select("k", "prev").as[(Int, Option[String])].collect().toMap
+    assert(got === expected)
+    assert(got.values.count(_.isEmpty) === 1) // exactly the global first row
+  }
+
+  test("withGlobalLag matches the global lag (string key, bucket-boundary ties)") {
+    import spark.implicits._
+    // many keys sharing a 4-char prefix => key-image ties must co-bucket
+    val df = (1 to 300).map(i => (f"pref${i % 7}%03d-$i%05d", i.toLong)).toDF("k", "v").distinct()
+    val expected = df
+      .withColumn("prev", lag(col("v"), 1).over(Window.orderBy(col("k"))))
+      .select("k", "prev").as[(String, Option[Long])].collect().toMap
+    val got = ScaleWindows.withGlobalLag(df, "k", "v", "prev", numBuckets = 5)
+      .select("k", "prev").as[(String, Option[Long])].collect().toMap
+    assert(got === expected)
+  }
+
+  test("withGlobalLag plans no single-partition window over the data") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i, i.toLong)).toDF("k", "v")
+    val plan = ScaleWindows.withGlobalLag(df, "k", "v", "prev")
+      .queryExecution.executedPlan.toString
+    // every Window in the plan must be partitioned (partitionBy non-empty);
+    // an unpartitioned Window prints "Window [..], [..sort..]" with no
+    // partition spec — assert none exists
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty)
+    windowLines.foreach { l =>
+      assert(l.contains("__bkt"), s"unpartitioned window in plan: $l")
+    }
+  }
+
+  test("simhash near-dups: hot bucket is capped, job completes, drops reported") {
+    import spark.implicits._
+    // 5000 byte-identical docs (one hot bucket in every chunk) + 2 planted
+    // near-dup pairs of distinct text. Uncapped this is 12.5M pairs/chunk ×
+    // 8 chunks; capped it must finish fast and still find the planted pairs.
+    val boiler = (1L to 5000L).map(i => (i, "lorem ipsum dolor sit amet " * 8))
+    val longA = (1 to 80).map(i => s"alpha$i").mkString(" ")
+    val longB = (1 to 80).map(i => s"bravo$i").mkString(" ")
+    val planted = Seq(
+      (100001L, longA),
+      (100002L, longA.replace("alpha80", "alphaXX")), // 1/80 words differ
+      (200001L, longB),
+      (200002L, longB.replace("bravo79", "bravoYY")))
+    val df = (boiler ++ planted).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(df, maxBucketSize = 100)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((100001L, 100002L)))
+    assert(pairs.contains((200001L, 200002L)))
+    // no pair from the hot bucket survived (its buckets were all over-cap)
+    assert(!pairs.exists { case (a, b) => a <= 5000 && b <= 5000 })
+  }
+
+  test("embedding near-dups: hot bucket capped, planted pairs found") {
+    import spark.implicits._
+    def vec(seed: Long): Seq[Float] = {
+      val r = new graft.pipeline.PageGen.Rng(seed)
+      Seq.fill(16)(r.nextDouble().toFloat * 2f - 1f)
+    }
+    val hot = (1L to 3000L).map(i => (i, vec(42L))) // identical vector: one hot bucket
+    val base = (10001L to 10050L).map(i => (i, vec(i)))
+    val perturbed = base.take(5).map { case (id, v) =>
+      (id + 1000L, v.map(x => x + 0.001f))
+    }
+    val df = (hot ++ base ++ perturbed).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDups(df, threshold = 0.99, maxBucketSize = 100)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    perturbed.foreach { case (pid, _) =>
+      assert(pairs.contains((pid - 1000L, pid)), s"planted pair ${pid - 1000} missing")
+    }
+    assert(!pairs.exists { case (a, b) => a <= 3000 && b <= 3000 })
+  }
+
+  test("giant-document policy: band cap returns a marked result, never throws") {
+    // Force the storage cap low so the doubling loop hits it on a small doc.
+    val tra = ("abcdefgh" * 200) + ("zqxw" * 50)
+    val ocr = ("abcdefgh" * 200).reverse + ("zqxw" * 50) // unrelated: agreement unlikely at tiny bands
+    val ws = new NeedlemanWunsch.Workspace
+    // maxPtrCells small: maxBandStorage ≈ (maxPtrCells/n - 1)/2
+    val n = tra.length + 1
+    val maxPtr = n.toLong * (2L * 40 + 1) // widest runnable band = 40
+    val r = NeedlemanWunsch.alignCharsBanded(tra, ocr, initialBand = 16, ws = ws,
+      maxPtrCells = maxPtr)
+    assert(r.note.startsWith("band_capped:") || r.note.startsWith("band_overflow_drop:"),
+      s"expected capped/drop note, got '${r.note}' band=${r.bandUsed}")
+    // drop form must still be well-formed (empty alignment, no crash)
+    if (r.note.startsWith("band_overflow_drop:")) {
+      assert(r.traAlign.isEmpty && r.ocrAlign.isEmpty)
+    }
+  }
+
+  test("giant-document policy: absurd length returns drop, not require-crash") {
+    val ws = new NeedlemanWunsch.Workspace
+    val r = NeedlemanWunsch.alignCharsBanded("ab" * 300, "ba" * 300, ws = ws,
+      maxPtrCells = 100L) // below even MinBand storage
+    assert(r.note === "band_overflow_drop:0")
+    assert(r.traAlign.isEmpty)
+  }
+}
