@@ -64,8 +64,14 @@ object SparkEntry {
         saltPartitions = s.sparkContext.defaultParallelism))
     }),
     "q_align_metrics" -> ((s, dir) => {
+      // deterministic projection only: partition_id / band_width /
+      // cells_filled are execution-dependent lineage (they vary with
+      // parallelism and the banding path) — the full metrics() table keeps
+      // them; the CORRECTNESS row hashes the value-stable columns
       AlignJob.metrics(AlignJob.align(AlignJob.synthPages(s, dir),
         saltPartitions = s.sparkContext.defaultParallelism))
+        .select(col("url"), col("n_spans"), col("tra_len"), col("ocr_len"),
+          col("edit_distance"), col("gap_count"), col("error"))
     }),
     "q_extract_text" -> ((s, dir) => {
       Functions.register(s)

@@ -79,12 +79,21 @@ object Similarity {
     * candidates = same bucket; exact cosine re-rank within bucket. Recall is
     * traded for the bucket-local join — the 100 TB path.
     */
+  /** Query-side multiprobe buckets: the exact bucket plus (optionally) every
+    * bucket at Hamming distance 1 — the standard recall lever that costs
+    * nothing on the corpus side (only queries fan out).
+    */
+  def probeBuckets(sig: Long, nBits: Int, multiprobe: Int): Array[Long] =
+    if (multiprobe <= 0) Array(sig)
+    else Array(sig) ++ (0 until nBits).map(b => sig ^ (1L << b))
+
   def lshTopK(
       embeddings: DataFrame,
       queryMaxId: Long,
       k: Int,
       nBits: Int = 6,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      multiprobe: Int = 1): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
 
@@ -92,14 +101,21 @@ object Similarity {
     val planes = hyperplanes(nBits, dim, seed)
     val planesB = spark.sparkContext.broadcast(planes)
     val sigUdf = udf((v: Seq[Float]) => signBits(v.toArray, planesB.value))
+    val probesUdf = udf((v: Seq[Float]) =>
+      probeBuckets(signBits(v.toArray, planesB.value), nBits, multiprobe))
 
     val signed = embeddings.withColumn("bucket", sigUdf(col("embedding")))
-    val queries = signed.filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+    // queries probe their own bucket + Hamming-1 neighbors (multiprobe):
+    // corpus rows are signed once and never duplicated
+    val queries = embeddings.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(probesUdf(col("embedding"))).as("bucket"))
 
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id").asc)
     signed.join(queries, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
+      .distinct() // a (q, candidate) pair can collide via several probes
       .withColumn("score", cosineCol(col("q_emb"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -180,15 +196,27 @@ object Similarity {
       embeddings: DataFrame,
       queryMaxId: Long,
       k: Int,
-      nLists: Int = 16,
+      nLists: Int = 0,
       nProbe: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      sampleTarget: Int = 0): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
 
-    val sample = embeddings.orderBy(col("vec_id")).limit(256)
-      .select(col("embedding")).as[Seq[Float]].collect().map(_.toArray)
-    val centroids = kmeans(sample, nLists, iters = 5, seed = seed)
+    // corpus-scaled knobs: nLists ≈ √N (the standard IVF sizing), training
+    // sample ≈ 8 vectors per list. The sample is a DISTRIBUTED deterministic
+    // hash gate (mix(vec_id) % rate == 0) — every executor decides inclusion
+    // locally; no global sort, no orderBy.limit; only the ≈sampleTarget
+    // training vectors are ever collected (driver-scale).
+    val n = embeddings.count()
+    val lists = if (nLists > 0) nLists else math.max(16, math.sqrt(n.toDouble).round.toInt)
+    val target = if (sampleTarget > 0) sampleTarget else math.max(256, lists * 8)
+    val rate = math.max(1L, n / target)
+    val gate = udf((id: Long) => java.lang.Long.remainderUnsigned(TextOps.mix(id), rate) == 0L)
+    val sample = embeddings.filter(gate(col("vec_id")))
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().sortBy(_._1).map(_._2.toArray)
+    val centroids = kmeans(sample, lists, iters = 5, seed = seed)
     val centroidsB = spark.sparkContext.broadcast(centroids)
 
     val assignUdf = udf((v: Seq[Float]) => nearestLists(v.toArray, centroidsB.value, 1)(0))
