@@ -398,8 +398,83 @@ object SparkEntry {
   /** DuckDB-equivalent SQL per oracle-checkable query (column names must
     * match the Spark result exactly — the driver sorts columns by name
     * before hashing).
+    *
+    * Three oracle classes:
+    *   1. genuinely SQL-expressible queries — plain DuckDB SQL over the sf
+    *      tables;
+    *   2. kernel queries with a reference counterpart — committed golden
+    *      parquet produced by the EXECUTING reference
+    *      (tools/oracle/gen_kernel_goldens.py, sf0.01 inputs);
+    *   3. kernel queries original to this library — committed golden parquet
+    *      from clean-room Python reimplementations (tools/oracle/graftpy.py),
+    *      a true independent differential, not Spark output.
+    * DuckDB reads the golden parquet directly from its absolute path.
     */
+  private val GoldenDir = "/root/repo/src/test/resources/goldens/sf0.01"
+
+  private def golden(name: String): String =
+    s"SELECT * FROM '$GoldenDir/$name.parquet'"
+
   def oracleSql: Map[String, String] = Map(
+    // ---- golden-parquet oracles (reference-derived) ----
+    "q_align_spans" -> golden("q_align_spans"),
+    "q_align_metrics" -> golden("q_align_metrics"),
+    "q_extract_text" -> golden("q_extract_text"),
+    "q_doc_json" -> golden("q_doc_json"),
+    "q_syllabify" -> golden("q_syllabify"),
+    "q_parse_transcript" -> golden("q_parse_transcript"),
+    "q_eval_alignment" -> golden("q_eval_alignment"),
+    "q_grid_search" -> golden("q_grid_search"),
+    "q_cantus_folio_text" ->
+      "SELECT * FROM '/root/repo/src/test/resources/goldens/q_cantus_folio_text.parquet'",
+    // ---- golden-parquet oracles (independent Python reimplementation) ----
+    "q_langid" -> golden("q_langid"),
+    "q_fingerprint" -> golden("q_fingerprint"),
+    "q_winnow_dedup" -> golden("q_winnow_dedup"),
+    "q_minhash_dedup" -> golden("q_minhash_dedup"),
+    "q_simhash_dedup" -> golden("q_simhash_dedup"),
+    "q_media_features" -> golden("q_media_features"),
+    "q_ann_lsh" -> golden("q_ann_lsh"),
+    "q_ann_ivf" -> golden("q_ann_ivf"),
+    "q_embed_near_dups" -> golden("q_embed_near_dups"),
+
+    // ---- exact-cosine brute force: computable directly in DuckDB (double
+    //      dot/norms in input order — bit-identical to CosineSimilarity) ----
+    "q_ann_brute" ->
+      ("""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+         |           FROM embeddings WHERE vec_id < 20),
+         |pairs AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    list_dot_product(q.q_emb, e.embedding::DOUBLE[]) /
+         |      (sqrt(list_dot_product(q.q_emb, q.q_emb)) *
+         |       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS score
+         |  FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+         |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+         |               ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank,
+         |       vec_id AS neighbor_id, score
+         |FROM pairs QUALIFY rank <= 5""".stripMargin.replace("\n", " ")),
+
+    // ---- n-gram Jaccard over the planted near-dup corpus, pure SQL ----
+    "q_ngram_jaccard" ->
+      ("""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |         array_to_string(list_filter(string_split(text, ' '),
+         |                                     (x, i) -> (i - 1 + doc_id) % 37 <> 0), ' ') AS text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM u),
+         |s AS (SELECT doc_id,
+         |        CASE WHEN len(toks) < 3 THEN (CASE WHEN len(toks) = 0 THEN [] ELSE [array_to_string(toks, ' ')] END)
+         |             ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |        END AS sh FROM t)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CASE WHEN len(list_distinct(a.sh)) = 0 AND len(list_distinct(b.sh)) = 0 THEN 1.0
+         |       ELSE len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |            (len(list_distinct(a.sh)) + len(list_distinct(b.sh)) - len(list_intersect(a.sh, b.sh)))
+         |  END AS jaccard
+         |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1000000""".stripMargin.replace("\n", " ")),
+
     "q_clean" ->
       ("SELECT doc_id, lower(regexp_replace(regexp_replace(regexp_replace(text, " +
         "'[^\\s\\w|]', '', 'g'), ' \\| ', ' ', 'g'), ' +', ' ', 'g')) AS cleaned FROM documents"),

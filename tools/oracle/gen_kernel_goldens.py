@@ -1,0 +1,386 @@
+#!/usr/bin/env python3
+"""Generate golden-parquet oracles for the kernel (non-SQL) queries.
+
+Two independent sources, neither of which is Spark output:
+  - the EXECUTING reference (/root/reference via tools/oracle/ref_oracle.py)
+    for everything the reference computes: alignment spans, metrics derived
+    from the alignment strings, syllabification, parse_transcript intent,
+    the evaluation scorer, the grid search;
+  - tools/oracle/graftpy.py — clean-room Python reimplementations of the
+    library's OWN kernels (page synthesis, HTML extraction, language-ID,
+    winnowing, MinHash/SimHash pipelines, ANN, multimodal stub).
+
+Usage: python3 tools/oracle/gen_kernel_goldens.py <sfDir> <outDir>
+e.g.   python3 tools/oracle/gen_kernel_goldens.py /root/testdata/sf0.01 \
+             src/test/resources/goldens/sf0.01
+"""
+import json
+import math
+import os
+import sys
+from multiprocessing import Pool
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import graftpy as g  # noqa: E402
+import ref_oracle  # noqa: E402  (stubs + /root/reference imports)
+
+sys.path.insert(0, "/root/reference")
+import parse_cantus_csv  # noqa: E402
+import latinSyllabification as latsyl  # noqa: E402
+
+PRED_SCORING = [10, -5, -7, -7]
+
+
+def per_doc(args):
+    doc_id, text = args
+    tra = parse_cantus_csv.clean(text)
+    url = g.url_for(doc_id)
+    html = g.wrap_html(g.noisy_render(text, doc_id), url, doc_id)
+    extracted = g.extract_text(html)
+
+    ta, oa, syls, boxes = ref_oracle.process(tra, extracted)
+    _, _, _, boxes_pred = ref_oracle.process(tra, extracted, PRED_SCORING)
+
+    edit = gaps = 0
+    for a, b in zip(ta, oa):
+        if a == "_" or b == "_":
+            gaps += 1
+            edit += 1
+        elif a != b:
+            edit += 1
+
+    spans = [(i, s, ul[0], ul[1], lr[0], lr[1])
+             for i, (s, ul, lr) in enumerate(boxes)]
+    spans_pred = [(i, s, ul[0], ul[1], lr[0], lr[1])
+                  for i, (s, ul, lr) in enumerate(boxes_pred)]
+
+    syl_list = latsyl.syllabify_text(tra)
+    pt_syls, pt_flags = g.parse_transcript([tra], latsyl.syllabify_word)
+
+    doc_json = json.dumps(
+        [{"syl": s, "ul": [ulx, uly], "lr": [lrx, lry]}
+         for _, s, ulx, uly, lrx, lry in spans],
+        separators=(",", ":"), ensure_ascii=False)
+
+    ev = g.evaluate_means(spans, spans_pred)
+
+    return {
+        "doc_id": doc_id, "url": url, "extracted": extracted,
+        "spans": spans, "metrics": (len(spans), len(ta), len(oa), edit, gaps),
+        "syls": syl_list, "pt": (pt_syls, pt_flags),
+        "doc_json": doc_json, "eval": ev,
+    }
+
+
+def grid_combo(args):
+    combo, fixtures, gt_per_fixture = args
+    m, mm, gox, goy, gex, gey = combo
+    scoring = [m, mm, gox, goy, gex, gey]
+    scores = []
+    for (tra, noisy), gt_spans in zip(fixtures, gt_per_fixture):
+        _, _, _, boxes = ref_oracle.process(tra, noisy, scoring)
+        pred = [(i, s, ul[0], ul[1], lr[0], lr[1])
+                for i, (s, ul, lr) in enumerate(boxes)]
+        gt_collapsed = g.collapse_gt(gt_spans)
+        if not gt_collapsed:
+            scores.append(1.0)
+            continue
+        per = g.evaluate_per_span(gt_spans, pred)  # collapse-insertion order
+        s = 0.0
+        for _, _, r in per:
+            s += r
+        scores.append(s / len(per))
+    total = 0.0
+    for s in scores:
+        total += s
+    return combo + (total / len(scores),)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "lang"]).to_pandas()
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    doc_items = list(zip(docs.doc_id.tolist(), docs.text.tolist()))
+
+    with Pool(min(32, os.cpu_count())) as pool:
+        results = pool.map(per_doc, doc_items, chunksize=8)
+
+    def write(name, schema, cols):
+        pq.write_table(pa.table(cols, schema=schema),
+                       os.path.join(out_dir, name + ".parquet"))
+        print(f"{name}: {len(cols[schema.names[0]])} rows")
+
+    # ---- q_extract_text ----
+    write("q_extract_text",
+          pa.schema([("url", pa.string()), ("extracted", pa.string())]),
+          {"url": [r["url"] for r in results],
+           "extracted": [r["extracted"] for r in results]})
+
+    # ---- q_align_spans ----
+    rows = [(r["url"],) + sp for r in results for sp in r["spans"]]
+    write("q_align_spans",
+          pa.schema([("url", pa.string()), ("seq", pa.int32()), ("syl", pa.string()),
+                     ("ulx", pa.int32()), ("uly", pa.int32()),
+                     ("lrx", pa.int32()), ("lry", pa.int32())]),
+          {"url": [x[0] for x in rows], "seq": [x[1] for x in rows],
+           "syl": [x[2] for x in rows], "ulx": [x[3] for x in rows],
+           "uly": [x[4] for x in rows], "lrx": [x[5] for x in rows],
+           "lry": [x[6] for x in rows]})
+
+    # ---- q_align_metrics ----
+    write("q_align_metrics",
+          pa.schema([("url", pa.string()), ("n_spans", pa.int32()),
+                     ("tra_len", pa.int32()), ("ocr_len", pa.int32()),
+                     ("edit_distance", pa.int32()), ("gap_count", pa.int32()),
+                     ("error", pa.string())]),
+          {"url": [r["url"] for r in results],
+           "n_spans": [r["metrics"][0] for r in results],
+           "tra_len": [r["metrics"][1] for r in results],
+           "ocr_len": [r["metrics"][2] for r in results],
+           "edit_distance": [r["metrics"][3] for r in results],
+           "gap_count": [r["metrics"][4] for r in results],
+           "error": ["" for _ in results]})
+
+    # ---- q_doc_json ----
+    write("q_doc_json",
+          pa.schema([("url", pa.string()), ("syl_boxes", pa.string())]),
+          {"url": [r["url"] for r in results],
+           "syl_boxes": [r["doc_json"] for r in results]})
+
+    # ---- q_syllabify ----
+    srows = [(r["doc_id"], i, s) for r in results for i, s in enumerate(r["syls"])]
+    write("q_syllabify",
+          pa.schema([("doc_id", pa.int64()), ("pos", pa.int32()), ("syl", pa.string())]),
+          {"doc_id": [x[0] for x in srows], "pos": [x[1] for x in srows],
+           "syl": [x[2] for x in srows]})
+
+    # ---- q_parse_transcript ----
+    prow = [(r["doc_id"], i, s, f) for r in results
+            for i, (s, f) in enumerate(zip(*r["pt"]))]
+    write("q_parse_transcript",
+          pa.schema([("doc_id", pa.int64()), ("pos", pa.int32()),
+                     ("syl", pa.string()), ("word_begin", pa.int32())]),
+          {"doc_id": [x[0] for x in prow], "pos": [x[1] for x in prow],
+           "syl": [x[2] for x in prow], "word_begin": [x[3] for x in prow]})
+
+    # ---- q_eval_alignment ----
+    write("q_eval_alignment",
+          pa.schema([("url", pa.string()), ("mean_iou", pa.float64()),
+                     ("mean_range_iou", pa.float64()), ("n_gt_spans", pa.int32())]),
+          {"url": [r["url"] for r in results],
+           "mean_iou": [r["eval"][0] for r in results],
+           "mean_range_iou": [r["eval"][1] for r in results],
+           "n_gt_spans": [r["eval"][2] for r in results]})
+
+    # ---- q_grid_search (first 3 docs, reference DP per combo) ----
+    fixtures = []
+    for doc_id, text in doc_items[:3]:
+        tra = parse_cantus_csv.clean(text)
+        fixtures.append((tra, g.noisy_render(tra, doc_id)))
+    gt_per_fixture = []
+    for tra, noisy in fixtures:
+        _, _, _, boxes = ref_oracle.process(tra, noisy)
+        gt_per_fixture.append([(i, s, ul[0], ul[1], lr[0], lr[1])
+                               for i, (s, ul, lr) in enumerate(boxes)])
+    grid = [(m, mm, gox, goy, gex, gey)
+            for m in (5, 8, 11) for mm in (-4, -7, -10)
+            for gox in (-2, -5, -7) for goy in (-2, -5, -7)
+            for gex in (0, -3, -5) for gey in (0, -3, -5)]
+    with Pool(min(32, os.cpu_count())) as pool:
+        grows = pool.map(grid_combo,
+                         [(c, fixtures, gt_per_fixture) for c in grid],
+                         chunksize=8)
+    write("q_grid_search",
+          pa.schema([("match", pa.int32()), ("mismatch", pa.int32()),
+                     ("gap_open_x", pa.int32()), ("gap_open_y", pa.int32()),
+                     ("gap_extend_x", pa.int32()), ("gap_extend_y", pa.int32()),
+                     ("mean_score", pa.float64())]),
+          {"match": [x[0] for x in grows], "mismatch": [x[1] for x in grows],
+           "gap_open_x": [x[2] for x in grows], "gap_open_y": [x[3] for x in grows],
+           "gap_extend_x": [x[4] for x in grows], "gap_extend_y": [x[5] for x in grows],
+           "mean_score": [x[6] for x in grows]})
+
+    # ---- q_langid ----
+    from collections import Counter
+    cnt = Counter((lang, g.lang_id(text))
+                  for lang, text in zip(docs.lang.tolist(), docs.text.tolist()))
+    lrows = sorted(cnt.items())
+    write("q_langid",
+          pa.schema([("lang", pa.string()), ("predicted", pa.string()),
+                     ("cnt", pa.int64())]),
+          {"lang": [k[0] for k, _ in lrows], "predicted": [k[1] for k, _ in lrows],
+           "cnt": [v for _, v in lrows]})
+
+    # ---- q_fingerprint ----
+    write("q_fingerprint",
+          pa.schema([("doc_id", pa.int64()), ("fp", pa.int64())]),
+          {"doc_id": docs.doc_id.tolist(),
+           "fp": [g.fingerprint(t) for t in docs.text.tolist()]})
+
+    # ---- near-dup corpus: docs ∪ mutated every-10th (SparkEntry.docsWithNearDups) ----
+    near = {int(i): t for i, t in doc_items}
+    for doc_id, text in doc_items:
+        if doc_id % 10 == 0:
+            toks = text.split(" ")
+            kept = [t for i, t in enumerate(toks) if (i + doc_id) % 37 != 0]
+            near[int(doc_id) + 1000000] = " ".join(kept)
+
+    # ---- q_winnow_dedup (pairs orig vs mutated, sim >= 0.3) ----
+    wrows = []
+    for doc_id, text in doc_items:
+        if doc_id % 10 == 0:
+            sim = g.winnow_similarity(text, near[doc_id + 1000000])
+            if sim >= 0.3:
+                wrows.append((int(doc_id), int(doc_id) + 1000000, sim))
+    write("q_winnow_dedup",
+          pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                     ("winnow_sim", pa.float64())]),
+          {"doc_a": [x[0] for x in wrows], "doc_b": [x[1] for x in wrows],
+           "winnow_sim": [x[2] for x in wrows]})
+
+    # ---- q_minhash_dedup (bands=16, rpb=4, shingleN=3, cap=1000, th=0.5) ----
+    bands, rpb = 16, 4
+    buckets = {}
+    for did, text in near.items():
+        sig = g.minhash_signature(text, bands * rpb, 3)
+        for b, key in enumerate(g.minhash_band_keys(sig, bands, rpb)):
+            buckets.setdefault((b, key), []).append(did)
+    cand = g.bucket_pairs(buckets.values(), 1000)
+    mrows = []
+    for a, b in sorted(cand):
+        j = g.jaccard(near[a], near[b], 3)
+        if j >= 0.5:
+            mrows.append((a, b, j))
+    write("q_minhash_dedup",
+          pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                     ("jaccard", pa.float64())]),
+          {"doc_a": [x[0] for x in mrows], "doc_b": [x[1] for x in mrows],
+           "jaccard": [x[2] for x in mrows]})
+
+    # ---- q_simhash_dedup (chunks=8, maxHamming=7, cap=1000) ----
+    sigs = {did: g.simhash(t) for did, t in near.items()}
+    sbuckets = {}
+    for did, sig in sigs.items():
+        for c in range(8):
+            key = (sig >> (c * 8)) & 0xFF
+            sbuckets.setdefault((c, key), []).append(did)
+    scand = g.bucket_pairs(sbuckets.values(), 1000)
+    hrows = []
+    for a, b in sorted(scand):
+        ham = bin(sigs[a] ^ sigs[b]).count("1")
+        if ham <= 7:
+            hrows.append((a, b, ham))
+    write("q_simhash_dedup",
+          pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                     ("hamming", pa.int32())]),
+          {"doc_a": [x[0] for x in hrows], "doc_b": [x[1] for x in hrows],
+           "hamming": [x[2] for x in hrows]})
+
+    # ---- q_media_features ----
+    write("q_media_features",
+          pa.schema([("media_id", pa.int64()), ("kind", pa.string()),
+                     ("n_bytes", pa.int32()), ("frames_sampled", pa.int32())]),
+          {"media_id": docs.doc_id.tolist(),
+           "kind": [g.media_kind(i) for i in docs.doc_id.tolist()],
+           "n_bytes": [len(t.encode("utf-8")) for t in docs.text.tolist()],
+           "frames_sampled": [g.sample_frame_count(g.media_kind(i), len(t.encode("utf-8")))
+                              for i, t in doc_items]})
+
+    # ---- embeddings-based queries ----
+    emb_tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id", "embedding"])
+    vec_ids = emb_tbl.column("vec_id").to_pylist()
+    embs = [np.array(v, dtype=np.float32) for v in emb_tbl.column("embedding").to_pylist()]
+    by_id = dict(zip(vec_ids, embs))
+    dim = len(embs[0])
+    n = len(vec_ids)
+    k = 5
+    query_ids = sorted(i for i in vec_ids if i < 20)
+
+    # q_ann_lsh: nBits=6, seed=42, multiprobe=1
+    planes6 = g.hyperplanes(6, dim, 42)
+    bucket_of = {i: g.sign_bits(by_id[i], planes6) for i in vec_ids}
+    members6 = {}
+    for i in vec_ids:
+        members6.setdefault(bucket_of[i], []).append(i)
+    lsh_rows = []
+    for q in query_ids:
+        probes = [bucket_of[q]] + [bucket_of[q] ^ (1 << b) for b in range(6)]
+        cands = set()
+        for p in probes:
+            cands.update(members6.get(p, []))
+        cands.discard(q)
+        scored = [(c, g.cosine(by_id[q], by_id[c])) for c in sorted(cands)]
+        for rank, vid, score in g.topk_rank(scored, k):
+            lsh_rows.append((q, rank, vid, score))
+    write("q_ann_lsh",
+          pa.schema([("q_id", pa.int64()), ("rank", pa.int32()),
+                     ("neighbor_id", pa.int64()), ("score", pa.float64())]),
+          {"q_id": [x[0] for x in lsh_rows], "rank": [x[1] for x in lsh_rows],
+           "neighbor_id": [x[2] for x in lsh_rows], "score": [x[3] for x in lsh_rows]})
+
+    # q_ann_ivf: nLists=max(16, round(sqrt(n))), nProbe=4, seed=42
+    lists = max(16, int(round(math.sqrt(n))))
+    target = max(256, lists * 8)
+    rate = max(1, n // target)
+    sample = [by_id[i] for i in sorted(vec_ids) if g.mix(i) % rate == 0]
+    centroids = g.kmeans(sample, lists, 5, 42)
+    assign = {i: g.nearest_lists(by_id[i], centroids, 1)[0] for i in vec_ids}
+    inv = {}
+    for i in vec_ids:
+        inv.setdefault(assign[i], []).append(i)
+    ivf_rows = []
+    for q in query_ids:
+        probes = g.nearest_lists(by_id[q], centroids, 4)
+        cands = set()
+        for p in probes:
+            cands.update(inv.get(p, []))
+        cands.discard(q)
+        scored = [(c, g.cosine(by_id[q], by_id[c])) for c in sorted(cands)]
+        for rank, vid, score in g.topk_rank(scored, k):
+            ivf_rows.append((q, rank, vid, score))
+    write("q_ann_ivf",
+          pa.schema([("q_id", pa.int64()), ("rank", pa.int32()),
+                     ("neighbor_id", pa.int64()), ("score", pa.float64())]),
+          {"q_id": [x[0] for x in ivf_rows], "rank": [x[1] for x in ivf_rows],
+           "neighbor_id": [x[2] for x in ivf_rows], "score": [x[3] for x in ivf_rows]})
+
+    # q_embed_near_dups: union with float32-perturbed every-20th, nBits=10,
+    # threshold 0.95, cap 1000
+    union = dict(by_id)
+    for i in sorted(vec_ids):
+        if i % 20 == 0:
+            rng = g.Rng((i & ((1 << 64) - 1)) ^ 0x3141592653)
+            v = by_id[i]
+            pert = np.empty(dim, dtype=np.float32)
+            half = np.float32(0.5)
+            amp = np.float32(0.01)
+            for d in range(dim):
+                r32 = np.float32(rng.next_double())
+                pert[d] = v[d] + (r32 - half) * amp
+            union[i + 1000000] = pert
+    planes10 = g.hyperplanes(10, dim, 42)
+    ebuckets = {}
+    for i, v in union.items():
+        ebuckets.setdefault(g.sign_bits(v, planes10), []).append(i)
+    erows = []
+    for a, b in sorted(g.bucket_pairs(ebuckets.values(), 1000)):
+        c = g.cosine(union[a], union[b])
+        if c >= 0.95:
+            erows.append((a, b, c))
+    write("q_embed_near_dups",
+          pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),
+                     ("cos", pa.float64())]),
+          {"vec_a": [x[0] for x in erows], "vec_b": [x[1] for x in erows],
+           "cos": [x[2] for x in erows]})
+
+
+if __name__ == "__main__":
+    main()

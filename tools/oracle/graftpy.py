@@ -1,0 +1,519 @@
+"""Independent Python reimplementations of the graft library's own kernels.
+
+Used by gen_kernel_goldens.py to produce golden-parquet oracles for the
+operators that have no SQL expression and no counterpart in the reference
+(language-ID, winnowing, MinHash/SimHash pipelines, ANN, page synthesis,
+HTML extraction). Everything here was written from the operator CONTRACTS
+(SURVEY.md / scaladoc) with exact 64-bit / IEEE-754 semantics so outputs are
+bit-identical when the Scala code is correct — a true differential oracle,
+not a transcription of Spark output.
+"""
+import math
+import re
+
+M64 = (1 << 64) - 1
+GOLDEN = 0x9E3779B97F4A7C15
+
+
+def u64(x):
+    return x & M64
+
+
+def s64(x):
+    x &= M64
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def mix(z0):
+    z = u64(z0 + GOLDEN)
+    z = u64((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9)
+    z = u64((z ^ (z >> 27)) * 0x94D049BB133111EB)
+    return u64(z ^ (z >> 31))
+
+
+class Rng:
+    """SplitMix64 — graft.pipeline.PageGen.Rng."""
+
+    def __init__(self, seed):
+        self.state = u64(seed)
+
+    def next_long(self):
+        self.state = u64(self.state + GOLDEN)
+        z = self.state
+        z = u64((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9)
+        z = u64((z ^ (z >> 27)) * 0x94D049BB133111EB)
+        return u64(z ^ (z >> 31))
+
+    def next_double(self):
+        return (self.next_long() >> 11) * 1.1102230246251565e-16
+
+    def next_int(self, bound):
+        return (self.next_long() >> 33) % bound
+
+
+def string_hash64(s):
+    h = 1125899906842597
+    for c in s:
+        h = u64(31 * h + ord(c))
+    return mix(h)
+
+
+# ---------------- PageGen ----------------
+
+SUBS = {"l": "1", "o": "0", "e": "c", "a": "o", "i": "l",
+        "u": "v", "s": "5", "m": "rn", "w": "vv", "t": "+"}
+INSERT_ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+
+
+def noisy_render(text, seed):
+    rng = Rng(u64(seed) ^ 0x5EED5EED)
+    out = []
+    i = 0
+    n = len(text)
+    while i < n:
+        c = text[i]
+        if c == "f" and i + 1 < n and text[i + 1] in "il" and rng.next_double() < 0.25:
+            out.append("ﬁ" if text[i + 1] == "i" else "ﬂ")
+            i += 2
+        else:
+            r = rng.next_double()
+            if r < 0.06 and c in SUBS:
+                out.append(SUBS[c])
+            elif r < 0.08 and c != " ":
+                pass  # delete
+            elif r < 0.10:
+                out.append(c)
+                out.append(INSERT_ALPHABET[rng.next_int(26)])
+            elif r < 0.11:
+                out.append(c)
+                out.append("~")
+            else:
+                out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def escape_html(s):
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def wrap_html(noisy, url, seed):
+    rng = Rng(u64(seed) ^ 0xB01123A7E)
+    nav_variant = rng.next_int(3)
+    if nav_variant == 0:
+        nav = '<nav><a href="/">Home</a> | <a href="/about">About</a></nav>'
+    elif nav_variant == 1:
+        nav = "<nav><ul><li>Index</li><li>Archive</li></ul></nav>"
+    else:
+        nav = "<header><h1>Site</h1></header>"
+    trk = rng.next_int(100000)
+    margin = rng.next_int(20)
+    # NOTE: the crawl number is interpolated AFTER the noisy body in the
+    # Scala template, so it is drawn after margin
+    body = escape_html(noisy)
+    crawl = rng.next_int(9999)
+    return (
+        "<!DOCTYPE html><html><head><title>doc</title>\n"
+        f'<script>var trk = {trk}; function f(){{return "<div>";}}</script>\n'
+        f"<style>.m{{margin:{margin}px}} .c{{color:#abc}}</style>\n"
+        '<meta charset="utf-8"/></head><body>\n'
+        f"{nav}\n"
+        f'<div class="main" id="content"><p>{body}</p></div>\n'
+        f'<aside>Related: <a href="{url}?ref=1">link</a></aside>\n'
+        f"<footer>&copy; 2026 example.org &middot; crawl {crawl}</footer>\n"
+        "</body></html>"
+    )
+
+
+def url_for(doc_id):
+    return "https://example.org/doc/%08d" % doc_id
+
+
+# ---------------- ExtractHtml ----------------
+
+COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+DROP_SUBTREE_RE = re.compile(
+    r"<(script|style|head|nav|footer|header|aside|noscript|template|svg|form)\b[^>]*>.*?</\1\s*>",
+    re.I | re.S)
+TAG_RE = re.compile(r"<[^>]*>", re.S)
+ENTITY_RE = re.compile(r"&(#x?[0-9a-fA-F]+|[a-zA-Z]+);")
+NAMED_ENTITIES = {"amp": "&", "lt": "<", "gt": ">", "quot": '"',
+                  "apos": "'", "nbsp": " ", "copy": "©", "shy": ""}
+LIGATURES = {"ﬀ": "ff", "ﬁ": "fi", "ﬂ": "fl",
+             "ﬃ": "ffi", "ﬄ": "ffl", "ﬅ": "st", "ﬆ": "st"}
+
+
+def decode_entities(s):
+    def rep(m):
+        body = m.group(1)
+        if body.startswith("#x") or body.startswith("#X"):
+            try:
+                return chr(int(body[2:], 16))
+            except Exception:
+                return m.group()
+        if body.startswith("#"):
+            try:
+                return chr(int(body[1:]))
+            except Exception:
+                return m.group()
+        return NAMED_ENTITIES.get(body, m.group())
+
+    return ENTITY_RE.sub(rep, s)
+
+
+def extract_text(html):
+    t = COMMENT_RE.sub(" ", html)
+    prev = None
+    while prev != t:
+        prev = t
+        t = DROP_SUBTREE_RE.sub(" ", t)
+    t = TAG_RE.sub(" ", t)
+    t = decode_entities(t)
+    t = "".join(LIGATURES.get(c, c) for c in t)
+    t = t.replace("~", "")
+    t = re.sub(r"\s+", " ", t)
+    return t.strip()
+
+
+# ---------------- TextOps ----------------
+
+STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "for", "on", "with", "as", "at", "this"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "es", "los", "las", "por", "con", "para", "del"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von", "mit", "auf", "für", "im", "nicht"},
+    "fr": {"le", "la", "les", "de", "des", "et", "un", "une", "est", "en", "du", "que", "pour", "dans", "sur"},
+    "zh": {"的", "了", "是", "在", "我", "有", "和", "就",
+           "不", "人", "都", "一", "这", "他", "们"},
+}
+
+
+def lang_id(text):
+    if not text:
+        return "und"
+    cjk = sum(1 for c in text if 0x4E00 <= ord(c) <= 0x9FFF)
+    tokens = [t for t in text.lower().split(" ") if t]
+    scores = {}
+    for lang, sw in STOPWORDS.items():
+        base = sum(1 for t in tokens if t in sw)
+        scores[lang] = base + cjk if lang == "zh" else base
+    best = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    return best[0] if best[1] > 0 else "und"
+
+
+def kgram_hashes(text, k):
+    n = len(text) - k + 1
+    B = 1000003
+    pw = 1
+    h = 0
+    for i in range(k):
+        h = u64(h * B + ord(text[i]))
+        if i < k - 1:
+            pw = u64(pw * B)
+    hashes = [mix(h)]
+    for i in range(1, n):
+        h = u64(u64(h - u64(ord(text[i - 1]) * pw)) * B + ord(text[i + k - 1]))
+        hashes.append(mix(h))
+    return hashes
+
+
+def winnowed_minima(text, k=8, w=16):
+    if text is None or len(text) < k:
+        return []
+    hashes = kgram_hashes(text, k)
+    signed = [s64(h) for h in hashes]
+    n = len(hashes)
+    out = []
+    last_pos = -1
+    windows = max(1, n - w + 1)
+    for s in range(windows):
+        end = min(s + w, n)
+        min_pos = s
+        for j in range(s + 1, end):
+            if signed[j] <= signed[min_pos]:
+                min_pos = j  # rightmost min
+        if min_pos != last_pos:
+            out.append(hashes[min_pos])
+            last_pos = min_pos
+    return out
+
+
+def winnow_similarity(a, b, k=8, w=16):
+    sa = set(winnowed_minima(a, k, w))
+    sb = set(winnowed_minima(b, k, w))
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def fingerprint(text, k=8, w=16):
+    acc = 0x2545F4914F6CDD1D
+    for mn in winnowed_minima(text, k, w):
+        acc = mix(acc ^ mn)
+    return s64(acc)
+
+
+# ---------------- Dedup ----------------
+
+def shingles(text, n=3):
+    toks = [t for t in text.split(" ") if t]
+    if len(toks) < n:
+        return [] if not toks else [" ".join(toks)]
+    return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+
+def jaccard(a, b, n=3):
+    sa, sb = set(shingles(a, n)), set(shingles(b, n))
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def minhash_signature(text, num_perm, shingle_n):
+    sig = [(1 << 63) - 1] * num_perm  # Long.MaxValue, signed compare
+    for sh in shingles(text, shingle_n):
+        base = string_hash64(sh)
+        for p in range(num_perm):
+            h = s64(mix(base ^ u64(GOLDEN * (p + 1))))
+            if h < sig[p]:
+                sig[p] = h
+    return sig
+
+
+def minhash_band_keys(sig, bands, rows_per_band):
+    keys = []
+    for b in range(bands):
+        h = 1125899906842597 ^ b
+        for r in range(rows_per_band):
+            h = mix(u64(h) ^ u64(sig[b * rows_per_band + r]))
+        keys.append(h)
+    return keys
+
+
+def simhash(text):
+    counts = [0] * 64
+    for tok in text.split(" "):
+        if not tok:
+            continue
+        h = string_hash64(tok)
+        for b in range(64):
+            if (h >> b) & 1:
+                counts[b] += 1
+            else:
+                counts[b] -= 1
+    out = 0
+    for b in range(64):
+        if counts[b] > 0:
+            out |= 1 << b
+    return out  # unsigned representation
+
+
+def bucket_pairs(member_lists, max_bucket_size=1000):
+    """Count-first capped pairing: buckets of size in (1, cap] yield all
+    a<b pairs (by id); dedup across buckets."""
+    pairs = set()
+    for members in member_lists:
+        if 1 < len(members) <= max_bucket_size:
+            ms = sorted(members)
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    pairs.add((ms[i], ms[j]))
+    return pairs
+
+
+# ---------------- Similarity ----------------
+
+def hyperplanes(n_bits, dim, seed):
+    planes = []
+    for b in range(n_bits):
+        rng = Rng(u64(seed) ^ mix(b + 1))
+        planes.append([rng.next_double() * 2.0 - 1.0 for _ in range(dim)])
+    return planes
+
+
+def sign_bits(vec, planes):
+    sig = 0
+    for b, p in enumerate(planes):
+        dot = 0.0
+        for i in range(min(len(vec), len(p))):
+            dot += float(vec[i]) * p[i]
+        if dot >= 0:
+            sig |= 1 << b
+    return sig
+
+
+def cosine(a, b):
+    dot = na = nb = 0.0
+    for i in range(min(len(a), len(b))):
+        x, y = float(a[i]), float(b[i])
+        dot += x * y
+        na += x * x
+        nb += y * y
+    if na == 0.0 or nb == 0.0:
+        return 0.0
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def kmeans(sample, k, iters, seed):
+    assert sample, "empty k-means sample"
+    dim = len(sample[0])
+    rng = Rng(seed)
+    idx = list(range(len(sample)))
+    i0 = len(sample) - 1
+    while i0 > 0:
+        j0 = rng.next_int(i0 + 1)
+        idx[i0], idx[j0] = idx[j0], idx[i0]
+        i0 -= 1
+    k_eff = min(k, len(sample))
+    centroids = [[float(x) for x in sample[idx[c]]] for c in range(k_eff)]
+
+    def dist2(v, c):
+        d = 0.0
+        for i in range(dim):
+            t = float(v[i]) - c[i]
+            d += t * t
+        return d
+
+    for _ in range(iters):
+        sums = [[0.0] * dim for _ in range(len(centroids))]
+        counts = [0] * len(centroids)
+        for v in sample:
+            best, bd = 0, dist2(v, centroids[0])
+            for c in range(1, len(centroids)):
+                d = dist2(v, centroids[c])
+                if d < bd:
+                    bd, best = d, c
+            counts[best] += 1
+            for i in range(dim):
+                sums[best][i] += float(v[i])
+        for c in range(len(centroids)):
+            if counts[c] > 0:
+                for i in range(dim):
+                    centroids[c][i] = sums[c][i] / counts[c]
+    return centroids
+
+
+def nearest_lists(v, centroids, n_probe):
+    dists = []
+    for c in range(len(centroids)):
+        d = 0.0
+        for i in range(min(len(v), len(centroids[c]))):
+            t = float(v[i]) - centroids[c][i]
+            d += t * t
+        dists.append((d, c))
+    dists.sort()
+    return [c for _, c in dists[:n_probe]]
+
+
+def topk_rank(query_scores, k):
+    """row_number() over (order by score desc, vec_id asc), take k."""
+    ranked = sorted(query_scores, key=lambda t: (-t[1], t[0]))
+    return [(rank + 1, vid, score) for rank, (vid, score) in enumerate(ranked[:k])]
+
+
+# ---------------- BBox / eval ----------------
+
+def intersect_area(a, b):
+    """a, b = (ulx, uly, lrx, lry)."""
+    dx = min(a[2], b[2]) - max(a[0], b[0])
+    dy = min(a[3], b[3]) - max(a[1], b[1])
+    return dx * dy if dx > 0 and dy > 0 else 0
+
+
+def iou(a, b):
+    n_ulx, n_uly = max(a[0], b[0]), max(a[1], b[1])
+    n_lrx, n_lry = min(a[2], b[2]), min(a[3], b[3])
+    area_int = (n_lrx - n_ulx) * (n_lry - n_uly)
+    area1 = (a[2] - a[0]) * (a[3] - a[1])
+    area2 = (b[2] - b[0]) * (b[3] - b[1])
+    return area_int / (area1 + area2 - area_int)
+
+
+def range_iou(a, b):
+    inter = max(0, min(a[2], b[2]) - max(a[0], b[0]))
+    l1 = max(0, a[2] - a[0])
+    l2 = max(0, b[2] - b[0])
+    union = l1 + l2 - inter
+    return 0.0 if union <= 0 else inter / union
+
+
+def collapse_gt(gt_spans):
+    """Reference dict quirk: last span per syllable text wins; first-occurrence
+    key order. gt_spans = [(seq, syl, ulx, uly, lrx, lry)]."""
+    by_text = {}
+    for sp in gt_spans:
+        by_text[sp[1]] = sp  # dict preserves insertion order of first put
+    return list(by_text.values())
+
+
+def evaluate_per_span(gt_spans, pred_spans):
+    """graft.pipeline.EvalJob.evaluatePerSpan for ONE document.
+    Returns [(gt_seq, iou, range_iou)] for the collapsed GT spans."""
+    out = []
+    for g in collapse_gt(gt_spans):
+        gbox = (g[2], g[3], g[4], g[5])
+        cands = [p for p in pred_spans if g[1] in p[1] or p[1] in g[1]]
+        if not cands:
+            out.append((g[0], 0.0, 0.0))
+            continue
+        scored = sorted(((-intersect_area(gbox, (p[2], p[3], p[4], p[5])), p[0], p) for p in cands))
+        inter = -scored[0][0]
+        best = scored[0][2]
+        if inter > 0:
+            bbox = (best[2], best[3], best[4], best[5])
+            out.append((g[0], iou(gbox, bbox), range_iou(gbox, bbox)))
+        else:
+            out.append((g[0], 0.0, 0.0))
+    return out
+
+
+def evaluate_means(gt_spans, pred_spans):
+    """(mean_iou, mean_range_iou, n) with the sorted-gt_seq fold order."""
+    per = sorted(evaluate_per_span(gt_spans, pred_spans))
+    n = len(per)
+    si = 0.0
+    sr = 0.0
+    for _, i_, r_ in per:
+        si += i_
+        sr += r_
+    return si / n, sr / n, n
+
+
+# ---------------- parse_transcript (documented-intent port) ----------------
+
+def parse_transcript(lines, syllabify_word):
+    kept = [l for l in lines if not l.startswith("#")]
+    sb = []
+    for line in kept:
+        l = line.lower().replace("|", "").replace(".", "").strip(" \t\n\r")
+        words = ["-".join(syllabify_word(w)) for w in l.split(" ")]
+        sb.append(" ".join(words))
+        sb.append(" ")
+    text = "".join(sb).strip()
+    text = text.replace(" ", "- ")
+    toks = [t for t in text.split("-") if t and not t.isspace()]
+    syls, flags = [], []
+    for t in toks:
+        if t.startswith(" "):
+            syls.append(t[1:])
+            flags.append(1)
+        else:
+            syls.append(t)
+            flags.append(0)
+    return syls, flags
+
+
+# ---------------- Multimodal stub ----------------
+
+def media_kind(doc_id):
+    m = doc_id % 3
+    return "image" if m == 0 else ("audio" if m == 1 else "video")
+
+
+def sample_frame_count(kind, n_bytes):
+    if kind == "video":
+        return max(1, n_bytes // 4096)
+    if kind == "audio":
+        return max(1, n_bytes // 8192)
+    return 1
