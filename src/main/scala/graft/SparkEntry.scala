@@ -2,7 +2,7 @@ package graft
 
 import graft.align.{CleanText, Syllabify}
 import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
-import graft.pipeline.{AlignJob, EvalJob, Functions, PageGen}
+import graft.pipeline.{AlignJob, EvalJob, Functions, GtXml, MeiAssign, PageGen}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -294,6 +294,36 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // ---- O45 MEI enrichment (writeToMEI.py:41-145): neume→syllable
+    //      assignment by translated-bbox max-intersection, duplicate-element
+    //      merge, zone emission — over deterministically synthesized neume
+    //      boxes above the aligned spans ----
+    "q_mei_assign" -> ((s, dir) => {
+      val spans = AlignJob.spans(AlignJob.align(AlignJob.synthPages(s, dir),
+        saltPartitions = s.sparkContext.defaultParallelism)).persist()
+      spans.count() // one kernel pass feeds both the neume synth and the join
+      MeiAssign.assign(MeiAssign.synthNeumes(spans), spans, medLineSpacing = 1.0)
+    }),
+
+    // ---- O40–O43 E3 path: evaluation against HUMAN ground truth from
+    //      PASCAL-VOC XML (evaluate_text_alignment.py:82-131), committed
+    //      fixtures incl. `difficult` filtering ----
+    "q_eval_gtxml" -> ((s, dir) => {
+      import s.implicits._
+      val fixtureDir = "/root/repo/src/test/resources/gtxml"
+      val files = new java.io.File(fixtureDir).listFiles()
+        .filter(_.getName.endsWith(".xml")).sortBy(_.getName)
+      val gt = files.map { f =>
+        val docId = f.getName.stripSuffix(".xml").toLong
+        GtXml.toDataFrame(s, PageGen.urlFor(docId),
+          new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      }.reduce(_ unionAll _)
+      val urls = files.map(f => PageGen.urlFor(f.getName.stripSuffix(".xml").toLong)).toSet
+      val pages = AlignJob.synthPages(s, dir).filter(p => urls.contains(p.url))
+      val pred = AlignJob.spans(AlignJob.align(pages))
+      EvalJob.evaluate(gt, pred).orderBy(col("url"))
+    }),
+
     // ---- O44 scoring-parameter grid search (distributed fan-out) ----
     "q_grid_search" -> ((s, dir) => {
       import s.implicits._
@@ -427,6 +457,8 @@ object SparkEntry {
     "q_grid_search" -> golden("q_grid_search"),
     "q_cantus_folio_text" ->
       "SELECT * FROM '/root/repo/src/test/resources/goldens/q_cantus_folio_text.parquet'",
+    "q_mei_assign" -> golden("q_mei_assign"),
+    "q_eval_gtxml" -> golden("q_eval_gtxml"),
     // ---- golden-parquet oracles (independent Python reimplementation) ----
     "q_langid" -> golden("q_langid"),
     "q_fingerprint" -> golden("q_fingerprint"),

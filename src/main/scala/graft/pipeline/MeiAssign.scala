@@ -1,0 +1,137 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** O45 — the reference's MEI enrichment stage (`add_text_to_mei_file`,
+  * writeToMEI.py:41-145) re-expressed relationally.
+  *
+  * Reference loop, per syllable-level element in document order:
+  *   1. the element's neume bbox is translated DOWN by the median line
+  *     spacing (uly + med/2, lry + med — float arithmetic, :94-95);
+  *   2. aligned text spans intersecting the translated box are collected
+  *     (:98-99, strict > 0) and the max-intersection span wins, FIRST max in
+  *     span order (Python `max`, :104-105);
+  *   3. if there is no winning span, or it equals (by VALUE, tuple equality)
+  *     the previous element's winning span, the neume merges into the
+  *     current syllable and the element is removed (:112-114);
+  *   4. otherwise the element starts a new syllable: it receives the span's
+  *     text and a zone with the element's own (untranslated) neume bbox
+  *     (:118-133).
+  *   Elements before the FIRST new syllable merge into the initial element,
+  *   which is itself removed — their neumes vanish from the tree (a
+  *   reference quirk, :75-76 + :113-114; rows surface with null leader).
+  *
+  * Relational form: theta-join (url-equi + overlap predicate) → window
+  * argmax per element → lag of the winning span value → leader flag →
+  * running-max leader assignment. No UDFs; one url-partitioned window chain.
+  *
+  * @param neumes per-element neume union bboxes: (url, elem_seq, ulx, uly,
+  *               lrx, lry) — elem_seq is the document order
+  * @param spans  aligned text spans: (url, seq, syl, ulx, uly, lrx, lry)
+  * @param medLineSpacing the downward translation (reference: 0.75-quantile
+  *               of text-line peak gaps; 1.0 in the unit-box degeneration)
+  * @return one row per input element:
+  *   (url, elem_seq, is_leader, assigned_syl, leader_seq,
+  *    zone_ulx, zone_uly, zone_lrx, zone_lry)
+  *   — zone columns non-null for leaders only; assigned_syl/leader_seq null
+  *   for dropped group-0 elements.
+  */
+object MeiAssign {
+
+  def assign(neumes: DataFrame, spans: DataFrame, medLineSpacing: Double): DataFrame = {
+    val n = neumes.select(col("url"), col("elem_seq"),
+      col("ulx").as("n_ulx"), col("uly").as("n_uly"),
+      col("lrx").as("n_lrx"), col("lry").as("n_lry"))
+    val s = spans.select(col("url"), col("seq").as("s_seq"), col("syl").as("s_syl"),
+      col("ulx").as("s_ulx"), col("uly").as("s_uly"),
+      col("lrx").as("s_lrx"), col("lry").as("s_lry"))
+
+    // translated neume box (float, matching Python 2's med/2 float division)
+    val transUly = col("n_uly") + lit(medLineSpacing / 2)
+    val transLry = col("n_lry") + lit(medLineSpacing)
+
+    // writeToMEI.py:15-21 — overlap of span box vs translated neume box,
+    // strict > 0 on both axes
+    val dy = least(col("s_lry").cast("double"), transLry) -
+      greatest(col("s_uly").cast("double"), transUly)
+    val dx = least(col("s_lrx"), col("n_lrx")).cast("double") -
+      greatest(col("s_ulx"), col("n_ulx"))
+    val inter = when(dx > 0 && dy > 0, dx * dy).otherwise(lit(0.0))
+
+    // candidates per element; argmax = FIRST max in span order (:104)
+    val wBest = Window.partitionBy(col("url"), col("elem_seq"))
+      .orderBy(col("inter").desc, col("s_seq").asc)
+    val best = n.join(s, Seq("url"))
+      .withColumn("inter", inter)
+      .filter(col("inter") > 0)
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("url"), col("elem_seq"),
+        struct(col("s_syl"), col("s_ulx"), col("s_uly"), col("s_lrx"), col("s_lry"))
+          .as("best"))
+
+    // every element, with its winning span (null when nothing collides)
+    val withBest = n.join(best, Seq("url", "elem_seq"), "left")
+
+    // leader decision: new span value, compared to the PREVIOUS element's
+    // winning value (tuple equality incl. the box, :112)
+    val wSeq = Window.partitionBy(col("url")).orderBy(col("elem_seq"))
+    val flagged = withBest
+      .withColumn("prev_best", lag(col("best"), 1).over(wSeq))
+      .withColumn("is_leader",
+        when(col("best").isNull, lit(false))
+          .when(col("prev_best").isNull, lit(true))
+          .otherwise(col("best") =!= col("prev_best")))
+
+    // each element joins the most recent leader (running max of leader seqs);
+    // elements before the first leader keep null (group 0 — dropped in the
+    // reference tree)
+    val leaderSeq = max(when(col("is_leader"), col("elem_seq")))
+      .over(wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val withLeader = flagged.withColumn("leader_seq", leaderSeq)
+
+    // leaders carry their own (untranslated) neume bbox as the new zone
+    // (:125-133); followers inherit the leader's syllable text
+    val leaders = withLeader.filter(col("is_leader"))
+      .select(col("url"), col("elem_seq").as("leader_seq"),
+        col("best.s_syl").as("leader_syl"))
+    withLeader
+      .join(leaders, Seq("url", "leader_seq"), "left")
+      .select(
+        col("url"), col("elem_seq"), col("is_leader"),
+        col("leader_syl").as("assigned_syl"),
+        col("leader_seq"),
+        when(col("is_leader"), col("n_ulx")).as("zone_ulx"),
+        when(col("is_leader"), col("n_uly")).as("zone_uly"),
+        when(col("is_leader"), col("n_lrx")).as("zone_lrx"),
+        when(col("is_leader"), col("n_lry")).as("zone_lry"))
+  }
+
+  /** Deterministic neume synthesis from aligned spans — the web-text
+    * analogue of an OMR layer's neume boxes: roughly one neume per aligned
+    * syllable, sitting one line ABOVE the text (uly-1..lry-1), with seeded
+    * x-jitter and ~10% dropped elements. Pure per-row function of
+    * (url, seq) — no cross-row state, fully parallel.
+    */
+  def synthNeumes(spans: DataFrame): DataFrame = {
+    val mk = udf((url: String, seq: Int, ulx: Int, lrx: Int) => {
+      val rng = new PageGen.Rng(graft.ops.Dedup.stringHash64(url) ^ (seq.toLong * 0x9e3779b97f4a7c15L))
+      if (rng.nextDouble() < 0.10) null
+      else {
+        val jitterL = rng.nextInt(3) - 1 // -1..1
+        val jitterR = rng.nextInt(3) - 1
+        val l = math.max(0, ulx + jitterL)
+        val r = math.max(l + 1, lrx + jitterR)
+        (l, r)
+      }
+    })
+    spans
+      .withColumn("xr", mk(col("url"), col("seq"), col("ulx"), col("lrx")))
+      .filter(col("xr").isNotNull)
+      .select(col("url"), col("seq").as("elem_seq"),
+        col("xr._1").as("ulx"), (col("uly") - 1).as("uly"),
+        col("xr._2").as("lrx"), (col("lry") - 1).as("lry"))
+  }
+}

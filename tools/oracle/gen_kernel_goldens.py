@@ -381,6 +381,180 @@ def main():
           {"vec_a": [x[0] for x in erows], "vec_b": [x[1] for x in erows],
            "cos": [x[2] for x in erows]})
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    gen_mei_and_gtxml(results, out_dir, repo_root)
+
+
+def load_write_to_mei():
+    """Import the EXECUTING reference writeToMEI with py3 stubs."""
+    import types
+    import builtins
+    import xml.etree.ElementTree as ET
+    sys.modules.setdefault("xml.etree.cElementTree", ET)
+    builtins.reload = lambda m: m
+    for name in ("gamera", "gamera.core", "gamera.plugins",
+                 "gamera.plugins.image_utilities", "textAlignPreprocessing",
+                 "PIL", "PIL.Image", "PIL.ImageDraw", "PIL.ImageFont"):
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            if name == "gamera.core":
+                m.init_gamera = lambda: None
+                m.load_image = lambda *a, **k: None
+            if name == "gamera.plugins.image_utilities":
+                m.union_images = lambda *a, **k: None
+            sys.modules[name] = m
+    sys.modules["gamera"].core = sys.modules["gamera.core"]
+    sys.modules["gamera"].plugins = sys.modules["gamera.plugins"]
+    sys.modules["gamera.plugins"].image_utilities = sys.modules["gamera.plugins.image_utilities"]
+    sys.modules["PIL"].Image = sys.modules["PIL.Image"]
+    sys.modules["PIL"].ImageDraw = sys.modules["PIL.ImageDraw"]
+    sys.modules["PIL"].ImageFont = sys.modules["PIL.ImageFont"]
+    import writeToMEI  # noqa: F401
+    return writeToMEI
+
+
+def synth_neumes(url, spans):
+    """Mirror of graft.pipeline.MeiAssign.synthNeumes for one document."""
+    out = []
+    for seq, syl, ulx, uly, lrx, lry in spans:
+        rng = g.Rng(g.string_hash64(url) ^ g.u64(seq * g.GOLDEN))
+        if rng.next_double() < 0.10:
+            continue
+        jl = rng.next_int(3) - 1
+        jr = rng.next_int(3) - 1
+        l = max(0, ulx + jl)
+        r = max(l + 1, lrx + jr)
+        out.append((seq, l, uly - 1, r, lry - 1))
+    return out
+
+
+MEI_NS = "http://www.music-encoding.org/ns/mei"
+XML_ID = "{http://www.w3.org/XML/1998/namespace}id"
+
+
+def mei_assign_rows(wtm, url, spans):
+    """Build a fixture MEI tree for the synthesized neumes, run the EXECUTING
+    reference add_text_to_mei_file, and read the assignment back out."""
+    import numpy as np
+    import xml.etree.ElementTree as ET
+    np.random.seed(0)  # generate_id determinism (ids are not compared)
+
+    neumes = synth_neumes(url, spans)
+    root = ET.Element(f"{{{MEI_NS}}}mei")
+    surface = ET.SubElement(root, f"{{{MEI_NS}}}surface")
+    layer = ET.SubElement(root, f"{{{MEI_NS}}}layer")
+    for seq, ulx, uly, lrx, lry in neumes:
+        zone = ET.SubElement(surface, f"{{{MEI_NS}}}zone")
+        zone.set(XML_ID, f"z{seq}")
+        zone.set("ulx", str(ulx))
+        zone.set("uly", str(uly))
+        zone.set("lrx", str(lrx))
+        zone.set("lry", str(lry))
+        se = ET.SubElement(layer, f"{{{MEI_NS}}}syllable")
+        se.set(XML_ID, f"s{seq}")
+        neume = ET.SubElement(se, f"{{{MEI_NS}}}neume")
+        nc = ET.SubElement(neume, f"{{{MEI_NS}}}nc")
+        nc.set("facs", f"z{seq}")
+
+    tree = ET.ElementTree(root)
+    syls_boxes = [(syl, (ulx, uly), (lrx, lry))
+                  for _, syl, ulx, uly, lrx, lry in spans]
+    tree, _, _ = wtm.add_text_to_mei_file(tree, syls_boxes, 1.0)
+
+    root = tree.getroot()
+    new_zones = {z.attrib[XML_ID]: z for z in root.findall(f".//{{{MEI_NS}}}zone")}
+    assigned = {}
+    zones = {}
+    for se in root.findall(f".//{{{MEI_NS}}}syllable"):
+        leader_seq = int(se.attrib[XML_ID][1:])
+        syl_el = se.find("syl")
+        text = syl_el.text if syl_el is not None else None
+        facs = se.attrib.get("facs")
+        if facs and facs in new_zones:
+            z = new_zones[facs]
+            zones[leader_seq] = (int(z.attrib["ulx"]), int(z.attrib["uly"]),
+                                 int(z.attrib["lrx"]), int(z.attrib["lry"]))
+        for neume in se.findall(f"{{{MEI_NS}}}neume"):
+            nc = neume.find(f"{{{MEI_NS}}}nc")
+            orig = int(nc.attrib["facs"][1:])
+            assigned[orig] = (orig == leader_seq, text, leader_seq)
+
+    rows = []
+    for seq, _, _, _, _ in neumes:
+        if seq in assigned:
+            is_leader, text, leader = assigned[seq]
+            z = zones.get(seq) if is_leader else None
+            rows.append((url, seq, is_leader, text, leader,
+                         z[0] if z else None, z[1] if z else None,
+                         z[2] if z else None, z[3] if z else None))
+        else:
+            rows.append((url, seq, False, None, None, None, None, None, None))
+    return rows
+
+
+def gen_gtxml_fixture(doc_id, spans, fixture_dir):
+    import xml.etree.ElementTree as ET
+    root = ET.Element("annotation")
+    gt = []
+    for i, (seq, syl, ulx, uly, lrx, lry) in enumerate(spans):
+        rng = g.Rng(g.u64(doc_id * 31 + seq))
+        difficult = 1 if rng.next_double() < 0.15 else 0
+        jx = rng.next_int(5) - 2
+        jr = rng.next_int(5) - 2
+        xmin = max(0, ulx + jx)
+        xmax = max(xmin + 1, lrx + jr)
+        obj = ET.SubElement(root, "object")
+        ET.SubElement(obj, "name").text = syl
+        ET.SubElement(obj, "difficult").text = str(difficult)
+        bb = ET.SubElement(obj, "bndbox")
+        ET.SubElement(bb, "xmin").text = str(xmin)
+        ET.SubElement(bb, "ymin").text = str(uly)
+        ET.SubElement(bb, "xmax").text = str(xmax)
+        ET.SubElement(bb, "ymax").text = str(lry)
+        if difficult == 0:
+            gt.append((i, syl, xmin, uly, xmax, lry))
+    ET.ElementTree(root).write(os.path.join(fixture_dir, f"{doc_id}.xml"))
+    return gt
+
+
+def gen_mei_and_gtxml(results, out_dir, repo_root):
+    wtm = load_write_to_mei()
+
+    def write(name, schema, cols):
+        pq.write_table(pa.table(cols, schema=schema),
+                       os.path.join(out_dir, name + ".parquet"))
+        print(f"{name}: {len(cols[schema.names[0]])} rows")
+
+    # ---- q_mei_assign (reference-executed writeToMEI per document) ----
+    mrows = []
+    for r in results:
+        mrows.extend(mei_assign_rows(wtm, r["url"], r["spans"]))
+    write("q_mei_assign",
+          pa.schema([("url", pa.string()), ("elem_seq", pa.int32()),
+                     ("is_leader", pa.bool_()), ("assigned_syl", pa.string()),
+                     ("leader_seq", pa.int32()),
+                     ("zone_ulx", pa.int32()), ("zone_uly", pa.int32()),
+                     ("zone_lrx", pa.int32()), ("zone_lry", pa.int32())]),
+          {k: [row[i] for row in mrows] for i, k in enumerate(
+              ["url", "elem_seq", "is_leader", "assigned_syl", "leader_seq",
+               "zone_ulx", "zone_uly", "zone_lrx", "zone_lry"])})
+
+    # ---- q_eval_gtxml (committed PASCAL-VOC fixtures, first 3 docs) ----
+    fixture_dir = os.path.join(repo_root, "src", "test", "resources", "gtxml")
+    os.makedirs(fixture_dir, exist_ok=True)
+    erows = []
+    for r in results[:3]:
+        gt = gen_gtxml_fixture(r["doc_id"], r["spans"], fixture_dir)
+        mi, mr, n = g.evaluate_means(gt, r["spans"])
+        erows.append((r["url"], mi, mr, n))
+    erows.sort()
+    write("q_eval_gtxml",
+          pa.schema([("url", pa.string()), ("mean_iou", pa.float64()),
+                     ("mean_range_iou", pa.float64()), ("n_gt_spans", pa.int32())]),
+          {"url": [x[0] for x in erows], "mean_iou": [x[1] for x in erows],
+           "mean_range_iou": [x[2] for x in erows],
+           "n_gt_spans": [x[3] for x in erows]})
+
 
 if __name__ == "__main__":
     main()
