@@ -227,20 +227,24 @@ object Dedup {
       if (dropped > 0)
         System.err.println(s"[graft.simhash] dropped $dropped oversized buckets (> $maxBucketSize)")
     }
-    val pairs = banded
+    // capped streaming self-join: both sides are first restricted to buckets
+    // with 1 < size <= cap (the skew guard — a hot boilerplate key never
+    // reaches the join), then pairs STREAM out of a sort-merge join without
+    // ever materializing a per-bucket array (collect_list of a 1000-member
+    // bucket would build ~500k structs in one task's memory)
+    val capped = banded
       .join(keyCounts.filter(col("sz") > 1 && col("sz") <= maxBucketSize), Seq("chunk", "key"))
-      .groupBy(col("chunk"), col("key"))
-      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
-      .select(explode(expr(
-        "filter(flatten(transform(members, a -> transform(members, b -> struct(a, b)))), " +
-          "p -> p.a.doc_id < p.b.doc_id)")).as("p"))
-      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
-        col("p.a.sig").as("sig_a"), col("p.b.sig").as("sig_b"))
-      .distinct()
+      .select(col("chunk"), col("key"), col("doc_id"), col("sig"))
 
-    pairs
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+    capped.as("l").join(capped.as("r"),
+        col("l.chunk") === col("r.chunk") && col("l.key") === col("r.key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
+      // hamming filter BEFORE distinct: the filter is map-side and kills
+      // almost every candidate, so the dedup shuffle only sees true near-dups
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 }

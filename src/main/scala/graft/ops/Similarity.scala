@@ -267,15 +267,15 @@ object Similarity {
       if (dropped > 0)
         System.err.println(s"[graft.embdup] dropped $dropped oversized buckets (> $maxBucketSize)")
     }
-    signed
+    // capped streaming self-join (each vector sits in exactly ONE bucket, so
+    // no pair dedup is needed); oversized buckets never reach the join
+    val capped = signed
       .join(bucketCounts.filter(col("sz") > 1 && col("sz") <= maxBucketSize), Seq("bucket"))
-      .groupBy(col("bucket"))
-      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("members"))
-      .select(explode(expr(
-        "filter(flatten(transform(members, a -> transform(members, b -> struct(a, b)))), " +
-          "p -> p.a.vec_id < p.b.vec_id)")).as("p"))
-      .withColumn("cos", cosineCol(col("p.a.embedding"), col("p.b.embedding")))
+      .select(col("bucket"), col("vec_id"), col("embedding"))
+    capped.as("l").join(capped.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+      .withColumn("cos", cosineCol(col("l.embedding"), col("r.embedding")))
       .filter(col("cos") >= threshold)
-      .select(col("p.a.vec_id").as("vec_a"), col("p.b.vec_id").as("vec_b"), col("cos"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"), col("cos"))
   }
 }

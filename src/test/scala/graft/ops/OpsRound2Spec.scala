@@ -106,6 +106,22 @@ class OpsRound2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.exists { case (a, b) => a <= 3000 && b <= 3000 })
   }
 
+  test("ANN recall vs brute force holds at two corpus sizes (corpus-scaled knobs)") {
+    import spark.implicits._
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")) {
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val brute = pairs(Similarity.bruteForceTopK(emb, queryMaxId = 20, k = 5))
+      val ivf = pairs(Similarity.ivfTopK(emb, queryMaxId = 20, k = 5))
+      val lsh = pairs(Similarity.lshTopK(emb, queryMaxId = 20, k = 5))
+      val rIvf = ivf.intersect(brute).size.toDouble / brute.size
+      val rLsh = lsh.intersect(brute).size.toDouble / brute.size
+      assert(rIvf > 0.15, s"IVF recall collapsed at $sf: $rIvf")
+      assert(rLsh > 0.15, s"LSH recall collapsed at $sf: $rLsh")
+    }
+  }
+
   test("giant-document policy: band cap returns a marked result, never throws") {
     // Force the storage cap low so the doubling loop hits it on a small doc.
     val tra = ("abcdefgh" * 200) + ("zqxw" * 50)
