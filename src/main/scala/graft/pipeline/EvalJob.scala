@@ -115,6 +115,62 @@ object EvalJob {
         (expr("aggregate(xs, 0.0D, (a, x) -> a + x.range_iou)") / size(col("xs"))).as("mean_range_iou"),
         size(col("xs")).as("n_gt_spans"))
 
+  /** One-shuffle evaluation of two span systems over the same corpus.
+    *
+    * Input: the [[AlignJob.spansMulti]] table (system, url, seq, syl, ulx,
+    * uly, lrx, lry). Per-document span counts are bounded (a page has a
+    * bounded syllable count), so grouping a document's two span sets into
+    * one task and scoring them in a typed pass is the cheaper plan than the
+    * url-equi theta-join: ONE hash shuffle of the flat span rows replaces
+    * the candidate-pair shuffle (~|gt|·|pred| rows per document) plus two
+    * window shuffles. Row-for-row identical to
+    * `evaluate(gt, pred)` — same collapse, same first-max argmax, same
+    * fold order (asserted in tests and by the shared golden oracle).
+    */
+  def evaluateGrouped(both: DataFrame, gtSystem: String, predSystem: String): DataFrame = {
+    val spark = both.sparkSession
+    import spark.implicits._
+    both.select(col("system"), col("url"), col("seq"), col("syl"),
+        col("ulx"), col("uly"), col("lrx"), col("lry"))
+      .as[(String, String, Int, String, Int, Int, Int, Int)]
+      .groupByKey(_._2)
+      .flatMapGroups { (url, it) =>
+        val rows = it.toArray
+        def spansOf(sys: String): Array[(Int, String, Int, Int, Int, Int)] =
+          rows.iterator.filter(_._1 == sys)
+            .map(r => (r._3, r._4, r._5, r._6, r._7, r._8))
+            .toArray.sortBy(_._1)
+        val gt = spansOf(gtSystem)
+        val pred = spansOf(predSystem)
+        if (gt.isEmpty) Iterator.empty
+        else {
+          // dict collapse: last GT span per syllable text
+          val byText = new scala.collection.mutable.LinkedHashMap[String, (Int, String, Int, Int, Int, Int)]
+          gt.foreach(g => byText.put(g._2, g))
+          val perSpan = byText.valuesIterator.map { g =>
+            val cands = pred.filter(p => g._2.contains(p._2) || p._2.contains(g._2))
+            if (cands.isEmpty) (g._1, 0.0, 0.0)
+            else {
+              // first max in pred (seq) order == (inter desc, p_seq asc)
+              val best = cands.maxBy(p =>
+                BBox.intersectArea(g._3, g._4, g._5, g._6, p._3, p._4, p._5, p._6))
+              val inter = BBox.intersectArea(g._3, g._4, g._5, g._6,
+                best._3, best._4, best._5, best._6)
+              if (inter > 0)
+                (g._1,
+                  BBox.iou(g._3, g._4, g._5, g._6, best._3, best._4, best._5, best._6),
+                  BBox.rangeIou(g._3, g._5, best._3, best._5))
+              else (g._1, 0.0, 0.0)
+            }
+          }.toArray.sortBy(_._1) // fold in ascending gt_seq order, like evaluate()
+          var si = 0.0; var sr = 0.0
+          perSpan.foreach { case (_, i, r) => si += i; sr += r }
+          Iterator.single((url, si / perSpan.length, sr / perSpan.length, perSpan.length))
+        }
+      }
+      .toDF("url", "mean_iou", "mean_range_iou", "n_gt_spans")
+  }
+
   /** Scoring-parameter grid search (evaluate_text_alignment.py:178-198,
     * SURVEY.md O44), distributed: the param grid is the Dataset, the fixture
     * pages are broadcast, each task aligns the fixtures under its params and

@@ -106,6 +106,24 @@ class OpsRound2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.exists { case (a, b) => a <= 3000 && b <= 3000 })
   }
 
+  test("evaluateGrouped is row-identical to the relational evaluate") {
+    import graft.pipeline.{AlignJob, EvalJob}
+    val pages = AlignJob.synthPages(spark, "/root/testdata/sf0.001")
+    val both = AlignJob.spansMulti(pages,
+      Seq("gt" -> graft.align.Scoring.Default,
+        "pred" -> graft.align.Scoring.symmetric(10, -5, -7, -7))).persist()
+    both.count()
+    val grouped = EvalJob.evaluateGrouped(both, "gt", "pred")
+      .orderBy("url").collect().map(_.toSeq)
+    val relational = EvalJob.evaluate(
+        both.filter(col("system") === "gt").drop("system"),
+        both.filter(col("system") === "pred").drop("system"))
+      .orderBy("url").collect().map(_.toSeq)
+    both.unpersist()
+    assert(grouped.length === relational.length)
+    grouped.zip(relational).foreach { case (g, r) => assert(g === r) }
+  }
+
   test("ANN recall vs brute force holds at two corpus sizes (corpus-scaled knobs)") {
     import spark.implicits._
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
