@@ -60,10 +60,23 @@ object MeiAssign {
       greatest(col("s_ulx"), col("n_ulx"))
     val inter = when(dx > 0 && dy > 0, dx * dy).otherwise(lit(0.0))
 
-    // candidates per element; argmax = FIRST max in span order (:104)
+    // Candidate generation is BANDED on x-buckets: both sides explode to the
+    // width-W buckets their x-range covers, and the join adds the bucket to
+    // the url key — two x-overlapping boxes always share the bucket of any
+    // overlap point, so this is a strict superset of the overlap pairs at
+    // ~1/20 the candidate volume of the plain per-url cross product. A pair
+    // sharing several buckets duplicates, which the argmax row_number
+    // collapses to identical output.
+    val W = 32
+    val nB = n.withColumn("bkt",
+      explode(sequence(floor(col("n_ulx") / W), floor(col("n_lrx") / W))))
+    val sB = s.withColumn("bkt",
+      explode(sequence(floor(col("s_ulx") / W), floor(col("s_lrx") / W))))
+
+    // argmax = FIRST max in span order (:104)
     val wBest = Window.partitionBy(col("url"), col("elem_seq"))
       .orderBy(col("inter").desc, col("s_seq").asc)
-    val best = n.join(s, Seq("url"))
+    val best = nB.join(sB, Seq("url", "bkt"))
       .withColumn("inter", inter)
       .filter(col("inter") > 0)
       .withColumn("rn", row_number().over(wBest))
@@ -85,23 +98,22 @@ object MeiAssign {
           .when(col("prev_best").isNull, lit(true))
           .otherwise(col("best") =!= col("prev_best")))
 
-    // each element joins the most recent leader (running max of leader seqs);
-    // elements before the first leader keep null (group 0 — dropped in the
-    // reference tree)
-    val leaderSeq = max(when(col("is_leader"), col("elem_seq")))
-      .over(wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    val withLeader = flagged.withColumn("leader_seq", leaderSeq)
-
-    // leaders carry their own (untranslated) neume bbox as the new zone
-    // (:125-133); followers inherit the leader's syllable text
-    val leaders = withLeader.filter(col("is_leader"))
-      .select(col("url"), col("elem_seq").as("leader_seq"),
-        col("best.s_syl").as("leader_syl"))
-    withLeader
-      .join(leaders, Seq("url", "leader_seq"), "left")
+    // each element joins the most recent leader: running max of leader seqs
+    // and running last non-null leader syllable — BOTH in the same window
+    // spec, so they share one Window exec and the argmax chain is computed
+    // exactly once (a leaders self-join would duplicate the whole upstream
+    // plan). Elements before the first leader keep null (group 0 — dropped
+    // in the reference tree). Leaders carry their own (untranslated) neume
+    // bbox as the new zone (:125-133); followers inherit the leader's text.
+    val wRun = wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged
+      .withColumn("leader_seq",
+        max(when(col("is_leader"), col("elem_seq"))).over(wRun))
+      .withColumn("assigned_syl",
+        last(when(col("is_leader"), col("best.s_syl")), ignoreNulls = true).over(wRun))
       .select(
         col("url"), col("elem_seq"), col("is_leader"),
-        col("leader_syl").as("assigned_syl"),
+        col("assigned_syl"),
         col("leader_seq"),
         when(col("is_leader"), col("n_ulx")).as("zone_ulx"),
         when(col("is_leader"), col("n_uly")).as("zone_uly"),
