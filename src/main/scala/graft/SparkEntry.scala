@@ -575,6 +575,7 @@ object SparkEntry {
 
     "q_token_count" ->
       ("SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens, " +
+        "len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s'']+|\\s+')) AS n_bpe_tokens, " +
         "length(text) AS n_chars_actual, n_chars FROM documents"),
 
     "q_folio_text" ->

@@ -16,11 +16,20 @@ object TextOps {
   def tokenCountCol(text: Column): Column =
     size(filter(split(text, " "), x => x =!= lit("")))
 
-  /** Token count per document. */
+  /** BPE-ish pre-tokenizer pattern (GPT-2-style contractions + space-glued
+    * letter/digit/punct runs), restricted to constructs with identical
+    * semantics in Java regex and RE2 (no lookahead) so the DuckDB oracle
+    * counts the same matches.
+    */
+  val BpeIshPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s']+|\\s+"
+
+  /** Token count per document: whitespace tokens + BPE-ish regex tokens. */
   def tokenCounts(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
       tokenCountCol(col("text")).as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpeIshPattern), lit(0))).as("n_bpe_tokens"),
       length(col("text")).as("n_chars_actual"),
       col("n_chars"))
 
@@ -60,26 +69,38 @@ object TextOps {
     "es" -> Set("el", "la", "de", "que", "y", "en", "un", "una", "es", "los", "las", "por", "con", "para", "del"),
     "de" -> Set("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von", "mit", "auf", "für", "im", "nicht"),
     "fr" -> Set("le", "la", "les", "de", "des", "et", "un", "une", "est", "en", "du", "que", "pour", "dans", "sur"),
+    "it" -> Set("il", "di", "che", "la", "e", "non", "un", "per", "in", "sono", "le", "dei", "del", "si", "con"),
+    "pt" -> Set("de", "o", "que", "e", "do", "da", "em", "um", "para", "com", "não", "uma", "os", "no", "se"),
+    "nl" -> Set("de", "het", "een", "en", "van", "ik", "te", "dat", "die", "niet", "op", "aan", "met", "zijn", "voor"),
+    "ru" -> Set("и", "в", "не", "на", "я", "что", "он", "с", "как", "это", "по", "но", "они", "мы", "за"),
     "zh" -> Set("的", "了", "是", "在", "我", "有", "和", "就", "不", "人", "都", "一", "这", "他", "们"))
 
   /** Language-ID over a token sequence: stopword hits per language, argmax
-    * with deterministic tie-break (lexicographic language code). A fallback
-    * char-class vote handles zh (CJK codepoints count as zh evidence).
-    * Pure function — used by the registered `lang_id` UDF.
+    * with deterministic tie-break (lexicographic language code). Script
+    * votes supply evidence where tokenization is weak: CJK codepoints count
+    * for zh, Cyrillic for ru. Pure function — used by the registered
+    * `lang_id` UDF.
     */
   def langIdOf(text: String): String = {
     if (text == null || text.isEmpty) return "und"
     var cjk = 0
+    var cyr = 0
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
       if (c >= 0x4e00 && c <= 0x9fff) cjk += 1
+      else if (c >= 0x0400 && c <= 0x04ff) cyr += 1
       i += 1
     }
     val tokens = text.toLowerCase.split(" ").iterator.filter(_.nonEmpty).toArray
     val scores = StopwordsByLang.map { case (lang, sw) =>
       val base = tokens.count(sw.contains)
-      lang -> (if (lang == "zh") base + cjk else base)
+      val bonus = lang match {
+        case "zh" => cjk
+        case "ru" => cyr
+        case _ => 0
+      }
+      lang -> (base + bonus)
     }
     val best = scores.toSeq.sortBy { case (lang, s) => (-s, lang) }.head
     if (best._2 == 0) "und" else best._1

@@ -114,6 +114,10 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextOps.langIdOf("the cat sat on the mat and it is warm") === "en")
     assert(TextOps.langIdOf("el perro come en la casa y es grande") === "es")
     assert(TextOps.langIdOf("der Hund ist in der Küche und das ist gut") === "de")
+    assert(TextOps.langIdOf("il cane non è in casa e sono per la strada") === "it")
+    assert(TextOps.langIdOf("o cachorro está em casa para um passeio com ela") === "pt")
+    assert(TextOps.langIdOf("de hond is niet in het huis en ik ben aan zee met hem") === "nl")
+    assert(TextOps.langIdOf("я не знаю что он сказал но это было в москве") === "ru")
     assert(TextOps.langIdOf("le chien est dans la maison et il est grand") === "fr")
     assert(TextOps.langIdOf("我在这里他们都是人") === "zh")
     assert(TextOps.langIdOf("") === "und")

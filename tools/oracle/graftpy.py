@@ -182,6 +182,10 @@ STOPWORDS = {
     "es": {"el", "la", "de", "que", "y", "en", "un", "una", "es", "los", "las", "por", "con", "para", "del"},
     "de": {"der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von", "mit", "auf", "für", "im", "nicht"},
     "fr": {"le", "la", "les", "de", "des", "et", "un", "une", "est", "en", "du", "que", "pour", "dans", "sur"},
+    "it": {"il", "di", "che", "la", "e", "non", "un", "per", "in", "sono", "le", "dei", "del", "si", "con"},
+    "pt": {"de", "o", "que", "e", "do", "da", "em", "um", "para", "com", "não", "uma", "os", "no", "se"},
+    "nl": {"de", "het", "een", "en", "van", "ik", "te", "dat", "die", "niet", "op", "aan", "met", "zijn", "voor"},
+    "ru": {"и", "в", "не", "на", "я", "что", "он", "с", "как", "это", "по", "но", "они", "мы", "за"},
     "zh": {"的", "了", "是", "在", "我", "有", "和", "就",
            "不", "人", "都", "一", "这", "他", "们"},
 }
@@ -191,11 +195,13 @@ def lang_id(text):
     if not text:
         return "und"
     cjk = sum(1 for c in text if 0x4E00 <= ord(c) <= 0x9FFF)
+    cyr = sum(1 for c in text if 0x0400 <= ord(c) <= 0x04FF)
     tokens = [t for t in text.lower().split(" ") if t]
     scores = {}
     for lang, sw in STOPWORDS.items():
         base = sum(1 for t in tokens if t in sw)
-        scores[lang] = base + cjk if lang == "zh" else base
+        bonus = cjk if lang == "zh" else (cyr if lang == "ru" else 0)
+        scores[lang] = base + bonus
     best = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0]
     return best[0] if best[1] > 0 else "und"
 
