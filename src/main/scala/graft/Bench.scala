@@ -66,7 +66,11 @@ object Bench {
       System.err.println(s"[bench] flagship failed: ${e.getMessage}")
     }
     val docsPerSec = if (runsSec.nonEmpty) nDocs / runsSec.min else -1.0
-    val runsJson = runsSec.map(s => f"$s%.3f").mkString("[", ",", "]")
+    // Locale.ROOT: the default-locale f interpolator would print "1,234"
+    // decimals on comma-separator locales and corrupt the JSON line
+    val runsJson = runsSec
+      .map(s => String.format(java.util.Locale.ROOT, "%.3f", Double.box(s)))
+      .mkString("[", ",", "]")
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec =

@@ -16,6 +16,11 @@ import org.apache.spark.sql.expressions.Window
   */
 object SparkEntry {
 
+  /** Repo checkout root for committed fixtures/goldens (the driver runs from
+    * this sandbox path; overridable for other checkouts).
+    */
+  private val RepoDir: String = sys.env.getOrElse("GRAFT_REPO_DIR", "/root/repo")
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
@@ -297,9 +302,15 @@ object SparkEntry {
     //      merge, zone emission — over deterministically synthesized neume
     //      boxes above the aligned spans ----
     "q_mei_assign" -> ((s, dir) => {
+      // eager localCheckpoint: ONE kernel pass feeds both the neume synth
+      // and the join, lineage is cut, and the blocks are freed by the
+      // ContextCleaner once the DataFrame is unreferenced (a bare persist
+      // would pin the cache for the rest of the session). On a real
+      // cluster, swap for a reliable checkpoint dir (localCheckpoint does
+      // not survive executor loss).
       val spans = AlignJob.spans(AlignJob.align(AlignJob.synthPages(s, dir),
-        saltPartitions = s.sparkContext.defaultParallelism)).persist()
-      spans.count() // one kernel pass feeds both the neume synth and the join
+        saltPartitions = s.sparkContext.defaultParallelism))
+        .localCheckpoint(true)
       MeiAssign.assign(MeiAssign.synthNeumes(spans), spans, medLineSpacing = 1.0)
     }),
 
@@ -308,9 +319,10 @@ object SparkEntry {
     //      fixtures incl. `difficult` filtering ----
     "q_eval_gtxml" -> ((s, dir) => {
       import s.implicits._
-      val fixtureDir = "/root/repo/src/test/resources/gtxml"
-      val files = new java.io.File(fixtureDir).listFiles()
-        .filter(_.getName.endsWith(".xml")).sortBy(_.getName)
+      val fixtureDir = s"$RepoDir/src/test/resources/gtxml"
+      val listed = new java.io.File(fixtureDir).listFiles()
+      require(listed != null, s"GT-XML fixture dir missing: $fixtureDir (set GRAFT_REPO_DIR)")
+      val files = listed.filter(_.getName.endsWith(".xml")).sortBy(_.getName)
       val gt = files.map { f =>
         val docId = f.getName.stripSuffix(".xml").toLong
         GtXml.toDataFrame(s, PageGen.urlFor(docId),
@@ -370,7 +382,7 @@ object SparkEntry {
     //      Cantus-shaped fixture; byte-identical to the reference
     //      (CantusCsvSpec) ----
     "q_cantus_folio_text" -> ((s, _) =>
-      pipeline.CantusCsv.folioTexts(s, "/root/repo/src/test/resources/cantus_like.csv")),
+      pipeline.CantusCsv.folioTexts(s, s"$RepoDir/src/test/resources/cantus_like.csv")),
 
     // ---- sessionization over events (gap-based, 30-minute timeout):
     //      lag + cumulative sum — the batch form of stateful sessionizing ----
@@ -438,7 +450,7 @@ object SparkEntry {
     *      a true independent differential, not Spark output.
     * DuckDB reads the golden parquet directly from its absolute path.
     */
-  private val GoldenDir = "/root/repo/src/test/resources/goldens/sf0.01"
+  private val GoldenDir = s"$RepoDir/src/test/resources/goldens/sf0.01"
 
   private def golden(name: String): String =
     s"SELECT * FROM '$GoldenDir/$name.parquet'"
@@ -454,7 +466,7 @@ object SparkEntry {
     "q_eval_alignment" -> golden("q_eval_alignment"),
     "q_grid_search" -> golden("q_grid_search"),
     "q_cantus_folio_text" ->
-      "SELECT * FROM '/root/repo/src/test/resources/goldens/q_cantus_folio_text.parquet'",
+      s"SELECT * FROM '$RepoDir/src/test/resources/goldens/q_cantus_folio_text.parquet'",
     "q_mei_assign" -> golden("q_mei_assign"),
     "q_eval_gtxml" -> golden("q_eval_gtxml"),
     // ---- golden-parquet oracles (independent Python reimplementation) ----
@@ -575,7 +587,7 @@ object SparkEntry {
 
     "q_token_count" ->
       ("SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens, " +
-        "len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s'']+|\\s+')) AS n_bpe_tokens, " +
+        "len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r'']+|[ \\t\\n\\x0B\\f\\r]+')) AS n_bpe_tokens, " +
         "length(text) AS n_chars_actual, n_chars FROM documents"),
 
     "q_folio_text" ->

@@ -295,15 +295,19 @@ object NeedlemanWunsch {
       cells += c
       res
     }
+    // widest band that produced an in-band traceback so far (a later, wider
+    // attempt can fail on the edge while a narrower one succeeded — the cap
+    // fallback must not discard that success)
+    var lastSuccess: Option[(Int, (String, String))] = prev.map(band -> _)
     var streak = 0 // consecutive band doublings with identical output
     while (true) {
       val nextBand = math.min(m, band * 2)
       if (nextBand > maxBandStorage) {
         // cannot widen further: accept the widest successful result
         // (explicitly marked as agreement-uncertified) or drop
-        return prev match {
-          case Some((ta, oa)) =>
-            AlignResult(ta, oa, band, cells, note = s"band_capped:$band")
+        return lastSuccess match {
+          case Some((b, (ta, oa))) =>
+            AlignResult(ta, oa, b, cells, note = s"band_capped:$b")
           case None =>
             AlignResult("", "", band, cells, note = s"band_overflow_drop:$band")
         }
@@ -315,6 +319,7 @@ object NeedlemanWunsch {
         val (ta, oa) = cur.get
         return AlignResult(ta, oa, 0, cells)
       }
+      if (cur.isDefined) lastSuccess = Some(nextBand -> cur.get)
       if (cur.isDefined && cur == prev) {
         streak += 1
         if (streak >= AgreementStreak) {

@@ -189,15 +189,24 @@ object Dedup {
 
   /** SimHash near-dup pairs: band the 64-bit signature into `chunks` equal
     * bit-chunks (any equal chunk → candidate; by pigeonhole this catches all
-    * pairs with Hamming distance < chunks), verify Hamming ≤ maxHamming.
-    * Default 8×8-bit chunks with maxHamming 7 (guaranteed recall at that
-    * radius); use 4×16-bit at web scale for fewer, tighter candidates.
+    * pairs with Hamming distance < chunks, except pairs ALL of whose shared
+    * buckets are outlier-dropped by the skew cap), verify Hamming ≤
+    * maxHamming. Default 8×8-bit chunks with maxHamming 7; use 4×16-bit at
+    * web scale for fewer, tighter candidates.
+    *
+    * The skew cap ADAPTS to corpus size: the chunk keyspace is bounded
+    * (chunks × 2^bits keys), so bucket population grows with N and a fixed
+    * cap would eventually drop EVERY bucket (silent empty output). The
+    * effective cap is max(maxBucketSize, skewFactor × mean bucket size) —
+    * uniform growth keeps all buckets; only genuine outlier keys
+    * (boilerplate-identical chunks) are dropped.
     */
   def simhashNearDups(
       documents: DataFrame,
       maxHamming: Int = 7,
       chunks: Int = 8,
       maxBucketSize: Int = 1000,
+      skewFactor: Double = 8.0,
       reportDropped: Boolean = false): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -222,10 +231,16 @@ object Dedup {
     // key); buckets over the cap are dropped before any pairing.
     val keyCounts = banded.groupBy(col("chunk"), col("key"))
       .agg(count(lit(1)).as("sz"))
+    // corpus-adaptive cap (one scalar aggregate over ≤ chunks·2^bits rows):
+    // a fixed cap over a bounded keyspace silently empties the output once
+    // N exceeds cap·2^bits
+    val medRow = keyCounts.agg(percentile_approx(col("sz"), lit(0.5), lit(10000))).collect()(0)
+    val median = if (medRow.isNullAt(0)) 0L else medRow.getLong(0)
+    val cap = math.max(maxBucketSize.toLong, (skewFactor * median).toLong)
     if (reportDropped) {
-      val dropped = keyCounts.filter(col("sz") > maxBucketSize).count()
+      val dropped = keyCounts.filter(col("sz") > cap).count()
       if (dropped > 0)
-        System.err.println(s"[graft.simhash] dropped $dropped oversized buckets (> $maxBucketSize)")
+        System.err.println(s"[graft.simhash] dropped $dropped oversized buckets (> $cap)")
     }
     // capped streaming self-join: both sides are first restricted to buckets
     // with 1 < size <= cap (the skew guard — a hot boilerplate key never
@@ -233,7 +248,7 @@ object Dedup {
     // ever materializing a per-bucket array (collect_list of a 1000-member
     // bucket would build ~500k structs in one task's memory)
     val capped = banded
-      .join(keyCounts.filter(col("sz") > 1 && col("sz") <= maxBucketSize), Seq("chunk", "key"))
+      .join(keyCounts.filter(col("sz") > 1 && col("sz") <= cap), Seq("chunk", "key"))
       .select(col("chunk"), col("key"), col("doc_id"), col("sig"))
 
     capped.as("l").join(capped.as("r"),

@@ -1,9 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.storage.StorageLevel
 
 /** Scale-safe forms of global-order window functions.
   *
@@ -12,37 +12,51 @@ import org.apache.spark.sql.types.StringType
   * boundary-exchange form here computes the identical result with scalable
   * pieces:
   *
-  *   1. bucket boundaries come from ONE approx-percentile pass over the key
-  *      (collected to the driver — a fixed literal, so every consumer of the
-  *      bucketed plan sees the same bucketing; `spark_partition_id` after a
-  *      sampled repartitionByRange would NOT give that guarantee across
-  *      plan branches);
-  *   2. rows are bucketed by a monotone key image (order-preserving, so
-  *      bucket i's keys all precede bucket i+1's), and lagged within each
-  *      bucket (hash exchange — no single-partition stage over data);
-  *   3. each bucket's LAST row (≤ nBuckets rows — driver-scale metadata) is
-  *      lagged across buckets and broadcast back to fill each bucket's first
-  *      row.
+  *   1. bucket boundaries come from a deterministic hash-gate sample of the
+  *      KEYS (`xxhash64(key) % rate == 0`), sorted by Spark's own ordering
+  *      and collected (≤ ~2·sampleTarget rows — driver-scale). The
+  *      boundaries are plan literals of the key's own type, so every
+  *      consumer of the bucketed plan sees the same bucketing, and ANY
+  *      orderable key works — including string keys that share long common
+  *      prefixes (a fixed-prefix numeric image would collapse those into
+  *      one bucket);
+  *   2. rows are bucketed by counting boundaries strictly below the key
+  *      (monotone, so bucket i's keys all precede bucket i+1's) and lagged
+  *      within each bucket (hash exchange — no single-partition stage over
+  *      data);
+  *   3. each bucket's LAST row (≤ nBuckets rows — metadata-scale) is matched
+  *      to the next non-empty bucket with a broadcast theta-join and fills
+  *      that bucket's first row.
   *
   * The output is the exact global lag whenever `key` values are distinct
   * (with duplicate keys a global lag is nondeterministic anyway).
+  *
+  * The input is consumed several times (count, sample, window, boundary
+  * aggregate); `persistInput` (default true) caches it MEMORY_AND_DISK so
+  * expensive upstream plans compute once. The cache is left for Spark's
+  * ContextCleaner to drop with the DataFrame.
   */
 object ScaleWindows {
 
-  /** Monotone numeric image of a key column: numerics cast to double;
-    * strings pack their first four UTF-16 units (clamped to 16 bits) into a
-    * double-exact integer — order-preserving on the 4-char prefix, ties
-    * simply share a bucket.
+  /** Deterministic key sample, sorted by Spark's OWN ordering (so the
+    * boundary comparison agrees with ORDER BY semantics for every key
+    * type), evenly thinned to ≤ n-1 boundary literals.
     */
-  private def keyImage(df: DataFrame, keyCol: String): Column = {
-    val dt = df.schema(keyCol).dataType
-    val k = col(keyCol)
-    if (dt == StringType) {
-      def unit(i: Int): Column =
-        coalesce(least(ascii(substring(k, i + 1, 1)), lit(65535)), lit(0)).cast("double")
-      unit(0) * math.pow(2, 48) + unit(1) * math.pow(2, 32) +
-        unit(2) * math.pow(2, 16) + unit(3)
-    } else k.cast("double")
+  private[ops] def boundariesFor(
+      input: DataFrame,
+      keyCol: String,
+      n: Int,
+      sampleTarget: Int,
+      total: Long): Seq[Any] = {
+    val rate = math.max(1L, total / math.max(1, sampleTarget))
+    val sampled = input.select(col(keyCol))
+      .filter(pmod(xxhash64(col(keyCol)), lit(rate)) === 0)
+      .orderBy(col(keyCol))
+      .collect()
+      .map(_.get(0))
+    if (sampled.isEmpty || n <= 1) Seq.empty
+    else (1 until n).map(i => sampled(((i.toLong * sampled.length) / n).toInt))
+      .distinct
   }
 
   /** Adds `outCol` = global lag(valueCol, 1) over (ORDER BY keyCol), without
@@ -56,30 +70,28 @@ object ScaleWindows {
       keyCol: String,
       valueCol: String,
       outCol: String,
-      numBuckets: Int = 0): DataFrame = {
+      numBuckets: Int = 0,
+      sampleTarget: Int = 10000,
+      persistInput: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val n =
       if (numBuckets > 0) numBuckets
       else math.max(2, spark.sparkContext.defaultParallelism)
 
-    val img = keyImage(df, keyCol)
+    val input = if (persistInput) df.persist(StorageLevel.MEMORY_AND_DISK) else df
 
-    // one sketch pass; the collected array is a literal, identical for every
-    // branch of the downstream plan
-    val fracs = (1 until n).map(_.toDouble / n)
-    val boundariesRow = df
-      .select(percentile_approx(img, lit(fracs.toArray), lit(10000)).as("b"))
-      .collect()(0)
-    val boundaries: Seq[Double] =
-      if (boundariesRow.isNullAt(0)) Seq.empty
-      else boundariesRow.getSeq[Double](0)
+    val total = input.count()
+    if (total == 0)
+      return input.withColumn(outCol, lit(null).cast(input.schema(valueCol).dataType))
 
-    // monotone bucket id: #boundaries strictly below the key image
+    val boundaries = boundariesFor(input, keyCol, n, sampleTarget, total)
+
+    // monotone bucket id: #boundaries strictly below the key
     val bucket = boundaries.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(img > lit(b), 1).otherwise(0)
+      acc + when(col(keyCol) > lit(b), 1).otherwise(0)
     }
 
-    val bucketed = df.withColumn("__bkt", bucket)
+    val bucketed = input.withColumn("__bkt", bucket)
     val wIn = Window.partitionBy(col("__bkt")).orderBy(col(keyCol))
     val withLocal = bucketed.withColumn("__lag", lag(col(valueCol), 1).over(wIn))
 

@@ -245,6 +245,7 @@ object Similarity {
       nBits: Int = 10,
       seed: Long = 42L,
       maxBucketSize: Int = 1000,
+      skewFactor: Double = 8.0,
       reportDropped: Boolean = false): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -262,15 +263,21 @@ object Similarity {
     // must not go quadratic. Counts partial-aggregate; oversized buckets are
     // dropped before pairing.
     val bucketCounts = signed.groupBy(col("bucket")).agg(count(lit(1)).as("sz"))
+    // corpus-adaptive cap: the keyspace is 2^nBits buckets, so a fixed cap
+    // would silently empty the output once N exceeds cap·2^nBits; the
+    // effective cap keeps uniformly-grown buckets and drops only outliers
+    val medRow = bucketCounts.agg(percentile_approx(col("sz"), lit(0.5), lit(10000))).collect()(0)
+    val median = if (medRow.isNullAt(0)) 0L else medRow.getLong(0)
+    val cap = math.max(maxBucketSize.toLong, (skewFactor * median).toLong)
     if (reportDropped) {
-      val dropped = bucketCounts.filter(col("sz") > maxBucketSize).count()
+      val dropped = bucketCounts.filter(col("sz") > cap).count()
       if (dropped > 0)
-        System.err.println(s"[graft.embdup] dropped $dropped oversized buckets (> $maxBucketSize)")
+        System.err.println(s"[graft.embdup] dropped $dropped oversized buckets (> $cap)")
     }
     // capped streaming self-join (each vector sits in exactly ONE bucket, so
     // no pair dedup is needed); oversized buckets never reach the join
     val capped = signed
-      .join(bucketCounts.filter(col("sz") > 1 && col("sz") <= maxBucketSize), Seq("bucket"))
+      .join(bucketCounts.filter(col("sz") > 1 && col("sz") <= cap), Seq("bucket"))
       .select(col("bucket"), col("vec_id"), col("embedding"))
     capped.as("l").join(capped.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))

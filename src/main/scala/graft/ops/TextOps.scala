@@ -18,11 +18,12 @@ object TextOps {
 
   /** BPE-ish pre-tokenizer pattern (GPT-2-style contractions + space-glued
     * letter/digit/punct runs), restricted to constructs with identical
-    * semantics in Java regex and RE2 (no lookahead) so the DuckDB oracle
-    * counts the same matches.
+    * semantics in Java regex and RE2 (no lookahead; whitespace spelled as an
+    * explicit class because Java's \s includes \x0B and RE2's does not) so
+    * the DuckDB oracle counts the same matches.
     */
   val BpeIshPattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s']+|\\s+"
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r']+|[ \\t\\n\\x0B\\f\\r]+"
 
   /** Token count per document: whitespace tokens + BPE-ish regex tokens. */
   def tokenCounts(documents: DataFrame): DataFrame =

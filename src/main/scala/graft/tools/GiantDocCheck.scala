@@ -30,7 +30,8 @@ object GiantDocCheck {
     val t0 = System.nanoTime()
     val r = AlignKernel.processStream(tra, stream,
       ws = new NeedlemanWunsch.Workspace)
-    val sec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"bench":"giant_doc","chars":$n,"sec":$sec%.1f,"band_used":${r.bandUsed},"cells":${r.cellsFilled},"n_spans":${r.spans.length},"note":"${r.error}"}""")
+    val sec = String.format(java.util.Locale.ROOT, "%.1f",
+      Double.box((System.nanoTime() - t0) / 1e9))
+    println(s"""{"bench":"giant_doc","chars":$n,"sec":$sec,"band_used":${r.bandUsed},"cells":${r.cellsFilled},"n_spans":${r.spans.length},"note":"${r.error}"}""")
   }
 }

@@ -49,6 +49,15 @@ class OpsRound2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expected)
   }
 
+  test("bucket boundaries split keys that share a long common prefix") {
+    import spark.implicits._
+    // every key starts with the same 12 chars — a fixed-prefix numeric image
+    // would collapse them into one bucket (single-partition window again)
+    val df = (1 to 2000).map(i => (f"commonprefix-$i%06d", i)).toDF("k", "v")
+    val bs = ScaleWindows.boundariesFor(df, "k", 8, 10000, 2000)
+    assert(bs.distinct.size >= 4, s"expected several distinct boundaries, got $bs")
+  }
+
   test("withGlobalLag plans no single-partition window over the data") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i, i.toLong)).toDF("k", "v")
