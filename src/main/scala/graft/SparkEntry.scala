@@ -302,15 +302,13 @@ object SparkEntry {
     //      merge, zone emission — over deterministically synthesized neume
     //      boxes above the aligned spans ----
     "q_mei_assign" -> ((s, dir) => {
-      // eager localCheckpoint: ONE kernel pass feeds both the neume synth
-      // and the join, lineage is cut, and the blocks are freed by the
-      // ContextCleaner once the DataFrame is unreferenced (a bare persist
-      // would pin the cache for the rest of the session). On a real
-      // cluster, swap for a reliable checkpoint dir (localCheckpoint does
-      // not survive executor loss).
+      // no persist/checkpoint: the neume branch and the span branch share
+      // the identical salt-Exchange subtree, so physical planning reuses
+      // one kernel execution (ReusedExchange); a session-lifetime cache
+      // would pin memory (measured: eager localCheckpoint was 2x slower
+      // than simply letting the exchange be reused)
       val spans = AlignJob.spans(AlignJob.align(AlignJob.synthPages(s, dir),
         saltPartitions = s.sparkContext.defaultParallelism))
-        .localCheckpoint(true)
       MeiAssign.assign(MeiAssign.synthNeumes(spans), spans, medLineSpacing = 1.0)
     }),
 

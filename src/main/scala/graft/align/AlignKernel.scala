@@ -58,10 +58,11 @@ object AlignKernel {
       html: Array[Byte],
       scoring: Scoring = Scoring.Default,
       initialBand: Int = NeedlemanWunsch.DefaultInitialBand,
-      ws: NeedlemanWunsch.Workspace = new NeedlemanWunsch.Workspace): KernelResult = {
+      ws: NeedlemanWunsch.Workspace = new NeedlemanWunsch.Workspace,
+      sylCache: Syllabify.Cache = new Syllabify.Cache): KernelResult = {
     try {
       val (transcript, extracted, note) = prep(transcriptRaw, html)
-      processStream(transcript, extracted, scoring, initialBand, note, ws)
+      processStream(transcript, extracted, scoring, initialBand, note, ws, sylCache)
     } catch {
       case e: Exception =>
         KernelResult(Vector.empty, "", "", 0, 0, 0, 0L, s"kernel: ${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -77,11 +78,12 @@ object AlignKernel {
       transcriptRaw: String,
       html: Array[Byte],
       systems: Seq[(String, Scoring)],
-      ws: NeedlemanWunsch.Workspace = new NeedlemanWunsch.Workspace): Seq[(String, KernelResult)] =
+      ws: NeedlemanWunsch.Workspace = new NeedlemanWunsch.Workspace,
+      sylCache: Syllabify.Cache = new Syllabify.Cache): Seq[(String, KernelResult)] =
     try {
       val (transcript, extracted, note) = prep(transcriptRaw, html)
       systems.map { case (name, sc) =>
-        name -> processStream(transcript, extracted, sc, note = note, ws = ws)
+        name -> processStream(transcript, extracted, sc, note = note, ws = ws, sylCache = sylCache)
       }
     } catch {
       case e: Exception =>
@@ -99,7 +101,8 @@ object AlignKernel {
       scoring: Scoring = Scoring.Default,
       initialBand: Int = NeedlemanWunsch.DefaultInitialBand,
       note: String = "",
-      ws: NeedlemanWunsch.Workspace = new NeedlemanWunsch.Workspace): KernelResult = {
+      ws: NeedlemanWunsch.Workspace = new NeedlemanWunsch.Workspace,
+      sylCache: Syllabify.Cache = new Syllabify.Cache): KernelResult = {
 
     // abbreviation expansion (alignToOCR.py:251-264)
     val allChars = Abbrev.expand(stream)
@@ -112,8 +115,9 @@ object AlignKernel {
     // alignment (textSeqCompare.py:13-177)
     val ar = NeedlemanWunsch.alignChars(transcript, ocr, scoring, initialBand, ws)
 
-    // syllabification of the *unaligned* transcript (alignToOCR.py:277)
-    val syls = Syllabify.syllabifyText(transcript)
+    // syllabification of the *unaligned* transcript (alignToOCR.py:277),
+    // memoized per kernel instance (pure function, Zipf vocabulary)
+    val syls = Syllabify.syllabifyText(transcript, sylCache)
 
     // gap insertion + span projection (alignToOCR.py:283-324)
     val gapped = SpanProject.insertGaps(allChars, ar.ocrAlign)

@@ -73,10 +73,12 @@ object AlignJob {
 
     repartitioned.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
-      // one reusable DP workspace per partition: no per-document buffer churn
+      // one reusable DP workspace + syllable memo per partition: no
+      // per-document buffer churn, repeated vocabulary syllabified once
       val ws = new graft.align.NeedlemanWunsch.Workspace
+      val sylCache = new Syllabify.Cache
       it.map { p =>
-        val r = AlignKernel.process(p.text, p.html, scoring, ws = ws)
+        val r = AlignKernel.process(p.text, p.html, scoring, ws = ws, sylCache = sylCache)
         cellsAcc.add(r.cellsFilled)
         docsAcc.add(1)
         AlignedDoc(
@@ -117,8 +119,9 @@ object AlignJob {
 
     repartitioned.mapPartitions { it =>
       val ws = new graft.align.NeedlemanWunsch.Workspace
+      val sylCache = new Syllabify.Cache
       it.flatMap { p =>
-        AlignKernel.processMulti(p.text, p.html, systems, ws).iterator.flatMap {
+        AlignKernel.processMulti(p.text, p.html, systems, ws, sylCache).iterator.flatMap {
           case (system, r) =>
             r.spans.iterator.zipWithIndex.map { case (s, i) =>
               (system, p.url, i, s.syl, s.ulx, s.uly, s.lrx, s.lry)

@@ -58,7 +58,11 @@ object MeiAssign {
       greatest(col("s_uly").cast("double"), transUly)
     val dx = least(col("s_lrx"), col("n_lrx")).cast("double") -
       greatest(col("s_ulx"), col("n_ulx"))
-    val inter = when(dx > 0 && dy > 0, dx * dy).otherwise(lit(0.0))
+    // s_seq guard: Spark's least/greatest SKIP nulls, so an unmatched
+    // left-outer row would otherwise fabricate the neume's own box as a
+    // positive "intersection"
+    val inter = when(col("s_seq").isNotNull && dx > 0 && dy > 0, dx * dy)
+      .otherwise(lit(0.0))
 
     // Candidate generation is BANDED on x-buckets: both sides explode to the
     // width-W buckets their x-range covers, and the join adds the bucket to
@@ -73,20 +77,22 @@ object MeiAssign {
     val sB = s.withColumn("bkt",
       explode(sequence(floor(col("s_ulx") / W), floor(col("s_lrx") / W))))
 
-    // argmax = FIRST max in span order (:104)
+    // argmax = FIRST max in span order (:104). LEFT-OUTER bucket join keeps
+    // every element in this single pass (a separate restore-join would read
+    // the neume input — and its upstream kernel — a third time); elements
+    // whose best intersection is 0 get a null winner, exactly the
+    // "no colliding span" case of the reference (:107-108).
     val wBest = Window.partitionBy(col("url"), col("elem_seq"))
       .orderBy(col("inter").desc, col("s_seq").asc)
-    val best = nB.join(sB, Seq("url", "bkt"))
-      .withColumn("inter", inter)
-      .filter(col("inter") > 0)
+    val withBest = nB.join(sB, Seq("url", "bkt"), "left_outer")
+      .withColumn("inter", coalesce(inter, lit(0.0)))
       .withColumn("rn", row_number().over(wBest))
       .filter(col("rn") === 1)
+      .withColumn("best",
+        when(col("inter") > 0,
+          struct(col("s_syl"), col("s_ulx"), col("s_uly"), col("s_lrx"), col("s_lry"))))
       .select(col("url"), col("elem_seq"),
-        struct(col("s_syl"), col("s_ulx"), col("s_uly"), col("s_lrx"), col("s_lry"))
-          .as("best"))
-
-    // every element, with its winning span (null when nothing collides)
-    val withBest = n.join(best, Seq("url", "elem_seq"), "left")
+        col("n_ulx"), col("n_uly"), col("n_lrx"), col("n_lry"), col("best"))
 
     // leader decision: new span value, compared to the PREVIOUS element's
     // winning value (tuple equality incl. the box, :112)

@@ -35,7 +35,9 @@ object KernelBench {
         cells += NeedlemanWunsch.alignChars(t, noisy, ws = ws).cellsFilled
       }
     }
-    val (_, fullSec) = time { docs.foreach { case (t, _, html) => AlignKernel.process(t, html, ws = ws) } }
+    val sylCache = new Syllabify.Cache
+    val (_, fullSec) = time { docs.foreach { case (t, _, html) =>
+      AlignKernel.process(t, html, ws = ws, sylCache = sylCache) } }
 
     println(f"docs=${docs.length} extract=${extractSec}%.3fs syllabify=${sylSec}%.3fs " +
       f"alignOnly=${alignSec}%.3fs full=${fullSec}%.3fs")
