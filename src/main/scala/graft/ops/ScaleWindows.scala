@@ -72,7 +72,8 @@ object ScaleWindows {
       outCol: String,
       numBuckets: Int = 0,
       sampleTarget: Int = 10000,
-      persistInput: Boolean = true): DataFrame = {
+      persistInput: Boolean = true,
+      smallInputThreshold: Long = 10000): DataFrame = {
     val spark = df.sparkSession
     val n =
       if (numBuckets > 0) numBuckets
@@ -83,6 +84,13 @@ object ScaleWindows {
     val total = input.count()
     if (total == 0)
       return input.withColumn(outCol, lit(null).cast(input.schema(valueCol).dataType))
+
+    // small-table fast path: below the threshold a one-partition window IS
+    // the cheap plan (the table fits one task by measurement, not hope),
+    // and the sampling/bucketing jobs would cost more than they save
+    if (total <= smallInputThreshold)
+      return input.withColumn(outCol,
+        lag(col(valueCol), 1).over(Window.orderBy(col(keyCol))))
 
     val boundaries = boundariesFor(input, keyCol, n, sampleTarget, total)
 

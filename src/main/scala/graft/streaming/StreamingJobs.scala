@@ -110,6 +110,28 @@ object StreamingJobs {
       }
   }
 
+  /** Streaming exact dedup over a page stream: keep the first row per text
+    * digest within the watermark horizon. The state key is the same two-
+    * digest+length triple as the batch `exactDuplicateGroups` (never the
+    * text), and `dropDuplicatesWithinWatermark` bounds state: a duplicate
+    * arriving after the horizon passes is re-admitted (documented trade —
+    * unbounded-horizon streaming dedup would grow state forever at 10^12
+    * rows; the batch op is the exact form).
+    */
+  def dedupStream(spark: SparkSession, pagesDir: String, horizon: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Page]].schema)
+      .parquet(pagesDir)
+      .withColumn("warc_ts", col("warc_ts").cast("timestamp"))
+      .withWatermark("warc_ts", horizon)
+      .withColumn("h1", xxhash64(col("text")))
+      .withColumn("h2", xxhash64(col("text"), lit(0x9e3779b97f4a7c15L)))
+      .withColumn("len", length(col("text")))
+      .dropDuplicatesWithinWatermark("h1", "h2", "len")
+      .select(col("url"), col("warc_ts"), col("text"), col("lang"))
+  }
+
   /** Run a streaming query to completion over the currently-available input
     * (AvailableNow), writing parquet + checkpoint under outDir.
     */

@@ -31,7 +31,7 @@ class OpsRound2Spec extends AnyFunSuite with BeforeAndAfterAll {
     val expected = df
       .withColumn("prev", lag(col("v"), 1).over(Window.orderBy(col("k"))))
       .select("k", "prev").as[(Int, Option[String])].collect().toMap
-    val got = ScaleWindows.withGlobalLag(df, "k", "v", "prev", numBuckets = 7)
+    val got = ScaleWindows.withGlobalLag(df, "k", "v", "prev", numBuckets = 7, smallInputThreshold = 0)
       .select("k", "prev").as[(Int, Option[String])].collect().toMap
     assert(got === expected)
     assert(got.values.count(_.isEmpty) === 1) // exactly the global first row
@@ -44,7 +44,7 @@ class OpsRound2Spec extends AnyFunSuite with BeforeAndAfterAll {
     val expected = df
       .withColumn("prev", lag(col("v"), 1).over(Window.orderBy(col("k"))))
       .select("k", "prev").as[(String, Option[Long])].collect().toMap
-    val got = ScaleWindows.withGlobalLag(df, "k", "v", "prev", numBuckets = 5)
+    val got = ScaleWindows.withGlobalLag(df, "k", "v", "prev", numBuckets = 5, smallInputThreshold = 0)
       .select("k", "prev").as[(String, Option[Long])].collect().toMap
     assert(got === expected)
   }
@@ -61,7 +61,7 @@ class OpsRound2Spec extends AnyFunSuite with BeforeAndAfterAll {
   test("withGlobalLag plans no single-partition window over the data") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i, i.toLong)).toDF("k", "v")
-    val plan = ScaleWindows.withGlobalLag(df, "k", "v", "prev")
+    val plan = ScaleWindows.withGlobalLag(df, "k", "v", "prev", smallInputThreshold = 0)
       .queryExecution.executedPlan.toString
     // every Window in the plan must be partitioned (partitionBy non-empty);
     // an unpartitioned Window prints "Window [..], [..sort..]" with no

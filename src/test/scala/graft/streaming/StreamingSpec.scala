@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.pipeline.{AlignJob, PageGen}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, countDistinct}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.{Files, Paths}
@@ -29,6 +30,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     if (Files.exists(path))
       Files.walk(path).sorted(Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(f => Files.delete(f))
+  }
+
+  test("streaming dedup keeps one row per duplicated text within the horizon") {
+    import spark.implicits._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_stream"
+    rmTree(base)
+    val pagesDir = s"$base/pages"
+    val outDir = s"$base/out"
+
+    // 40 pages + 10 exact duplicates (same text, different url/ts)
+    val pages = AlignJob.synthPages(spark, sfDir).filter(_.url < PageGen.urlFor(40))
+    val dups = pages.filter(_.url < PageGen.urlFor(10))
+      .map(p => p.copy(url = p.url + "-dup",
+        warc_ts = new java.sql.Timestamp(p.warc_ts.getTime + 1000)))
+    pages.unionAll(dups).write.parquet(pagesDir)
+
+    StreamingJobs.runAvailableNow(StreamingJobs.dedupStream(spark, pagesDir), outDir)
+    val kept = spark.read.parquet(s"$outDir/data")
+    assert(kept.count() === 40)
+    assert(kept.select(countDistinct(col("text"))).as[Long].head() === 40)
   }
 
   test("streaming align == batch align; checkpoint resumes incrementally") {

@@ -1,10 +1,14 @@
 #!/usr/bin/env python3
-"""Run the LIVE reference (DDMAL/text_alignment) on TSV cases.
+"""TEST ORACLE DRIVER — runs the LIVE reference (DDMAL/text_alignment).
 
-Imports /root/reference/textSeqCompare.py and latinSyllabification.py directly
-(matplotlib/unidecode stubbed); replays the abbreviation-expansion +
-gap-insertion + span-projection loop of alignToOCR.py:251-324 with unit char
-boxes (the web-text degeneration). Output format matches graft.tools.KernelCli.
+This file is differential-test tooling, NOT part of the engine: it imports
+/root/reference/textSeqCompare.py and latinSyllabification.py directly
+(matplotlib/unidecode stubbed) and replays the reference's own
+abbreviation-expansion + gap-insertion + span-projection loop
+(alignToOCR.py:251-324) with unit char boxes so reference OUTPUTS can be
+captured as goldens. The replay deliberately mirrors the reference line by
+line — that is the point of an oracle driver; the Scala engine under test
+shares no code with it. Output format matches graft.tools.KernelCli.
 """
 import sys, types, re
 
