@@ -73,6 +73,10 @@ object Bench {
       .mkString("[", ",", "]")
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // level the heap between queries: without this, queries late in the
+      // alphabet absorb the GC debt of earlier ones and read 2-3x slower
+      // run-to-run
+      System.gc()
       val sec =
         try timeQuery(fn(spark, sfDir))
         catch { case e: Throwable =>

@@ -302,11 +302,12 @@ object SparkEntry {
     //      merge, zone emission — over deterministically synthesized neume
     //      boxes above the aligned spans ----
     "q_mei_assign" -> ((s, dir) => {
-      // no persist/checkpoint: the neume branch and the span branch share
-      // the identical salt-Exchange subtree, so physical planning reuses
-      // one kernel execution (ReusedExchange); a session-lifetime cache
-      // would pin memory (measured: eager localCheckpoint was 2x slower
-      // than simply letting the exchange be reused)
+      // no persist/checkpoint: a session-lifetime cache would pin memory
+      // and eager localCheckpoint measured slower. The deliberate trade is
+      // that the kernel runs once per join side (ReusedExchange dedupes the
+      // salt shuffle below it, not the mapPartitions above it) -- ~1.3 s of
+      // warmed kernel at bench SF versus a cache the session never frees;
+      // side effect: align accumulators count these documents twice
       val spans = AlignJob.spans(AlignJob.align(AlignJob.synthPages(s, dir),
         saltPartitions = s.sparkContext.defaultParallelism))
       MeiAssign.assign(MeiAssign.synthNeumes(spans), spans, medLineSpacing = 1.0)

@@ -187,29 +187,39 @@ object Dedup {
     out
   }
 
-  /** SimHash near-dup pairs: band the 64-bit signature into `chunks` equal
-    * bit-chunks (any equal chunk → candidate; by pigeonhole this catches all
-    * pairs with Hamming distance < chunks, except pairs ALL of whose shared
-    * buckets are outlier-dropped by the skew cap), verify Hamming ≤
-    * maxHamming. Default 8×8-bit chunks with maxHamming 7; use 4×16-bit at
-    * web scale for fewer, tighter candidates.
+  /** SimHash near-dup pairs — the Manku et al. (WWW'07) table construction:
+    * the 64-bit signature splits into `chunks` equal bit-chunks, and each
+    * document is keyed on every COMBINATION of `keyChunks` chunks. By
+    * pigeonhole a pair within Hamming distance `chunks - keyChunks` shares
+    * at least one combination with ALL its key chunks clean, so recall is
+    * guaranteed up to that radius (candidates beyond it can still surface
+    * and are Hamming-verified; pairs whose every shared bucket is
+    * outlier-dropped by the skew cap are the documented exception).
     *
-    * The skew cap ADAPTS to corpus size: the chunk keyspace is bounded
-    * (chunks × 2^bits keys), so bucket population grows with N and a fixed
-    * cap would eventually drop EVERY bucket (silent empty output). The
-    * effective cap is max(maxBucketSize, skewFactor × mean bucket size) —
-    * uniform growth keeps all buckets; only genuine outlier keys
-    * (boilerplate-identical chunks) are dropped.
+    * Scaling the keyspace with N is what keeps candidate volume bounded:
+    * with single 8-bit chunk keys, buckets hold ~N/256 docs and the join is
+    * quadratic in N regardless of any cap. At web scale use
+    * `keyChunks = 2` (16-bit keys over C(8,2)=28 tables, radius-6
+    * guarantee) or `keyChunks = 3` (24-bit keys, radius 5) — the standard
+    * precision/volume dial. Defaults keep the radius-7 guarantee for small
+    * corpora.
+    *
+    * The skew cap ADAPTS: effective cap = max(maxBucketSize, skewFactor x
+    * MEDIAN bucket size) — the median tracks uniform corpus growth (no
+    * silent empty output when N exceeds cap x keyspace) while staying
+    * robust to the hot boilerplate buckets the cap exists to drop.
     */
   def simhashNearDups(
       documents: DataFrame,
       maxHamming: Int = 7,
       chunks: Int = 8,
+      keyChunks: Int = 1,
       maxBucketSize: Int = 1000,
       skewFactor: Double = 8.0,
       reportDropped: Boolean = false): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
+    require(keyChunks >= 1 && keyChunks < chunks, s"keyChunks $keyChunks out of range")
 
     val sigs = documents.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
@@ -218,22 +228,31 @@ object Dedup {
 
     val bits = 64 / chunks
     val mask = (1L << bits) - 1
+    // one banding table per combination of keyChunks chunks; the key packs
+    // the selected chunks' bits
+    val combos = (0 until chunks).combinations(keyChunks).toSeq
     val banded = sigs.select(
       col("doc_id"), col("sig"),
-      explode(array((0 until chunks).map(c =>
-        struct(lit(c).as("chunk"), shiftrightunsigned(col("sig"), c * bits)
-          .bitwiseAND(lit(mask)).as("key"))): _*)).as("b"))
+      explode(array(combos.zipWithIndex.map { case (combo, ci) =>
+        val key = combo.zipWithIndex.map { case (c, pos) =>
+          shiftleft(shiftrightunsigned(col("sig"), c * bits).bitwiseAND(lit(mask)),
+            pos * bits)
+        }.reduce((a, b) => a.bitwiseOR(b))
+        struct(lit(ci).as("chunk"), key.as("key"))
+      }: _*)).as("b"))
       .select(col("doc_id"), col("sig"), col("b.chunk"), col("b.key"))
 
-    // count-first skew cap (same pattern as minhashNearDups): an 8-bit chunk
-    // key shared by millions of boilerplate-identical pages must NOT feed a
-    // quadratic self-join. Counts partial-aggregate (no id list for the hot
-    // key); buckets over the cap are dropped before any pairing.
+    // count-first skew cap: a key shared by millions of boilerplate-identical
+    // pages must NOT feed a quadratic self-join. Counts partial-aggregate (no
+    // id list for the hot key); buckets over the cap are dropped before any
+    // pairing. keyCounts is PERSISTED: it is bounded by the keyspace, not the
+    // corpus, and is consumed by the median job, the optional drop count, and
+    // both self-join sides (without the cache each consumer would re-run the
+    // full signature pass).
     val keyCounts = banded.groupBy(col("chunk"), col("key"))
       .agg(count(lit(1)).as("sz"))
-    // corpus-adaptive cap (one scalar aggregate over ≤ chunks·2^bits rows):
-    // a fixed cap over a bounded keyspace silently empties the output once
-    // N exceeds cap·2^bits
+      .persist()
+    // corpus-adaptive cap (one scalar aggregate over the tiny counts table)
     val medRow = keyCounts.agg(percentile_approx(col("sz"), lit(0.5), lit(10000))).collect()(0)
     val median = if (medRow.isNullAt(0)) 0L else medRow.getLong(0)
     val cap = math.max(maxBucketSize.toLong, (skewFactor * median).toLong)

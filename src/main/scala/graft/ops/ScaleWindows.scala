@@ -33,10 +33,29 @@ import org.apache.spark.storage.StorageLevel
   *
   * The input is consumed several times (count, sample, window, boundary
   * aggregate); `persistInput` (default true) caches it MEMORY_AND_DISK so
-  * expensive upstream plans compute once. The cache is left for Spark's
-  * ContextCleaner to drop with the DataFrame.
+  * expensive upstream plans compute once. Persisted inputs are tracked in a
+  * bounded registry and the oldest are unpersisted as new calls come in
+  * (Spark's CacheManager would otherwise pin them for the session).
   */
 object ScaleWindows {
+
+  /** Bounded registry of inputs this object has persisted: Spark's
+    * CacheManager holds persisted plans strongly (they are NOT freed by GC
+    * or the ContextCleaner), so long-lived sessions calling withGlobalLag
+    * repeatedly would otherwise pin every input forever. Keep the most
+    * recent few (a caller's returned DataFrame is normally consumed
+    * immediately); evictees are unpersisted lazily.
+    */
+  private val MaxCachedInputs = 4
+  private val cached = new java.util.ArrayDeque[DataFrame]()
+
+  private def registerPersist(df: DataFrame): Unit = cached.synchronized {
+    cached.addLast(df)
+    while (cached.size > MaxCachedInputs) {
+      try cached.removeFirst().unpersist(false)
+      catch { case _: Throwable => () }
+    }
+  }
 
   /** Deterministic key sample, sorted by Spark's OWN ordering (so the
     * boundary comparison agrees with ORDER BY semantics for every key
@@ -49,13 +68,27 @@ object ScaleWindows {
       sampleTarget: Int,
       total: Long): Seq[Any] = {
     val rate = math.max(1L, total / math.max(1, sampleTarget))
+    // the hash gate admits key VALUES, so duplicate-heavy inputs could admit
+    // arbitrarily many ROWS of one hot key — the orderBy+limit plans as
+    // TakeOrdered, so the driver collect is bounded no matter what
+    val limit = math.max(16, 4 * sampleTarget)
     val sampled = input.select(col(keyCol))
       .filter(pmod(xxhash64(col(keyCol)), lit(rate)) === 0)
       .orderBy(col(keyCol))
+      .limit(limit)
       .collect()
       .map(_.get(0))
-    if (sampled.isEmpty || n <= 1) Seq.empty
-    else (1 until n).map(i => sampled(((i.toLong * sampled.length) / n).toInt))
+    // few-distinct-keys fallback: when the gate admits nothing (expected
+    // admitted KEYS ≈ distinctKeys/rate can round to zero), sample the
+    // distinct keys directly — the extra shuffle only happens in this
+    // degenerate regime, and without it the bucketing would silently
+    // collapse to one partition
+    val effective =
+      if (sampled.nonEmpty) sampled
+      else input.select(col(keyCol)).distinct().orderBy(col(keyCol))
+        .limit(limit).collect().map(_.get(0))
+    if (effective.isEmpty || n <= 1) Seq.empty
+    else (1 until n).map(i => effective(((i.toLong * effective.length) / n).toInt))
       .distinct
   }
 
@@ -79,7 +112,12 @@ object ScaleWindows {
       if (numBuckets > 0) numBuckets
       else math.max(2, spark.sparkContext.defaultParallelism)
 
-    val input = if (persistInput) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+    val input =
+      if (persistInput) {
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        registerPersist(p)
+        p
+      } else df
 
     val total = input.count()
     if (total == 0)

@@ -262,10 +262,12 @@ object Similarity {
     // bucket — near-identical boilerplate embeddings all hashing together —
     // must not go quadratic. Counts partial-aggregate; oversized buckets are
     // dropped before pairing.
-    val bucketCounts = signed.groupBy(col("bucket")).agg(count(lit(1)).as("sz"))
-    // corpus-adaptive cap: the keyspace is 2^nBits buckets, so a fixed cap
-    // would silently empty the output once N exceeds cap·2^nBits; the
-    // effective cap keeps uniformly-grown buckets and drops only outliers
+    // bucketCounts is PERSISTED: bounded by the 2^nBits keyspace, consumed
+    // by the median job, the optional drop count, and both self-join sides
+    val bucketCounts = signed.groupBy(col("bucket")).agg(count(lit(1)).as("sz")).persist()
+    // corpus-adaptive cap (skewFactor x MEDIAN bucket size): a fixed cap
+    // would silently empty the output once N exceeds cap x 2^nBits; the
+    // median tracks uniform growth and is robust to the hot buckets
     val medRow = bucketCounts.agg(percentile_approx(col("sz"), lit(0.5), lit(10000))).collect()(0)
     val median = if (medRow.isNullAt(0)) 0L else medRow.getLong(0)
     val cap = math.max(maxBucketSize.toLong, (skewFactor * median).toLong)

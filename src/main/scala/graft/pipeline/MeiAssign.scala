@@ -85,7 +85,7 @@ object MeiAssign {
     val wBest = Window.partitionBy(col("url"), col("elem_seq"))
       .orderBy(col("inter").desc, col("s_seq").asc)
     val withBest = nB.join(sB, Seq("url", "bkt"), "left_outer")
-      .withColumn("inter", coalesce(inter, lit(0.0)))
+      .withColumn("inter", inter) // when().otherwise(0.0): never null
       .withColumn("rn", row_number().over(wBest))
       .filter(col("rn") === 1)
       .withColumn("best",

@@ -113,10 +113,12 @@ object StreamingJobs {
   /** Streaming exact dedup over a page stream: keep the first row per text
     * digest within the watermark horizon. The state key is the same two-
     * digest+length triple as the batch `exactDuplicateGroups` (never the
-    * text), and `dropDuplicatesWithinWatermark` bounds state: a duplicate
-    * arriving after the horizon passes is re-admitted (documented trade —
-    * unbounded-horizon streaming dedup would grow state forever at 10^12
-    * rows; the batch op is the exact form).
+    * text), and `dropDuplicatesWithinWatermark` bounds state, with the
+    * standard watermark trades: a duplicate arriving after the horizon is
+    * re-admitted, and ANY row (duplicate or not) whose event time has
+    * fallen behind the watermark is dropped as late data. Unbounded-horizon
+    * streaming dedup would grow state forever at 10^12 rows; the batch op
+    * is the exact form.
     */
   def dedupStream(spark: SparkSession, pagesDir: String, horizon: String = "10 minutes"): DataFrame = {
     import spark.implicits._

@@ -95,6 +95,17 @@ class OpsRound2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.exists { case (a, b) => a <= 5000 && b <= 5000 })
   }
 
+  test("simhash keyChunks=2 (Manku web-scale config) still finds planted pairs") {
+    import spark.implicits._
+    val longA = (1 to 80).map(i => s"gamma$i").mkString(" ")
+    val docs = ((1L to 500L).map(i => (i, s"doc $i " + (1 to 40).map(j => s"w$i$j").mkString(" "))) ++
+      Seq((100001L, longA), (100002L, longA.replace("gamma80", "gammaXX"))))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(docs, keyChunks = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((100001L, 100002L)))
+  }
+
   test("embedding near-dups: hot bucket capped, planted pairs found") {
     import spark.implicits._
     def vec(seed: Long): Seq[Float] = {
