@@ -273,9 +273,12 @@ object SparkEntry {
     "q_parse_transcript" -> ((s, dir) => {
       import s.implicits._
       docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
-        .flatMap { case (id, text) =>
-          val (syls, flags) = Syllabify.parseTranscript(Seq(CleanText.clean(text)))
-          syls.zip(flags).zipWithIndex.map { case ((syl, fl), i) => (id, i, syl, fl) }
+        .mapPartitions { it =>
+          val cache = new Syllabify.Cache // per-partition memo
+          it.flatMap { case (id, text) =>
+            val (syls, flags) = Syllabify.parseTranscript(Seq(CleanText.clean(text)), cache)
+            syls.zip(flags).zipWithIndex.map { case ((syl, fl), i) => (id, i, syl, fl) }
+          }
         }.toDF("doc_id", "pos", "syl", "word_begin")
     }),
 

@@ -162,14 +162,16 @@ object Syllabify {
     *
     * Returns (syllables, wordsBegin).
     */
-  def parseTranscript(lines: Seq[String]): (Vector[String], Vector[Int]) = {
+  def parseTranscript(
+      lines: Seq[String],
+      cache: Cache = new Cache): (Vector[String], Vector[Int]) = {
     val kept = lines.filterNot(l => l.startsWith("#"))
     val sb = new StringBuilder
     for (line <- kept) {
       val l = line.toLowerCase.replace("|", "").replace(".", "")
         .dropWhile(c => " \t\n\r".contains(c)).reverse
         .dropWhile(c => " \t\n\r".contains(c)).reverse
-      val words = pySplit(l, " ").map(w => syllabifyWord(w).mkString("-"))
+      val words = pySplit(l, " ").map(w => cache.get(w).mkString("-"))
       sb.append(words.mkString(" ")).append(' ')
     }
     var text = sb.toString.strip()

@@ -29,7 +29,12 @@ object Functions {
       org.apache.spark.sql.functions.udaf(new graft.functions.BBoxUnionAggregator))
     spark.udf.register("clean_text", (s: String) => CleanText.clean(if (s == null) "" else s))
     spark.udf.register("extract_text", (b: Array[Byte]) => ExtractHtml.extractText(b))
-    spark.udf.register("syllabify", (s: String) => Syllabify.syllabifyText(if (s == null) "" else s))
+    spark.udf.register("syllabify", new (String => Seq[String]) with Serializable {
+      // per-deserialization (≈ per-task) memo — pure function, Zipf vocab
+      @transient private lazy val cache = new Syllabify.Cache
+      def apply(s: String): Seq[String] =
+        Syllabify.syllabifyText(if (s == null) "" else s, cache)
+    })
     spark.udf.register("lang_id", (s: String) => TextOps.langIdOf(s))
     spark.udf.register("doc_fingerprint", (s: String) => TextOps.fingerprintOf(if (s == null) "" else s))
     spark.udf.register("simhash64", (s: String) => Dedup.simhashOf(if (s == null) "" else s))
