@@ -72,6 +72,14 @@ object AlignmentPropertiesSpec extends Properties("alignment") {
       Syllabify.syllabifyWord(w).mkString == w
     }
 
+  property("memoized syllabification == direct (shared cache across inputs)") = {
+    val sharedCache = new Syllabify.Cache
+    forAll(Gen.listOfN(6, wordGen)) { ws: List[String] =>
+      val text = ws.mkString(" ")
+      Syllabify.syllabifyText(text, sharedCache) == Syllabify.syllabifyText(text)
+    }
+  }
+
   // NOTE: clean is NOT idempotent in general (reference parity: the
   // non-overlapping " | " collapse means clean("a | | a") == "a | a", which
   // cleans again to "a a"). Idempotence holds exactly on pipe-free inputs,
