@@ -209,9 +209,11 @@ object SparkEntry {
       Dedup.minhashNearDups(docsWithNearDups(s, dir), threshold = 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
 
-    // ---- SimHash near-dup detection ----
+    // ---- SimHash near-dup detection (the web-scale Manku config: 16-bit
+    //      combination keys, guaranteed recall to Hamming radius 6,
+    //      hamming<=7 candidates kept when they surface) ----
     "q_simhash_dedup" -> ((s, dir) =>
-      Dedup.simhashNearDups(docsWithNearDups(s, dir))
+      Dedup.simhashNearDups(docsWithNearDups(s, dir), keyChunks = 2)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // ---- winnowing similarity over the planted near-dup pairs ----

@@ -264,14 +264,21 @@ def main():
           {"doc_a": [x[0] for x in mrows], "doc_b": [x[1] for x in mrows],
            "jaccard": [x[2] for x in mrows]})
 
-    # ---- q_simhash_dedup (chunks=8, maxHamming=7, cap=1000) ----
+    # ---- q_simhash_dedup (chunks=8, keyChunks=2 Manku combos, maxHamming=7,
+    #      median-adaptive cap — mirrors Dedup.simhashNearDups) ----
+    from itertools import combinations
     sigs = {did: g.simhash(t) for did, t in near.items()}
     sbuckets = {}
     for did, sig in sigs.items():
-        for c in range(8):
-            key = (sig >> (c * 8)) & 0xFF
-            sbuckets.setdefault((c, key), []).append(did)
-    scand = g.bucket_pairs(sbuckets.values(), 1000)
+        for ci, combo in enumerate(combinations(range(8), 2)):
+            key = 0
+            for pos, c in enumerate(combo):
+                key |= ((sig >> (c * 8)) & 0xFF) << (pos * 8)
+            sbuckets.setdefault((ci, key), []).append(did)
+    sizes = sorted(len(v) for v in sbuckets.values())
+    median = sizes[len(sizes) // 2] if sizes else 0
+    scap = max(1000, 8 * median)
+    scand = g.bucket_pairs(sbuckets.values(), scap)
     hrows = []
     for a, b in sorted(scand):
         ham = bin(sigs[a] ^ sigs[b]).count("1")
