@@ -123,8 +123,11 @@ object Syllabify {
     * indicate adversarial input; correctness is unaffected either way).
     */
   final class Cache(maxEntries: Int = 1 << 16) {
+    // synchronized: per-partition/per-task instances are single-threaded,
+    // but the registered UDF's driver-side instance can be hit by concurrent
+    // queries (Catalyst may fold UDFs over LocalRelations on the driver)
     private val m = new java.util.HashMap[String, Vector[String]]()
-    def get(w: String): Vector[String] = {
+    def get(w: String): Vector[String] = m.synchronized {
       var v = m.get(w)
       if (v == null) {
         v = syllabifyWord(w)

@@ -249,9 +249,10 @@ object Dedup {
     // corpus, and is consumed by the median job, the optional drop count, and
     // both self-join sides (without the cache each consumer would re-run the
     // full signature pass).
-    val keyCounts = banded.groupBy(col("chunk"), col("key"))
-      .agg(count(lit(1)).as("sz"))
-      .persist()
+    val keyCounts = CacheRegistry.register(
+      banded.groupBy(col("chunk"), col("key"))
+        .agg(count(lit(1)).as("sz"))
+        .persist())
     // corpus-adaptive cap (one scalar aggregate over the tiny counts table)
     val medRow = keyCounts.agg(percentile_approx(col("sz"), lit(0.5), lit(10000))).collect()(0)
     val median = if (medRow.isNullAt(0)) 0L else medRow.getLong(0)

@@ -39,24 +39,6 @@ import org.apache.spark.storage.StorageLevel
   */
 object ScaleWindows {
 
-  /** Bounded registry of inputs this object has persisted: Spark's
-    * CacheManager holds persisted plans strongly (they are NOT freed by GC
-    * or the ContextCleaner), so long-lived sessions calling withGlobalLag
-    * repeatedly would otherwise pin every input forever. Keep the most
-    * recent few (a caller's returned DataFrame is normally consumed
-    * immediately); evictees are unpersisted lazily.
-    */
-  private val MaxCachedInputs = 4
-  private val cached = new java.util.ArrayDeque[DataFrame]()
-
-  private def registerPersist(df: DataFrame): Unit = cached.synchronized {
-    cached.addLast(df)
-    while (cached.size > MaxCachedInputs) {
-      try cached.removeFirst().unpersist(false)
-      catch { case _: Throwable => () }
-    }
-  }
-
   /** Deterministic key sample, sorted by Spark's OWN ordering (so the
     * boundary comparison agrees with ORDER BY semantics for every key
     * type), evenly thinned to ≤ n-1 boundary literals.
@@ -68,12 +50,14 @@ object ScaleWindows {
       sampleTarget: Int,
       total: Long): Seq[Any] = {
     val rate = math.max(1L, total / math.max(1, sampleTarget))
-    // the hash gate admits key VALUES, so duplicate-heavy inputs could admit
-    // arbitrarily many ROWS of one hot key — the orderBy+limit plans as
-    // TakeOrdered, so the driver collect is bounded no matter what
+    // the hash gate admits key VALUES; distinct collapses duplicate-heavy
+    // admissions (partial-aggregated map-side) so boundaries stay
+    // representative, and the orderBy+limit plans as TakeOrdered so the
+    // driver collect is bounded no matter what
     val limit = math.max(16, 4 * sampleTarget)
     val sampled = input.select(col(keyCol))
       .filter(pmod(xxhash64(col(keyCol)), lit(rate)) === 0)
+      .distinct() // hot keys flooding the gate must not bias the boundaries
       .orderBy(col(keyCol))
       .limit(limit)
       .collect()
@@ -113,11 +97,9 @@ object ScaleWindows {
       else math.max(2, spark.sparkContext.defaultParallelism)
 
     val input =
-      if (persistInput) {
-        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-        registerPersist(p)
-        p
-      } else df
+      if (persistInput)
+        CacheRegistry.register(df.persist(StorageLevel.MEMORY_AND_DISK))
+      else df
 
     val total = input.count()
     if (total == 0)

@@ -264,7 +264,8 @@ object Similarity {
     // dropped before pairing.
     // bucketCounts is PERSISTED: bounded by the 2^nBits keyspace, consumed
     // by the median job, the optional drop count, and both self-join sides
-    val bucketCounts = signed.groupBy(col("bucket")).agg(count(lit(1)).as("sz")).persist()
+    val bucketCounts = CacheRegistry.register(
+      signed.groupBy(col("bucket")).agg(count(lit(1)).as("sz")).persist())
     // corpus-adaptive cap (skewFactor x MEDIAN bucket size): a fixed cap
     // would silently empty the output once N exceeds cap x 2^nBits; the
     // median tracks uniform growth and is robust to the hot buckets

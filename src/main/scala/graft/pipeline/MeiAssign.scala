@@ -32,6 +32,10 @@ import org.apache.spark.sql.expressions.Window
   * @param spans  aligned text spans: (url, seq, syl, ulx, uly, lrx, lry)
   * @param medLineSpacing the downward translation (reference: 0.75-quantile
   *               of text-line peak gaps; 1.0 in the unit-box degeneration)
+  * Precondition: bbox coordinates are non-null on both inputs (the
+  * reference crashes on a missing zone attribute; here a null-coordinate
+  * element would drop from the output via the bucket explode).
+  *
   * @return one row per input element:
   *   (url, elem_seq, is_leader, assigned_syl, leader_seq,
   *    zone_ulx, zone_uly, zone_lrx, zone_lry)

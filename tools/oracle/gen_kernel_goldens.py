@@ -275,6 +275,10 @@ def main():
             for pos, c in enumerate(combo):
                 key |= ((sig >> (c * 8)) & 0xFF) << (pos * 8)
             sbuckets.setdefault((ci, key), []).append(did)
+    # NOTE: Spark uses percentile_approx(0.5) while this mirror uses the
+    # exact upper median — identical as long as 8*median < maxBucketSize
+    # (true at sf0.01 by a wide margin); if goldens are ever generated at a
+    # scale where the adaptive cap binds, align the two median definitions.
     sizes = sorted(len(v) for v in sbuckets.values())
     median = sizes[len(sizes) // 2] if sizes else 0
     scap = max(1000, 8 * median)
