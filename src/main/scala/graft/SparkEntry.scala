@@ -184,6 +184,14 @@ object SparkEntry {
     "q_token_count" -> ((s, dir) =>
       TextOps.tokenCounts(docs(s, dir))),
 
+    // ---- Gopher-style repetition signals (top n-gram char fractions) ----
+    "q_repetition" -> ((s, dir) =>
+      TextOps.repetitionScores(docs(s, dir))),
+
+    // ---- embedding clustering (per-cluster corpus organization) ----
+    "q_embed_cluster" -> ((s, dir) =>
+      Similarity.clusterAssign(tbl(s, dir, "embeddings"))),
+
     // ---- quality scoring (integer-exact + single divisions) ----
     "q_quality" -> ((s, dir) =>
       TextOps.qualityScores(docs(s, dir))),
@@ -482,6 +490,8 @@ object SparkEntry {
     "q_media_features" -> golden("q_media_features"),
     "q_ann_lsh" -> golden("q_ann_lsh"),
     "q_ann_ivf" -> golden("q_ann_ivf"),
+    "q_repetition" -> golden("q_repetition"),
+    "q_embed_cluster" -> golden("q_embed_cluster"),
     "q_embed_near_dups" -> golden("q_embed_near_dups"),
 
     // ---- exact-cosine brute force: computable directly in DuckDB (double

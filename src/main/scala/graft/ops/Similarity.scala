@@ -192,6 +192,43 @@ object Similarity {
     * exactly (native cosine expression) inside them. The 100 TB shape:
     * candidate volume ≈ corpus × nProbe / nLists.
     */
+  /** Corpus-scaled k-means centroids: nLists ≈ √N (the standard IVF sizing),
+    * training sample ≈ 8 vectors per list. The sample is a DISTRIBUTED
+    * deterministic hash gate (mix(vec_id) % rate == 0) — every executor
+    * decides inclusion locally; no global sort, no orderBy.limit; only the
+    * ≈sampleTarget training vectors are ever collected (driver-scale).
+    */
+  def trainCentroids(
+      embeddings: DataFrame,
+      nLists: Int = 0,
+      seed: Long = 42L,
+      sampleTarget: Int = 0): Array[Array[Double]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val n = embeddings.count()
+    val lists = if (nLists > 0) nLists else math.max(16, math.sqrt(n.toDouble).round.toInt)
+    val target = if (sampleTarget > 0) sampleTarget else math.max(256, lists * 8)
+    val rate = math.max(1L, n / target)
+    val gate = udf((id: Long) => java.lang.Long.remainderUnsigned(TextOps.mix(id), rate) == 0L)
+    val sample = embeddings.filter(gate(col("vec_id")))
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().sortBy(_._1).map(_._2.toArray)
+    kmeans(sample, lists, iters = 5, seed = seed)
+  }
+
+  /** Embedding clustering: assign every vector to its nearest trained
+    * centroid — the corpus-organization op of a training-data pipeline
+    * (domain mixing, per-cluster sampling quotas, diversity stats). The
+    * assignment is map-side against broadcast centroids; the only
+    * non-map work is the bounded training collect.
+    */
+  def clusterAssign(embeddings: DataFrame, k: Int = 0, seed: Long = 42L): DataFrame = {
+    val spark = embeddings.sparkSession
+    val centroidsB = spark.sparkContext.broadcast(trainCentroids(embeddings, k, seed))
+    val assignUdf = udf((v: Seq[Float]) => nearestLists(v.toArray, centroidsB.value, 1)(0))
+    embeddings.select(col("vec_id"), assignUdf(col("embedding")).as("cluster"))
+  }
+
   def ivfTopK(
       embeddings: DataFrame,
       queryMaxId: Long,
@@ -203,20 +240,7 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
 
-    // corpus-scaled knobs: nLists ≈ √N (the standard IVF sizing), training
-    // sample ≈ 8 vectors per list. The sample is a DISTRIBUTED deterministic
-    // hash gate (mix(vec_id) % rate == 0) — every executor decides inclusion
-    // locally; no global sort, no orderBy.limit; only the ≈sampleTarget
-    // training vectors are ever collected (driver-scale).
-    val n = embeddings.count()
-    val lists = if (nLists > 0) nLists else math.max(16, math.sqrt(n.toDouble).round.toInt)
-    val target = if (sampleTarget > 0) sampleTarget else math.max(256, lists * 8)
-    val rate = math.max(1L, n / target)
-    val gate = udf((id: Long) => java.lang.Long.remainderUnsigned(TextOps.mix(id), rate) == 0L)
-    val sample = embeddings.filter(gate(col("vec_id")))
-      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
-      .collect().sortBy(_._1).map(_._2.toArray)
-    val centroids = kmeans(sample, lists, iters = 5, seed = seed)
+    val centroids = trainCentroids(embeddings, nLists, seed, sampleTarget)
     val centroidsB = spark.sparkContext.broadcast(centroids)
 
     val assignUdf = udf((v: Seq[Float]) => nearestLists(v.toArray, centroidsB.value, 1)(0))

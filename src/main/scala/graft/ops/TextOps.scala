@@ -176,6 +176,49 @@ object TextOps {
     acc
   }
 
+  /** Gopher-style repetition signal (Rae et al. 2021 §A1.1 "repetition
+    * removal"): the fraction of document CHARACTERS covered by occurrences
+    * of the single most frequent word n-gram. High values flag boilerplate /
+    * TV-schedule-style pages that perplexity filters miss. Ties broken by
+    * the lexicographically smallest n-gram (deterministic). Pure function —
+    * mirrored in the golden oracle.
+    */
+  def topNgramCharFraction(text: String, n: Int): Double = {
+    if (text == null || text.isEmpty) return 0.0
+    val toks = text.split(" ").filter(_.nonEmpty)
+    if (toks.length < n) return 0.0
+    val counts = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i + n <= toks.length) {
+      val g = toks.slice(i, i + n).mkString(" ")
+      counts.merge(g, 1, (a, b) => a + b)
+      i += 1
+    }
+    var bestG: String = null
+    var bestC = 0
+    counts.forEach { (g, c) =>
+      if (c > bestC || (c == bestC && (bestG == null || g < bestG))) {
+        bestG = g; bestC = c
+      }
+    }
+    if (bestC <= 1) 0.0
+    else (bestC.toLong * bestG.length).toDouble / text.length
+  }
+
+  /** Per-document repetition signals for n = 2, 3, 4 — the Gopher filter
+    * columns a pretraining pipeline thresholds on.
+    */
+  def repetitionScores(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        (id, topNgramCharFraction(t, 2), topNgramCharFraction(t, 3),
+          topNgramCharFraction(t, 4))
+      })
+      .toDF("doc_id", "top2gram_char_frac", "top3gram_char_frac", "top4gram_char_frac")
+  }
+
   @inline def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L

@@ -304,6 +304,17 @@ def main():
            "frames_sampled": [g.sample_frame_count(g.media_kind(i), len(t.encode("utf-8")))
                               for i, t in doc_items]})
 
+    # ---- q_repetition (Gopher top-ngram char fractions) ----
+    write("q_repetition",
+          pa.schema([("doc_id", pa.int64()),
+                     ("top2gram_char_frac", pa.float64()),
+                     ("top3gram_char_frac", pa.float64()),
+                     ("top4gram_char_frac", pa.float64())]),
+          {"doc_id": docs.doc_id.tolist(),
+           "top2gram_char_frac": [g.top_ngram_char_fraction(t, 2) for t in docs.text.tolist()],
+           "top3gram_char_frac": [g.top_ngram_char_fraction(t, 3) for t in docs.text.tolist()],
+           "top4gram_char_frac": [g.top_ngram_char_fraction(t, 4) for t in docs.text.tolist()]})
+
     # ---- embeddings-based queries ----
     emb_tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                             columns=["vec_id", "embedding"])
@@ -362,6 +373,13 @@ def main():
                      ("neighbor_id", pa.int64()), ("score", pa.float64())]),
           {"q_id": [x[0] for x in ivf_rows], "rank": [x[1] for x in ivf_rows],
            "neighbor_id": [x[2] for x in ivf_rows], "score": [x[3] for x in ivf_rows]})
+
+    # q_embed_cluster: corpus-scaled kmeans assignment (mirrors
+    # Similarity.clusterAssign: same hash-gate sample, same Lloyd iterations)
+    crows = [(i, g.nearest_lists(by_id[i], centroids, 1)[0]) for i in vec_ids]
+    write("q_embed_cluster",
+          pa.schema([("vec_id", pa.int64()), ("cluster", pa.int32())]),
+          {"vec_id": [x[0] for x in crows], "cluster": [x[1] for x in crows]})
 
     # q_embed_near_dups: union with float32-perturbed every-20th, nBits=10,
     # threshold 0.95, cap 1000

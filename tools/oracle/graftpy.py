@@ -510,6 +510,26 @@ def parse_transcript(lines, syllabify_word):
     return syls, flags
 
 
+def top_ngram_char_fraction(text, n):
+    """Mirror of TextOps.topNgramCharFraction (Gopher repetition signal)."""
+    if not text:
+        return 0.0
+    toks = [t for t in text.split(" ") if t]
+    if len(toks) < n:
+        return 0.0
+    counts = {}
+    for i in range(len(toks) - n + 1):
+        g = " ".join(toks[i:i + n])
+        counts[g] = counts.get(g, 0) + 1
+    best_g, best_c = None, 0
+    for g, c in counts.items():
+        if c > best_c or (c == best_c and (best_g is None or g < best_g)):
+            best_g, best_c = g, c
+    if best_c <= 1:
+        return 0.0
+    return (best_c * len(best_g)) / len(text)
+
+
 # ---------------- Multimodal stub ----------------
 
 def media_kind(doc_id):
