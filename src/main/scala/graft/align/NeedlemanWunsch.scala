@@ -252,9 +252,10 @@ object NeedlemanWunsch {
     * Rationale: with a zero gap-extend cost (the default scoring has
     * gap_extend_y = 0) band-edge truncation can influence cells arbitrarily
     * far away, so NO per-run certificate of exactness exists for a fixed
-    * band. Agreement across two band widths (with a floor of [[MinBand]]) is
-    * the empirical acceptance rule — measured 0/8000 disagreements vs the
-    * full matrix across default/adversarial/realistic scorings — and it is
+    * band. The three-band agreement streak (b, 2b, 4b identical, with a
+    * floor of [[MinBand]]) is the empirical acceptance rule — measured
+    * 0/20000 disagreements vs the full matrix across
+    * default/adversarial/realistic scorings (graft.tools.BandSweep) — and it is
     * validated continuously by the property and differential suites.
     * Documents small enough for [[FullMatrixCellThreshold]] (the realistic
     * web-page range) never take this path and are exact by construction; any

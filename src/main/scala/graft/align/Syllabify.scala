@@ -119,19 +119,24 @@ object Syllabify {
   /** Per-partition memo for [[syllabifyWord]] — the function is pure and
     * corpus vocabulary is Zipf-distributed, so one cache per kernel instance
     * removes ~25% of per-document kernel time (measured by KernelBench).
-    * Cleared wholesale when it exceeds `maxEntries` (vocabularies that large
-    * indicate adversarial input; correctness is unaffected either way).
+    * LRU-evicted one entry at a time past `maxEntries` (access-ordered
+    * LinkedHashMap), so an adversarial >64k-word vocabulary degrades
+    * smoothly instead of hitting a recurring full-flush cold start;
+    * correctness is unaffected either way.
     */
   final class Cache(maxEntries: Int = 1 << 16) {
     // synchronized: per-partition/per-task instances are single-threaded,
     // but the registered UDF's driver-side instance can be hit by concurrent
     // queries (Catalyst may fold UDFs over LocalRelations on the driver)
-    private val m = new java.util.HashMap[String, Vector[String]]()
+    private val m = new java.util.LinkedHashMap[String, Vector[String]](1024, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Vector[String]]): Boolean =
+        size() > maxEntries
+    }
     def get(w: String): Vector[String] = m.synchronized {
       var v = m.get(w)
       if (v == null) {
         v = syllabifyWord(w)
-        if (m.size >= maxEntries) m.clear()
         m.put(w, v)
       }
       v

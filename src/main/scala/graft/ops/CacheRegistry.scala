@@ -10,7 +10,7 @@ import org.apache.spark.sql.DataFrame
   * cache entry per call for the session's lifetime. Registering them here
   * keeps only the most recent few; evictees are unpersisted lazily.
   */
-private[ops] object CacheRegistry {
+private[graft] object CacheRegistry {
   private val MaxEntries = 8
   private val entries = new java.util.ArrayDeque[DataFrame]()
 

@@ -13,8 +13,14 @@ import org.apache.spark.sql.expressions.Window
   *    are verified with exact Jaccard before reporting. Bucket sizes are
   *    bounded (bandHash space is 2^64); skew is handled by count-first
   *    capping — bucket sizes are counted with a partial aggregation (no id
-  *    list materialized), oversized buckets dropped before any collect_list
-  *    runs (reporting opt-in via `reportDropped`; eager, one extra pass).
+  *    list materialized), oversized buckets dropped before the pairing
+  *    self-join runs (reporting opt-in via `reportDropped`; eager, one
+  *    extra pass).
+  *
+  *  NOTE on eagerness: `simhashNearDups` and (with `reportDropped`)
+  *  `minhashNearDups` run driver-side Spark jobs at DataFrame-CONSTRUCTION
+  *  time (the corpus-adaptive cap needs a median over the bucket counts) —
+  *  unlike the other ops here they are not fully lazy plans.
   *  - SimHash: 64-bit signature per row; banding on 16-bit chunks → same
   *    single-shuffle candidate generation; Hamming-verified.
   */
@@ -115,7 +121,12 @@ object Dedup {
     import spark.implicits._
     val numPerm = bands * rowsPerBand
 
-    val sigs = documents.select(col("doc_id").cast("long"), col("text"))
+    // signatures are PERSISTED (doc_id + `bands` 64-bit keys ≈ 140 B/row):
+    // the exploded key table feeds the bucket-count aggregate AND both sides
+    // of the candidate self-join — without the cache each consumer would
+    // re-run the full MinHash pass over the text
+    val sigs = CacheRegistry.register(documents
+      .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val sig = minhashSignature(text, numPerm, shingleN)
@@ -128,31 +139,35 @@ object Dedup {
         (id, bandKeys)
       })
       .toDF("doc_id", "band_keys")
+      .persist())
 
     // count per bucket FIRST (partial-aggregating counts — no id list is
     // ever materialized for a pathological bucket, so a 10M-document
-    // boilerplate key cannot OOM an aggregation buffer), then collect ids
-    // only for buckets under the cap
+    // boilerplate key cannot OOM an aggregation buffer)
     val exploded = sigs
       .select(col("doc_id"), posexplode(col("band_keys")).as(Seq("band", "key")))
-    val keyCounts = exploded.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("sz"))
+    val keyCounts = CacheRegistry.register(
+      exploded.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("sz"))
+        .persist())
     if (reportDropped) {
       // opt-in: eager counting costs one extra pass over the signatures
       val dropped = keyCounts.filter(col("sz") > maxBucketSize).count()
       if (dropped > 0)
         System.err.println(s"[graft.minhash] dropped $dropped oversized buckets (> $maxBucketSize)")
     }
-    val buckets = exploded
+    // capped streaming self-join — same shape as simhashNearDups: both sides
+    // restrict to buckets with 1 < size <= cap, then pairs STREAM out of the
+    // join without ever materializing a per-bucket id array (collect_list of
+    // a 1000-member bucket would build ~500k structs in one task's memory)
+    val capped = exploded
       .join(keyCounts.filter(col("sz") > 1 && col("sz") <= maxBucketSize), Seq("band", "key"))
-      .groupBy(col("band"), col("key"))
-      .agg(collect_list(col("doc_id")).as("ids"))
+      .select(col("band"), col("key"), col("doc_id"))
 
-    val candidates = buckets
-      .select(explode(expr(
-        "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)"))
-        .as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+    val candidates = capped.as("l").join(capped.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
 
     // verify candidates with exact Jaccard (join text back; candidate set is
@@ -221,10 +236,17 @@ object Dedup {
     import spark.implicits._
     require(keyChunks >= 1 && keyChunks < chunks, s"keyChunks $keyChunks out of range")
 
-    val sigs = documents.select(col("doc_id").cast("long"), col("text"))
+    // signatures are PERSISTED (doc_id + 64-bit sig = 16 B/row): the banded
+    // key table derived from them feeds the bucket-count aggregate AND both
+    // sides of the candidate self-join — without the cache each consumer
+    // would re-run the full SimHash pass over the text (the round-2 bench
+    // regression: 3× signature recompute)
+    val sigs = CacheRegistry.register(documents
+      .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) => (id, simhashOf(t)) })
       .toDF("doc_id", "sig")
+      .persist())
 
     val bits = 64 / chunks
     val mask = (1L << bits) - 1

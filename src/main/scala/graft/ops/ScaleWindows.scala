@@ -78,9 +78,15 @@ object ScaleWindows {
 
   /** Adds `outCol` = global lag(valueCol, 1) over (ORDER BY keyCol), without
     * a single-partition window over data-scale rows. The global first row
-    * gets null (standard lag semantics). `valueCol` should be non-null (a
-    * null value is indistinguishable from "first row of bucket" in the
-    * boundary fill).
+    * gets null (standard lag semantics). Null `valueCol` values are handled
+    * exactly (the local lag is computed over a struct wrapper, so "first row
+    * of bucket" is distinguishable from a genuine null value).
+    *
+    * `smallInputThreshold` default: the boundary-exchange machinery costs
+    * ~6 extra Spark jobs (count, sample, window, boundary aggregate, join);
+    * below ~1M short rows a single-task window is measurably cheaper (the
+    * round-2 bench regression was this threshold set 100× too low), while
+    * anything a 100 TB run would care about sits far above it.
     */
   def withGlobalLag(
       df: DataFrame,
@@ -90,7 +96,7 @@ object ScaleWindows {
       numBuckets: Int = 0,
       sampleTarget: Int = 10000,
       persistInput: Boolean = true,
-      smallInputThreshold: Long = 10000): DataFrame = {
+      smallInputThreshold: Long = 1000000): DataFrame = {
     val spark = df.sparkSession
     val n =
       if (numBuckets > 0) numBuckets
@@ -121,7 +127,12 @@ object ScaleWindows {
 
     val bucketed = input.withColumn("__bkt", bucket)
     val wIn = Window.partitionBy(col("__bkt")).orderBy(col(keyCol))
-    val withLocal = bucketed.withColumn("__lag", lag(col(valueCol), 1).over(wIn))
+    // lag over a struct wrapper: the lag is null ONLY on the first row of a
+    // bucket (where the boundary fill applies); a genuine null value
+    // mid-bucket yields a non-null struct with a null field and passes
+    // through as null, exactly like a plain global lag would
+    val withLocal = bucketed.withColumn("__lag",
+      lag(struct(col(valueCol).as("v")), 1).over(wIn))
 
     // one row per non-empty bucket: its last (max-key) value. ≤ n rows —
     // metadata-scale. The "previous non-empty bucket" lookup is a broadcast
@@ -138,7 +149,7 @@ object ScaleWindows {
 
     withLocal.join(broadcast(prevBoundary), Seq("__bkt"), "left")
       .withColumn(outCol,
-        when(col("__lag").isNull, col("__prev_last")).otherwise(col("__lag")))
+        when(col("__lag").isNull, col("__prev_last")).otherwise(col("__lag.v")))
       .drop("__bkt", "__lag", "__prev_last")
   }
 }

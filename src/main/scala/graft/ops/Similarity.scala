@@ -79,12 +79,14 @@ object Similarity {
     * candidates = same bucket; exact cosine re-rank within bucket. Recall is
     * traded for the bucket-local join — the 100 TB path.
     */
-  /** Query-side multiprobe buckets: the exact bucket plus (optionally) every
-    * bucket at Hamming distance 1 — the standard recall lever that costs
-    * nothing on the corpus side (only queries fan out).
+  /** Query-side multiprobe buckets: the exact bucket plus (when
+    * `probeHamming1`) every bucket at Hamming distance 1 — the standard
+    * recall lever that costs nothing on the corpus side (only queries fan
+    * out). Depth-k probing beyond Hamming 1 is not implemented; the
+    * parameter is a Boolean so the signature says exactly what it does.
     */
-  def probeBuckets(sig: Long, nBits: Int, multiprobe: Int): Array[Long] =
-    if (multiprobe <= 0) Array(sig)
+  def probeBuckets(sig: Long, nBits: Int, probeHamming1: Boolean): Array[Long] =
+    if (!probeHamming1) Array(sig)
     else Array(sig) ++ (0 until nBits).map(b => sig ^ (1L << b))
 
   def lshTopK(
@@ -93,7 +95,7 @@ object Similarity {
       k: Int,
       nBits: Int = 6,
       seed: Long = 42L,
-      multiprobe: Int = 1): DataFrame = {
+      probeHamming1: Boolean = true): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
 
@@ -102,7 +104,7 @@ object Similarity {
     val planesB = spark.sparkContext.broadcast(planes)
     val sigUdf = udf((v: Seq[Float]) => signBits(v.toArray, planesB.value))
     val probesUdf = udf((v: Seq[Float]) =>
-      probeBuckets(signBits(v.toArray, planesB.value), nBits, multiprobe))
+      probeBuckets(signBits(v.toArray, planesB.value), nBits, probeHamming1))
 
     val signed = embeddings.withColumn("bucket", sigUdf(col("embedding")))
     // queries probe their own bucket + Hamming-1 neighbors (multiprobe):
