@@ -58,14 +58,17 @@ object StreamingJobs {
     * later event arrives past the gap or when the watermark passes
     * end + gap (timeout).
     */
-  def sessionizeStream(events: DataFrame, gapUs: Long = 1800L * 1000000): Dataset[ClosedSession] = {
+  def sessionizeStream(
+      events: DataFrame,
+      gapUs: Long = 1800L * 1000000,
+      watermarkDelay: String = "2 minutes"): Dataset[ClosedSession] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
 
     val typed = events
       .withColumn("ts", col("ts").cast("timestamp"))
-      .withWatermark("ts", "2 minutes")
+      .withWatermark("ts", watermarkDelay)
       .select(col("user_id").as[Long], unix_micros(col("ts")).as[Long],
         col("ts").as[java.sql.Timestamp])
 
@@ -134,6 +137,40 @@ object StreamingJobs {
       .select(col("url"), col("warc_ts"), col("text"), col("lang"))
   }
 
+  /** Deterministic windowed stats over the events stream — the
+    * batch-equivalence form of [[eventWindowCounts]]: epoch-micros window
+    * key (cross-engine stable) and order-independent aggregates only
+    * (count/min/max; a double SUM is plan-order-dependent and would not
+    * hash-match an independent engine).
+    */
+  def eventWindowStats(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "2 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("min_value"), col("max_value"))
+
+  /** Streaming exact dedup over a documents-shaped stream
+    * (doc_id, text, ts): same digest key as the batch
+    * [[graft.ops.Dedup.exactDuplicateGroups]], emitting the surviving text.
+    * Emitting only `text` keeps the output deterministic — WHICH duplicate
+    * row survives depends on partition processing order, but duplicates
+    * share their text by definition.
+    */
+  def dedupDocsStream(spark: SparkSession, docsDir: String, horizon: String = "10 minutes"): DataFrame =
+    spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .parquet(docsDir)
+      .withWatermark("ts", horizon)
+      .withColumn("h1", xxhash64(col("text")))
+      .withColumn("h2", xxhash64(col("text"), lit(0x9e3779b97f4a7c15L)))
+      .withColumn("len", length(col("text")))
+      .dropDuplicatesWithinWatermark("h1", "h2", "len")
+      .select(col("text"))
+
   /** Run a streaming query to completion over the currently-available input
     * (AvailableNow), writing parquet + checkpoint under outDir.
     */
@@ -146,5 +183,22 @@ object StreamingJobs {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** Run an aggregation stream to completion in Complete mode into a memory
+    * sink and return the full result table. Complete mode emits EVERY
+    * window/group regardless of watermark progress, so the result equals
+    * the batch aggregation over the same input — the deterministic
+    * batch-equivalence harness for windowed streaming aggs.
+    */
+  def runCompleteToMemory(df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
   }
 }

@@ -115,6 +115,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     rmTree(base)
   }
 
+  test("Complete-mode window stats equal the batch aggregation; doc dedup stream keeps distinct texts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_r3"
+    rmTree(base)
+    spark.read.parquet(s"$sfDir/events.parquet").write.parquet(s"$base/events")
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$base/events").schema)
+      .parquet(s"$base/events")
+    val got = StreamingJobs.runCompleteToMemory(
+      StreamingJobs.eventWindowStats(stream), "graft_r3_window_test")
+      .as[(Long, String, Long, Double, Double)].collect().toSet
+    val batch = spark.read.parquet(s"$base/events")
+      .groupBy(window(col("ts").cast("timestamp"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .select(unix_micros(col("window.start")), col("event_type"),
+        col("n_events"), col("min_value"), col("max_value"))
+      .as[(Long, String, Long, Double, Double)].collect().toSet
+    assert(got === batch)
+
+    // dedup: 30 docs, every third duplicated with a new id
+    val docsDf = (1L to 30L).map(i => (i, s"text ${i % 20}")).toDF("doc_id", "text")
+      .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+    docsDf.write.parquet(s"$base/docs")
+    StreamingJobs.runAvailableNow(
+      StreamingJobs.dedupDocsStream(spark, s"$base/docs", horizon = "3650 days"),
+      s"$base/dedup_out")
+    val kept = spark.read.parquet(s"$base/dedup_out/data").as[String].collect()
+    assert(kept.length === 20 && kept.distinct.length === 20)
+    rmTree(base)
+  }
+
   test("windowed event aggregation with watermark emits finalized windows") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_events"
     rmTree(base)
