@@ -344,6 +344,20 @@ object SparkEntry {
       MeiAssign.assign(MeiAssign.synthNeumes(spans), spans, medLineSpacing = 1.0)
     }),
 
+    // ---- O45 to the FILE boundary: the MEI-shaped XML document per url,
+    //      byte-identical (modulo normalized random xml:ids) to Python
+    //      ElementTree's serialization of the reference-edited tree ----
+    "q_mei_xml" -> ((s, dir) => {
+      val spans = graft.ops.CacheRegistry.register(
+        AlignJob.spans(AlignJob.align(AlignJob.synthPages(s, dir),
+          saltPartitions = s.sparkContext.defaultParallelism))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val neumes = graft.ops.CacheRegistry.register(
+        MeiAssign.synthNeumes(spans).persist())
+      MeiAssign.serializeXml(neumes,
+        MeiAssign.assign(neumes, spans, medLineSpacing = 1.0))
+    }),
+
     // ---- O40–O43 E3 path: evaluation against HUMAN ground truth from
     //      PASCAL-VOC XML (evaluate_text_alignment.py:82-131), committed
     //      fixtures incl. `difficult` filtering ----
@@ -587,6 +601,7 @@ object SparkEntry {
     "q_cantus_folio_text" ->
       s"SELECT * FROM '$RepoDir/src/test/resources/goldens/q_cantus_folio_text.parquet'",
     "q_mei_assign" -> golden("q_mei_assign"),
+    "q_mei_xml" -> golden("q_mei_xml"),
     "q_eval_gtxml" -> golden("q_eval_gtxml"),
     // ---- golden-parquet oracles (independent Python reimplementation) ----
     "q_langid" -> golden("q_langid"),

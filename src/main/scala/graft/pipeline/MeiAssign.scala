@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -130,6 +130,100 @@ object MeiAssign {
         when(col("is_leader"), col("n_lrx")).as("zone_lrx"),
         when(col("is_leader"), col("n_lry")).as("zone_lry"))
   }
+
+  /** O45 to the FILE boundary — serialize the assignment table back into the
+    * MEI-shaped XML document the reference writes (writeToMEI.py:118-133,
+    * 160-172 + tree.write at :182), byte-identical to Python ElementTree's
+    * serialization of the edited tree modulo xml:id values (the reference
+    * generates those with `np.random` (:25-31); both sides normalize them to
+    * `gid<k>` in first-appearance order, which preserves the
+    * syllable@facs ↔ zone@xml:id linkage under comparison).
+    *
+    * Serialized shape (ET with the MEI default namespace registered):
+    *   <mei xmlns="…"><surface>
+    *     one <zone xml:id="z{seq}" ulx uly lrx lry /> per input neume
+    *     (zones of dropped group-0 elements REMAIN — only syllable elements
+    *     are removed from the tree), then one <zone xml:id="gid{k}"
+    *     lrx lry ulx uly /> per leader (attr order is the reference's
+    *     insertion order, :129-133)
+    *   </surface><layer>
+    *     per leader: <syllable xml:id="s{seq}" facs="gid{k}">
+    *       <syl>text</syl> then its own <neume><nc facs="z{seq}" /></neume>
+    *       followed by each follower's neume in document order
+    *     </syllable>
+    *   </layer></mei>
+    *
+    * @param neumes the SAME neume table passed to [[assign]]
+    * @param assigned [[assign]]'s output for that table
+    * @return (url, mei_xml) one row per url present in `neumes`
+    */
+  def serializeXml(neumes: DataFrame, assigned: DataFrame): DataFrame = {
+    val joined = neumes.select(col("url"), col("elem_seq"),
+        col("ulx"), col("uly"), col("lrx"), col("lry"))
+      .join(assigned.select(col("url"), col("elem_seq"), col("is_leader"),
+        col("assigned_syl"), col("leader_seq")), Seq("url", "elem_seq"))
+
+    val build = udf((elems: Seq[Row]) => {
+      val sorted = elems.sortBy(_.getAs[Int]("elem_seq"))
+      val sb = new java.lang.StringBuilder(sorted.length * 96 + 64)
+      sb.append("<mei xmlns=\"http://www.music-encoding.org/ns/mei\"><surface>")
+      for (e <- sorted) {
+        sb.append("<zone xml:id=\"z").append(e.getAs[Int]("elem_seq"))
+          .append("\" ulx=\"").append(e.getAs[Int]("ulx"))
+          .append("\" uly=\"").append(e.getAs[Int]("uly"))
+          .append("\" lrx=\"").append(e.getAs[Int]("lrx"))
+          .append("\" lry=\"").append(e.getAs[Int]("lry")).append("\" />")
+      }
+      var gid = 0
+      for (e <- sorted if e.getAs[Boolean]("is_leader")) {
+        // the new zone carries the leader's own (untranslated) neume bbox in
+        // the reference's insertion order lrx, lry, ulx, uly (:129-133)
+        sb.append("<zone xml:id=\"gid").append(gid)
+          .append("\" lrx=\"").append(e.getAs[Int]("lrx"))
+          .append("\" lry=\"").append(e.getAs[Int]("lry"))
+          .append("\" ulx=\"").append(e.getAs[Int]("ulx"))
+          .append("\" uly=\"").append(e.getAs[Int]("uly")).append("\" />")
+        gid += 1
+      }
+      sb.append("</surface><layer>")
+      gid = 0
+      var open = false
+      for (e <- sorted) {
+        if (e.getAs[Boolean]("is_leader")) {
+          if (open) sb.append("</syllable>")
+          open = true
+          val syl = e.getAs[String]("assigned_syl")
+          sb.append("<syllable xml:id=\"s").append(e.getAs[Int]("elem_seq"))
+            .append("\" facs=\"gid").append(gid).append("\">")
+          gid += 1
+          if (syl == null || syl.isEmpty) sb.append("<syl />")
+          else sb.append("<syl>").append(escapeText(syl)).append("</syl>")
+          sb.append("<neume><nc facs=\"z").append(e.getAs[Int]("elem_seq"))
+            .append("\" /></neume>")
+        } else if (!e.isNullAt(e.fieldIndex("leader_seq"))) {
+          // follower: its neume merges into the open leader syllable;
+          // group-0 elements (null leader) vanish with the removed initial
+          // element (:75-76, :113-114)
+          sb.append("<neume><nc facs=\"z").append(e.getAs[Int]("elem_seq"))
+            .append("\" /></neume>")
+        }
+      }
+      if (open) sb.append("</syllable>")
+      sb.append("</layer></mei>")
+      sb.toString
+    })
+
+    joined
+      .groupBy(col("url"))
+      .agg(collect_list(struct(col("elem_seq"), col("ulx"), col("uly"),
+        col("lrx"), col("lry"), col("is_leader"), col("assigned_syl"),
+        col("leader_seq"))).as("elems"))
+      .select(col("url"), build(col("elems")).as("mei_xml"))
+  }
+
+  /** Python ElementTree `_escape_cdata`: &, <, > only (quotes untouched). */
+  private def escapeText(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
   /** Deterministic neume synthesis from aligned spans — the web-text
     * analogue of an OMR layer's neume boxes: roughly one neume per aligned

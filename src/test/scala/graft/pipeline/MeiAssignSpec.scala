@@ -64,4 +64,43 @@ class MeiAssignSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.length === 1)
     assert(got(0).getString(3) === "aa")
   }
+
+  test("serializeXml reproduces Python ElementTree byte-for-byte (id-normalized)") {
+    import spark.implicits._
+    // expected string produced by the EXECUTING reference add_text_to_mei_file
+    // on this exact fixture (synthNeumes over these spans), serialized with
+    // ET.register_namespace('', MEI) + tostring(encoding='unicode'), ids
+    // normalized to gid<k>; the corpus-scale check is the q_mei_xml golden
+    val spans = Seq(
+      ("http://example.com/doc/7", 0, "al", 0, 10, 5, 12),
+      ("http://example.com/doc/7", 1, "le", 6, 10, 9, 12),
+      ("http://example.com/doc/7", 2, "lu", 10, 10, 15, 12),
+      ("http://example.com/doc/7", 3, "ia", 16, 10, 20, 12),
+      ("http://example.com/doc/7", 4, "am", 21, 10, 25, 12))
+      .toDF("url", "seq", "syl", "ulx", "uly", "lrx", "lry")
+    val neumes = MeiAssign.synthNeumes(spans)
+    val xml = MeiAssign.serializeXml(neumes, MeiAssign.assign(neumes, spans, 1.0))
+      .collect()
+    assert(xml.length === 1)
+    val expected =
+      "<mei xmlns=\"http://www.music-encoding.org/ns/mei\"><surface>" +
+        "<zone xml:id=\"z0\" ulx=\"0\" uly=\"9\" lrx=\"5\" lry=\"11\" />" +
+        "<zone xml:id=\"z1\" ulx=\"7\" uly=\"9\" lrx=\"9\" lry=\"11\" />" +
+        "<zone xml:id=\"z2\" ulx=\"10\" uly=\"9\" lrx=\"15\" lry=\"11\" />" +
+        "<zone xml:id=\"z3\" ulx=\"15\" uly=\"9\" lrx=\"19\" lry=\"11\" />" +
+        "<zone xml:id=\"z4\" ulx=\"21\" uly=\"9\" lrx=\"24\" lry=\"11\" />" +
+        "<zone xml:id=\"gid0\" lrx=\"5\" lry=\"11\" ulx=\"0\" uly=\"9\" />" +
+        "<zone xml:id=\"gid1\" lrx=\"9\" lry=\"11\" ulx=\"7\" uly=\"9\" />" +
+        "<zone xml:id=\"gid2\" lrx=\"15\" lry=\"11\" ulx=\"10\" uly=\"9\" />" +
+        "<zone xml:id=\"gid3\" lrx=\"19\" lry=\"11\" ulx=\"15\" uly=\"9\" />" +
+        "<zone xml:id=\"gid4\" lrx=\"24\" lry=\"11\" ulx=\"21\" uly=\"9\" />" +
+        "</surface><layer>" +
+        "<syllable xml:id=\"s0\" facs=\"gid0\"><syl>al</syl><neume><nc facs=\"z0\" /></neume></syllable>" +
+        "<syllable xml:id=\"s1\" facs=\"gid1\"><syl>le</syl><neume><nc facs=\"z1\" /></neume></syllable>" +
+        "<syllable xml:id=\"s2\" facs=\"gid2\"><syl>lu</syl><neume><nc facs=\"z2\" /></neume></syllable>" +
+        "<syllable xml:id=\"s3\" facs=\"gid3\"><syl>ia</syl><neume><nc facs=\"z3\" /></neume></syllable>" +
+        "<syllable xml:id=\"s4\" facs=\"gid4\"><syl>am</syl><neume><nc facs=\"z4\" /></neume></syllable>" +
+        "</layer></mei>"
+    assert(xml(0).getString(1) === expected)
+  }
 }

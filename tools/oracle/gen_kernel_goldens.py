@@ -461,12 +461,31 @@ MEI_NS = "http://www.music-encoding.org/ns/mei"
 XML_ID = "{http://www.w3.org/XML/1998/namespace}id"
 
 
+def norm_mei_ids(s):
+    """Replace the reference's np.random-generated xml:ids with gid<k> in
+    first-appearance order (preserves syllable@facs <-> zone@xml:id linkage
+    under byte comparison; the ids are explicitly random, writeToMEI.py:25-31).
+    """
+    import re
+    mapping = {}
+
+    def repl(m):
+        k = m.group(0)
+        if k not in mapping:
+            mapping[k] = f"gid{len(mapping)}"
+        return mapping[k]
+
+    return re.sub(
+        r"m-[0-9a-f]+-[0-9a-f]+-[0-9a-f]+-[0-9a-f]+-[0-9a-f]+", repl, s)
+
+
 def mei_assign_rows(wtm, url, spans):
     """Build a fixture MEI tree for the synthesized neumes, run the EXECUTING
-    reference add_text_to_mei_file, and read the assignment back out."""
+    reference add_text_to_mei_file, and read the assignment back out — plus
+    the id-normalized serialized XML (the q_mei_xml golden)."""
     import numpy as np
     import xml.etree.ElementTree as ET
-    np.random.seed(0)  # generate_id determinism (ids are not compared)
+    np.random.seed(0)  # generate_id determinism (ids are normalized)
 
     neumes = synth_neumes(url, spans)
     root = ET.Element(f"{{{MEI_NS}}}mei")
@@ -489,6 +508,9 @@ def mei_assign_rows(wtm, url, spans):
     syls_boxes = [(syl, (ulx, uly), (lrx, lry))
                   for _, syl, ulx, uly, lrx, lry in spans]
     tree, _, _ = wtm.add_text_to_mei_file(tree, syls_boxes, 1.0)
+
+    ET.register_namespace('', MEI_NS)
+    mei_xml = norm_mei_ids(ET.tostring(tree.getroot(), encoding="unicode"))
 
     root = tree.getroot()
     new_zones = {z.attrib[XML_ID]: z for z in root.findall(f".//{{{MEI_NS}}}zone")}
@@ -518,7 +540,7 @@ def mei_assign_rows(wtm, url, spans):
                          z[2] if z else None, z[3] if z else None))
         else:
             rows.append((url, seq, False, None, None, None, None, None, None))
-    return rows
+    return rows, mei_xml
 
 
 def gen_gtxml_fixture(doc_id, spans, fixture_dir):
@@ -554,10 +576,17 @@ def gen_mei_and_gtxml(results, out_dir, repo_root):
                        os.path.join(out_dir, name + ".parquet"))
         print(f"{name}: {len(cols[schema.names[0]])} rows")
 
-    # ---- q_mei_assign (reference-executed writeToMEI per document) ----
+    # ---- q_mei_assign + q_mei_xml (reference-executed writeToMEI) ----
     mrows = []
+    xrows = []
     for r in results:
-        mrows.extend(mei_assign_rows(wtm, r["url"], r["spans"]))
+        rows, mei_xml = mei_assign_rows(wtm, r["url"], r["spans"])
+        mrows.extend(rows)
+        if rows:  # the Spark contract: one row per url PRESENT in neumes
+            xrows.append((r["url"], mei_xml))
+    write("q_mei_xml",
+          pa.schema([("url", pa.string()), ("mei_xml", pa.string())]),
+          {"url": [x[0] for x in xrows], "mei_xml": [x[1] for x in xrows]})
     write("q_mei_assign",
           pa.schema([("url", pa.string()), ("elem_seq", pa.int32()),
                      ("is_leader", pa.bool_()), ("assigned_syl", pa.string()),
