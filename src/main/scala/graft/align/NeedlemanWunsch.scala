@@ -60,9 +60,12 @@ object NeedlemanWunsch {
     */
   final class Workspace {
     private[align] var rows: Array[Array[Double]] = Array.fill(6)(new Array[Double](0))
+    private[align] var lrows: Array[Array[Long]] = Array.fill(6)(new Array[Long](0))
     private[align] var ptrs: Array[Byte] = new Array[Byte](0)
     private[align] def ensureRows(m: Int): Unit =
       if (rows(0).length < m) rows = Array.fill(6)(new Array[Double](m))
+    private[align] def ensureRowsLong(m: Int): Unit =
+      if (lrows(0).length < m) lrows = Array.fill(6)(new Array[Long](m))
     private[align] def ensurePtrs(sz: Int): Unit =
       if (ptrs.length < sz) ptrs = new Array[Byte](sz)
   }
@@ -369,9 +372,83 @@ object NeedlemanWunsch {
     val ptrs = ws.ptrs
     @inline def bandIdx(i: Int, j: Int): Int = i * width + (j - (center(i) - band))
 
-    // rolling score rows (full width m; cells a row reads but its
-    // predecessor didn't write are poisoned with NegInf before the fill,
-    // keeping the hot loop branch-free)
+    // the fill writes only `ptrs` + returns the cell count; integral
+    // scorings (every reference system) take the integer-ALU fill
+    val cells =
+      if (scoring.isIntegral && !forceDoubleFill)
+        fillBandLong(transcript, ocrStream, scoring, band, ws, n, m, slope, ptrs)
+      else fillBandDouble(transcript, ocrStream, scoring, band, ws, n, m, slope, ptrs)
+
+    // traceback (textSeqCompare.py:96-170); aborts only if the path escapes
+    // the stored band (acceptance is agreement-based, see alignCharsBanded)
+    @inline def inBand(xi: Int, yj: Int): Boolean = yj >= lo(xi) && yj <= hi(xi)
+
+    val traAlign = new java.lang.StringBuilder(n + m)
+    val ocrAlign = new java.lang.StringBuilder(n + m)
+    var xpt = n - 1
+    var ypt = m - 1
+    // boundary cells have pointer 0 (the reference's np.zeros init); they are
+    // never stored in the band, so guard the corner read when a side is empty
+    var mpt: Int = if (xpt == 0 || ypt == 0) 0 else ptrs(bandIdx(xpt, ypt)) & 3
+
+    traAlign.append(traAt(xpt))
+    ocrAlign.append(ocrAt(ypt))
+
+    var aborted = false
+    while (!aborted && xpt > 0 && ypt > 0) {
+      {
+        if (!inBand(xpt, ypt)) { aborted = true }
+        else if (mpt == 0) {
+          traAlign.append(traAt(xpt - 1))
+          ocrAlign.append(ocrAt(ypt - 1))
+          mpt = ptrs(bandIdx(xpt, ypt)) & 3
+          xpt -= 1; ypt -= 1
+        } else if (mpt == 1) {
+          traAlign.append(traAt(xpt - 1))
+          ocrAlign.append('_')
+          mpt = (ptrs(bandIdx(xpt, ypt)) >> 2) & 3
+          xpt -= 1
+        } else {
+          traAlign.append('_')
+          ocrAlign.append(ocrAt(ypt - 1))
+          mpt = (ptrs(bandIdx(xpt, ypt)) >> 4) & 3
+          ypt -= 1
+        }
+      }
+    }
+    if (aborted && band < m) return (None, cells)
+
+    while (ypt > 0) { traAlign.append('_'); ocrAlign.append(ocrAt(ypt - 1)); ypt -= 1 }
+    while (xpt > 0) { ocrAlign.append('_'); traAlign.append(traAt(xpt - 1)); xpt -= 1 }
+
+    // `[-1:0:-1]` — drop the sentinel pair (index 0) and reverse
+    val ta = traAlign.toString
+    val oa = ocrAlign.toString
+    (Some((new StringBuilder(ta.substring(1)).reverse.toString,
+           new StringBuilder(oa.substring(1)).reverse.toString)), cells)
+  }
+
+  /** Double-arithmetic banded fill (the general path for non-integral
+    * scorings). Writes packed pointers into `ptrs`; returns cells filled.
+    * Rolling score rows (full width m); cells a row reads but its
+    * predecessor didn't write are poisoned with NegInf before the fill,
+    * keeping the hot loop branch-free.
+    */
+  private def fillBandDouble(
+      transcript: String,
+      ocrStream: String,
+      scoring: Scoring,
+      band: Int,
+      ws: Workspace,
+      n: Int,
+      m: Int,
+      slope: Double,
+      ptrs: Array[Byte]): Long = {
+    @inline def center(i: Int): Int = math.round(i * slope).toInt
+    @inline def lo(i: Int): Int = math.max(1, center(i) - band)
+    @inline def hi(i: Int): Int = math.min(m - 1, center(i) + band)
+    val width = 2 * band + 1
+
     ws.ensureRows(m)
     var matPrev = ws.rows(0)
     var xPrev = ws.rows(1)
@@ -457,53 +534,136 @@ object NeedlemanWunsch {
       val ty = yPrev; yPrev = yCur; yCur = ty
       i += 1
     }
+    cells
+  }
 
-    // traceback (textSeqCompare.py:96-170); aborts only if the path escapes
-    // the stored band (acceptance is agreement-based, see alignCharsBanded)
-    @inline def inBand(xi: Int, yj: Int): Boolean = yj >= lo(xi) && yj <= hi(xi)
+  /** Test hook: force the Double fill on integral scorings so the
+    * equivalence suite can compare both fills on identical inputs
+    * (AlignmentPropertiesSpec). Never set in production.
+    */
+  @volatile private[align] var forceDoubleFill: Boolean = false
 
-    val traAlign = new java.lang.StringBuilder(n + m)
-    val ocrAlign = new java.lang.StringBuilder(n + m)
-    var xpt = n - 1
-    var ypt = m - 1
-    // boundary cells have pointer 0 (the reference's np.zeros init); they are
-    // never stored in the band, so guard the corner read when a side is empty
-    var mpt: Int = if (xpt == 0 || ypt == 0) 0 else ptrs(bandIdx(xpt, ypt)) & 3
+  /** Long sentinel for the integer fill. Long.MinValue/4 leaves headroom so
+    * `NegInfL + cost` can never wrap even before the absorption branch.
+    */
+  private val NegInfL: Long = Long.MinValue / 4
 
-    traAlign.append(traAt(xpt))
-    ocrAlign.append(ocrAt(ypt))
+  /** Integer-ALU banded fill for integral scorings (every reference scoring
+    * system — SURVEY §7 risk note / VERDICT r2 #7). Provably identical to
+    * [[fillBandDouble]]:
+    *   - every score reachable here is an exact integer far below 2^53, so
+    *     Double comparisons and Long comparisons order candidates the same;
+    *   - IEEE absorbs additions at -1e100 (`-1e100 + c == -1e100` for any
+    *     cost), which the Long fill mirrors EXACTLY with the explicit
+    *     `base == NegInfL → NegInfL` absorption branch — so poisoned
+    *     candidates stay EQUAL (first-wins ties match), not merely very
+    *     negative.
+    * Gated by the property suite (banded == full), the reference
+    * differential goldens, and graft.tools.BandSweep.
+    */
+  private def fillBandLong(
+      transcript: String,
+      ocrStream: String,
+      scoring: Scoring,
+      band: Int,
+      ws: Workspace,
+      n: Int,
+      m: Int,
+      slope: Double,
+      ptrs: Array[Byte]): Long = {
+    @inline def center(i: Int): Int = math.round(i * slope).toInt
+    @inline def lo(i: Int): Int = math.max(1, center(i) - band)
+    @inline def hi(i: Int): Int = math.min(m - 1, center(i) + band)
+    val width = 2 * band + 1
 
-    var aborted = false
-    while (!aborted && xpt > 0 && ypt > 0) {
-      {
-        if (!inBand(xpt, ypt)) { aborted = true }
-        else if (mpt == 0) {
-          traAlign.append(traAt(xpt - 1))
-          ocrAlign.append(ocrAt(ypt - 1))
-          mpt = ptrs(bandIdx(xpt, ypt)) & 3
-          xpt -= 1; ypt -= 1
-        } else if (mpt == 1) {
-          traAlign.append(traAt(xpt - 1))
-          ocrAlign.append('_')
-          mpt = (ptrs(bandIdx(xpt, ypt)) >> 2) & 3
-          xpt -= 1
-        } else {
-          traAlign.append('_')
-          ocrAlign.append(ocrAt(ypt - 1))
-          mpt = (ptrs(bandIdx(xpt, ypt)) >> 4) & 3
-          ypt -= 1
-        }
-      }
+    ws.ensureRowsLong(m)
+    var matPrev = ws.lrows(0)
+    var xPrev = ws.lrows(1)
+    var yPrev = ws.lrows(2)
+    var matCur = ws.lrows(3)
+    var xCur = ws.lrows(4)
+    var yCur = ws.lrows(5)
+
+    val bge = BoundaryGapExtend.toLong // -1
+
+    // row 0 boundary (textSeqCompare.py:57-60)
+    var j = 0
+    while (j < m) {
+      matPrev(j) = bge * j
+      xPrev(j) = bge * j
+      yPrev(j) = NegInfL
+      j += 1
     }
-    if (aborted && band < m) return (None, cells)
 
-    while (ypt > 0) { traAlign.append('_'); ocrAlign.append(ocrAt(ypt - 1)); ypt -= 1 }
-    while (xpt > 0) { ocrAlign.append('_'); traAlign.append(traAt(xpt - 1)); xpt -= 1 }
+    val gox = scoring.gapOpenX.toLong; val gex = scoring.gapExtendX.toLong
+    val goy = scoring.gapOpenY.toLong; val gey = scoring.gapExtendY.toLong
+    val goxGex = gox + gex; val goyGey = goy + gey
+    val matchS = scoring.matchScore.toLong; val mismatchS = scoring.mismatch.toLong
 
-    // `[-1:0:-1]` — drop the sentinel pair (index 0) and reverse
-    val ta = traAlign.toString
-    val oa = ocrAlign.toString
-    (Some((new StringBuilder(ta.substring(1)).reverse.toString,
-           new StringBuilder(oa.substring(1)).reverse.toString)), cells)
+    var cells = 0L
+    var i = 1
+    while (i < n) {
+      val ci = center(i)
+      val jLo = math.max(1, ci - band)
+      val jHi = math.min(m - 1, ci + band)
+      val rowOff = i * width - (ci - band)
+      val ti = transcript.charAt(i - 1)
+
+      // col 0 boundary (textSeqCompare.py:53-56)
+      matCur(0) = bge * i
+      xCur(0) = NegInfL
+      yCur(0) = bge * i
+
+      if (i > 1) {
+        val pLo = lo(i - 1)
+        val pHi = hi(i - 1)
+        var jj = math.max(1, jLo - 1)
+        while (jj < pLo) { matPrev(jj) = NegInfL; xPrev(jj) = NegInfL; yPrev(jj) = NegInfL; jj += 1 }
+        jj = math.max(pHi + 1, math.max(1, jLo - 1))
+        while (jj <= jHi) { matPrev(jj) = NegInfL; xPrev(jj) = NegInfL; yPrev(jj) = NegInfL; jj += 1 }
+      }
+      if (jLo - 1 >= 1) { matCur(jLo - 1) = NegInfL; xCur(jLo - 1) = NegInfL; yCur(jLo - 1) = NegInfL }
+
+      // absorption: NegInfL + cost stays NegInfL, mirroring -1e100 + cost
+      @inline def add(base: Long, cost: Long): Long =
+        if (base == NegInfL) NegInfL else base + cost
+
+      j = jLo
+      while (j <= jHi) {
+        val msc = if (ti == ocrStream.charAt(j - 1)) matchS else mismatchS
+
+        val m0 = matPrev(j - 1); val m1 = xPrev(j - 1); val m2 = yPrev(j - 1)
+        var mBest = 0; var mVal = m0
+        if (m1 > mVal) { mBest = 1; mVal = m1 }
+        if (m2 > mVal) { mBest = 2; mVal = m2 }
+        matCur(j) = add(mVal, msc)
+
+        val y0 = add(matCur(j - 1), goyGey)
+        val y1 = add(xCur(j - 1), goyGey)
+        val y2 = add(yCur(j - 1), gey)
+        var yBest = 0; var yVal = y0
+        if (y1 > yVal) { yBest = 1; yVal = y1 }
+        if (y2 > yVal) { yBest = 2; yVal = y2 }
+        yCur(j) = yVal
+
+        val x0 = add(matPrev(j), goxGex)
+        val x1 = add(xPrev(j), gex)
+        val x2 = add(yPrev(j), goxGex)
+        var xBest = 0; var xVal = x0
+        if (x1 > xVal) { xBest = 1; xVal = x1 }
+        if (x2 > xVal) { xBest = 2; xVal = x2 }
+        xCur(j) = xVal
+
+        ptrs(rowOff + j) = (mBest | (xBest << 2) | (yBest << 4)).toByte
+        j += 1
+      }
+      cells += jHi - jLo + 1
+
+      val tm = matPrev; matPrev = matCur; matCur = tm
+      val tx = xPrev; xPrev = xCur; xCur = tx
+      val ty = yPrev; yPrev = yCur; yCur = ty
+      i += 1
+    }
+    cells
   }
 }

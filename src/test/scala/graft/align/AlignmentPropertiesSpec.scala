@@ -52,6 +52,33 @@ object AlignmentPropertiesSpec extends Properties("alignment") {
       r.traAlign == ta.mkString && r.ocrAlign == oa.mkString
     }
 
+  // the integer-ALU fill (production path for every integral scoring) must
+  // equal the Double fill bit-for-bit on identical inputs — the NegInfL
+  // absorption branch mirrors IEEE absorption at -1e100 exactly
+  property("integer fill == double fill (identical inputs, all scorings)") =
+    forAll(strGen, strGen, scoringGen, Gen.oneOf(16, 24, 64)) {
+      (a: String, b: String, sc: Scoring, band: Int) =>
+        val long = NeedlemanWunsch.alignCharsBanded(a, b, sc, band)
+        val dbl =
+          try {
+            NeedlemanWunsch.forceDoubleFill = true
+            NeedlemanWunsch.alignCharsBanded(a, b, sc, band)
+          } finally NeedlemanWunsch.forceDoubleFill = false
+        (long.traAlign == dbl.traAlign && long.ocrAlign == dbl.ocrAlign &&
+          long.bandUsed == dbl.bandUsed) :|
+          s"long=(${long.traAlign},${long.ocrAlign}) dbl=(${dbl.traAlign},${dbl.ocrAlign})"
+    }
+
+  // non-integral scorings take the Double fill natively: self-consistency
+  // banded == full (the token anchor only accepts the same Double arithmetic)
+  property("non-integral scoring: banded == full char kernel (double fill)") =
+    forAll(strGen, strGen, Gen.oneOf(16, 24, 64)) { (a: String, b: String, band: Int) =>
+      val sc = Scoring(8.25, -4.5, -7.25, -7.25, -3.5, -0.5)
+      val banded = NeedlemanWunsch.alignCharsBanded(a, b, sc, band)
+      val full = NeedlemanWunsch.alignCharsFull(a, b, sc)
+      banded.traAlign == full.traAlign && banded.ocrAlign == full.ocrAlign
+    }
+
   property("equal lengths; de-gapped outputs reproduce inputs; no gap-gap column") =
     forAll(strGen, strGen) { (a: String, b: String) =>
       val r = NeedlemanWunsch.alignChars(a, b)
