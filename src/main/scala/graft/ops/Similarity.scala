@@ -281,8 +281,13 @@ object Similarity {
     val planesB = spark.sparkContext.broadcast(planes)
     val sigUdf = udf((v: Seq[Float]) => signBits(v.toArray, planesB.value))
 
-    val signed = embeddings.select(col("vec_id"), col("embedding"))
-      .withColumn("bucket", sigUdf(col("embedding")))
+    // signed corpus is PERSISTED: it feeds the bucket-count aggregate AND
+    // both self-join sides — without the cache the hyperplane signing UDF
+    // re-runs over the full corpus per consumer
+    val signed = CacheRegistry.register(
+      embeddings.select(col("vec_id"), col("embedding"))
+        .withColumn("bucket", sigUdf(col("embedding")))
+        .persist())
 
     // count-first skew cap (same pattern as Dedup.minhashNearDups): a hot
     // bucket — near-identical boilerplate embeddings all hashing together —

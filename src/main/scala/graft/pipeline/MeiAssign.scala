@@ -81,20 +81,29 @@ object MeiAssign {
     val sB = s.withColumn("bkt",
       explode(sequence(floor(col("s_ulx") / W), floor(col("s_lrx") / W))))
 
-    // argmax = FIRST max in span order (:104). LEFT-OUTER bucket join keeps
-    // every element in this single pass (a separate restore-join would read
-    // the neume input — and its upstream kernel — a third time); elements
-    // whose best intersection is 0 get a null winner, exactly the
-    // "no colliding span" case of the reference (:107-108).
-    val wBest = Window.partitionBy(col("url"), col("elem_seq"))
-      .orderBy(col("inter").desc, col("s_seq").asc)
+    // argmax = FIRST max in span order (:104), computed as max(struct(inter,
+    // -s_seq, …)) in a HASH AGGREGATE rather than a row_number window: the
+    // struct's lexicographic max picks the highest intersection and breaks
+    // ties on the LOWEST s_seq (Python max first-wins), and the aggregation
+    // partial-combines map-side — the bucket-join output (the largest
+    // intermediate) shrinks before the shuffle instead of being sorted
+    // through it. LEFT-OUTER bucket join keeps every element in this single
+    // pass; elements whose best intersection is 0 get a null winner, exactly
+    // the "no colliding span" case of the reference (:107-108). (A no-match
+    // outer row carries a null tie field, which sorts below any real row of
+    // equal zero intersection — either way `inter > 0` nulls the winner.)
+    val bestStruct = struct(col("inter"), (-col("s_seq")).as("tie"),
+      col("s_syl"), col("s_ulx"), col("s_uly"), col("s_lrx"), col("s_lry"))
     val withBest = nB.join(sB, Seq("url", "bkt"), "left_outer")
       .withColumn("inter", inter) // when().otherwise(0.0): never null
-      .withColumn("rn", row_number().over(wBest))
-      .filter(col("rn") === 1)
+      .groupBy(col("url"), col("elem_seq"),
+        col("n_ulx"), col("n_uly"), col("n_lrx"), col("n_lry"))
+      .agg(max(bestStruct).as("bb"))
       .withColumn("best",
-        when(col("inter") > 0,
-          struct(col("s_syl"), col("s_ulx"), col("s_uly"), col("s_lrx"), col("s_lry"))))
+        when(col("bb.inter") > 0,
+          struct(col("bb.s_syl").as("s_syl"),
+            col("bb.s_ulx").as("s_ulx"), col("bb.s_uly").as("s_uly"),
+            col("bb.s_lrx").as("s_lrx"), col("bb.s_lry").as("s_lry"))))
       .select(col("url"), col("elem_seq"),
         col("n_ulx"), col("n_uly"), col("n_lrx"), col("n_lry"), col("best"))
 
