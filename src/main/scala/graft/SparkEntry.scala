@@ -205,6 +205,12 @@ object SparkEntry {
     "q_repetition" -> ((s, dir) =>
       TextOps.repetitionScores(docs(s, dir))),
 
+    // ---- inverted-index build with document-frequency capping (the
+    //      stopword hot-key guard: count-first, posting lists only under
+    //      the cap; cap chosen to BIND at the oracle SF) ----
+    "q_inverted_index" -> ((s, dir) =>
+      TextOps.invertedIndex(docs(s, dir), maxPostings = 400)),
+
     // ---- embedding clustering (per-cluster corpus organization) ----
     "q_embed_cluster" -> ((s, dir) =>
       Similarity.clusterAssign(tbl(s, dir, "embeddings"))),
@@ -818,6 +824,16 @@ object SparkEntry {
          |SELECT p_brand, min(ulx) AS ulx, min(uly) AS uly,
          |       max(lrx) AS lrx, max(lry) AS lry
          |FROM boxes GROUP BY p_brand ORDER BY p_brand""".stripMargin.replace("\n", " ")),
+
+    "q_inverted_index" ->
+      ("""WITH pairs AS (
+         |  SELECT DISTINCT doc_id, t.term
+         |  FROM documents, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(term)),
+         |dfreq AS (SELECT term, count(*) AS df FROM pairs GROUP BY term),
+         |posts AS (SELECT term, array_to_string(list_sort(list(doc_id)), ' ') AS postings
+         |          FROM pairs GROUP BY term)
+         |SELECT d.term, d.df, CASE WHEN d.df <= 400 THEN p.postings END AS postings
+         |FROM dfreq d LEFT JOIN posts p ON d.term = p.term""".stripMargin.replace("\n", " ")),
 
     "q_quality" ->
       ("""WITH base AS (

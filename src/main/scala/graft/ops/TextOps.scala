@@ -219,6 +219,36 @@ object TextOps {
       .toDF("doc_id", "top2gram_char_frac", "top3gram_char_frac", "top4gram_char_frac")
   }
 
+  /** Inverted-index build (term → document-frequency + posting list) with
+    * the classic hot-key guard: stopword-grade terms are exactly the skewed
+    * keys of a web corpus (a term in 10% of 10^12 documents would build a
+    * 10^11-element posting list in one task), so the build is COUNT-FIRST —
+    * document frequencies partial-aggregate map-side (no list is ever
+    * materialized for a hot term), and only terms with df ≤ maxPostings get
+    * a posting list (over-cap terms keep their exact df with a null list,
+    * the standard stop-list move). Terms are de-duplicated per document
+    * map-side (array_distinct BEFORE the explode), so the shuffle carries
+    * each (term, doc) once.
+    *
+    * Output: (term, df, postings) — postings is the space-joined,
+    * numerically-sorted doc_id list, null when df > maxPostings.
+    */
+  def invertedIndex(documents: DataFrame, maxPostings: Int = 1000): DataFrame = {
+    val pairs = documents
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .filter(col("term") =!= "")
+    val df = pairs.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val postings = pairs
+      .join(df.filter(col("df") <= maxPostings).select(col("term")), Seq("term"))
+      .groupBy(col("term"))
+      .agg(array_join(
+        transform(array_sort(collect_list(col("doc_id"))), _.cast("string")),
+        " ").as("postings"))
+    df.join(postings, Seq("term"), "left")
+      .select(col("term"), col("df"), col("postings"))
+  }
+
   @inline def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L

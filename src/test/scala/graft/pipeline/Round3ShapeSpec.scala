@@ -60,6 +60,23 @@ class Round3ShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("inverted index: stopword-grade term keeps df, drops posting list; plan partial-aggregates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // "the" in every doc (hot key), "rare7" in one
+    val docsDf = (1L to 50L).map(i => (i, s"the word$i rare${i % 10} the"))
+      .toDF("doc_id", "text")
+    val idx = graft.ops.TextOps.invertedIndex(docsDf, maxPostings = 20)
+    val rows = idx.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), Option(r.getString(2))))).toMap
+    assert(rows("the") === ((50L, None)), "hot term must keep df and drop postings")
+    assert(rows("rare7") === ((5L, Some("7 17 27 37 47"))))
+    assert(rows("word3")._1 === 1L)
+    // the df aggregation must partial-combine map-side (count-first guard)
+    val plan = idx.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"), plan.take(2000))
+  }
+
   test("q_eval_gtxml broadcasts the (tiny) ground-truth side") {
     val plan = planOf("q_eval_gtxml")
     assert(plan.contains("Broadcast"), s"GT side not broadcast:\n${plan.take(3000)}")
