@@ -11,7 +11,11 @@ import org.apache.spark.sql.DataFrame
   * keeps only the most recent few; evictees are unpersisted lazily.
   */
 private[graft] object CacheRegistry {
-  private val MaxEntries = 8
+  // sized so no single query's working set (≤4 persists) can be evicted by
+  // one other in-flight query's registrations — FIFO eviction of an entry a
+  // still-unexecuted downstream plan needs is CORRECT (Spark recomputes) but
+  // a perf cliff; the headroom makes it require 4+ interleaved operators
+  private val MaxEntries = 16
   private val entries = new java.util.ArrayDeque[DataFrame]()
 
   def register(df: DataFrame): DataFrame = entries.synchronized {
