@@ -28,19 +28,27 @@ object SparkEntry {
 
   private def rmTree(p: String): Unit = {
     val path = java.nio.file.Paths.get(p)
-    if (java.nio.file.Files.exists(path))
-      java.nio.file.Files.walk(path)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+    if (java.nio.file.Files.exists(path)) {
+      val walk = java.nio.file.Files.walk(path)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(f => java.nio.file.Files.delete(f))
+      finally walk.close()
+    }
   }
 
   /** Fresh per-run scratch dir for the streaming batch-equivalence queries
     * (a stale checkpoint would make the stream skip the re-written input).
+    * Also deletes this query's scratch dirs left by PREVIOUS sessions —
+    * they are keyed by applicationId, so no later run would ever reuse
+    * (or clean) them and /tmp would grow without bound across sessions.
     */
   private def streamTmp(s: SparkSession, name: String): String = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${s.sparkContext.applicationId}"
-    rmTree(dir)
-    dir
+    val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val listing = java.nio.file.Files.list(base)
+    try listing.filter(_.getFileName.toString.startsWith(s"graft_${name}_"))
+      .forEach(p => rmTree(p.toString))
+    finally listing.close()
+    s"$base/graft_${name}_${s.sparkContext.applicationId}"
   }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: synthesize
@@ -372,11 +380,12 @@ object SparkEntry {
       val fixtureDir = s"$RepoDir/src/test/resources/gtxml"
       val listed = new java.io.File(fixtureDir).listFiles()
       if (listed == null || !listed.exists(_.getName.endsWith(".xml"))) {
-        // a moved checkout must fail THIS query with a readable error row,
-        // not crash the whole query map with a require
-        import s.implicits._
-        Seq((s"ERROR: GT-XML fixture dir missing: $fixtureDir (set GRAFT_REPO_DIR)",
-          0.0, 0.0, 0)).toDF("url", "mean_iou", "mean_range_iou", "n_gt_spans")
+        // fail loudly as a configuration error — Verify/Bench catch and
+        // report per-query, so only THIS query fails, with an actionable
+        // message (an error-shaped data row would masquerade as a
+        // correctness regression in the golden compare instead)
+        throw new IllegalStateException(
+          s"GT-XML fixture dir missing or empty: $fixtureDir (set GRAFT_REPO_DIR)")
       } else {
         val files = listed.filter(_.getName.endsWith(".xml")).sortBy(_.getName)
         val gt = files.map { f =>
@@ -531,11 +540,16 @@ object SparkEntry {
     // no timeout emissions occur, so the Append-mode output is EXACTLY the
     // gap-closed sessions — every session except each user's final one —
     // which is deterministic and SQL-expressible (production uses a real
-    // watermark; the horizon only bounds state, not correctness)
+    // watermark; the horizon only bounds state, not correctness). The input
+    // is written as ONE file so AvailableNow runs ONE micro-batch — the
+    // equivalence additionally needs each user's events processed together
+    // (across batches, an out-of-order event inside the watermark merges
+    // backwards into the open session, which is correct streaming semantics
+    // but not the batch split the SQL oracle computes)
     "q_sessionize_stream" -> ((s, dir) => {
       val tmp = streamTmp(s, "sessionize_stream")
       val src = tbl(s, dir, "events")
-      src.write.parquet(s"$tmp/events")
+      src.coalesce(1).write.parquet(s"$tmp/events")
       val stream = s.readStream.schema(src.schema).parquet(s"$tmp/events")
       graft.streaming.StreamingJobs.runAvailableNow(
         graft.streaming.StreamingJobs

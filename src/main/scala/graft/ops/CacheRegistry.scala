@@ -19,6 +19,17 @@ private[graft] object CacheRegistry {
   private val entries = new java.util.ArrayDeque[DataFrame]()
 
   def register(df: DataFrame): DataFrame = entries.synchronized {
+    // dedupe by plan: Spark's cache is keyed by the logical plan, so a
+    // duplicate registration (two queries persisting the same upstream,
+    // e.g. q_mei_assign and q_mei_xml's spans) is a CacheManager no-op —
+    // but a second deque slot would both double-count against MaxEntries
+    // and, when the OLDER slot is evicted, unpersist the plan out from
+    // under the newer still-registered entry. Refresh recency instead.
+    val it = entries.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)) it.remove()
+    }
     entries.addLast(df)
     while (entries.size > MaxEntries) {
       try entries.removeFirst().unpersist(false)

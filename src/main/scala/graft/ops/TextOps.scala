@@ -234,11 +234,16 @@ object TextOps {
     * numerically-sorted doc_id list, null when df > maxPostings.
     */
   def invertedIndex(documents: DataFrame, maxPostings: Int = 1000): DataFrame = {
-    val pairs = documents
+    // the tokenize/dedup/explode pass feeds BOTH the df aggregate and the
+    // postings join side, and df appears on both sides of the final join —
+    // persist both (same multi-consumer recompute shape as the dedup ops)
+    val pairs = CacheRegistry.register(documents
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("term"))
       .filter(col("term") =!= "")
-    val df = pairs.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val df = CacheRegistry.register(
+      pairs.groupBy(col("term")).agg(count(lit(1)).as("df")).persist())
     val postings = pairs
       .join(df.filter(col("df") <= maxPostings).select(col("term")), Seq("term"))
       .groupBy(col("term"))
