@@ -219,6 +219,18 @@ object SparkEntry {
     "q_inverted_index" -> ((s, dir) =>
       TextOps.invertedIndex(docs(s, dir), maxPostings = 400)),
 
+    // ---- PII redaction (emails/phones → type tokens) over a corpus with
+    //      deterministically planted PII in every 7th document; pure
+    //      chained regexp_replace (codegen, no UDF) ----
+    "q_redact" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.redactPii(
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"),
+              lit("@example.com call +1-555-123-4567 now")))
+            .otherwise(col("text"))).as("redacted"))),
+
     // ---- embedding clustering (per-cluster corpus organization) ----
     "q_embed_cluster" -> ((s, dir) =>
       Similarity.clusterAssign(tbl(s, dir, "embeddings"))),
@@ -515,6 +527,19 @@ object SparkEntry {
       s.read.option("header", "true")
         .schema("doc_id LONG, lang STRING, n_chars LONG")
         .csv(tmp)
+        .filter(col("n_chars") > 100)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- JSONL source + sink (O23 sibling — the dominant webtext
+    //      interchange format): write the projection as JSON lines, read it
+    //      back through the JSON source with an explicit schema ----
+    "q_jsonl_scan" -> ((s, dir) => {
+      val tmp = streamTmp(s, "jsonl_scan")
+      docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+        .write.mode("overwrite").json(tmp)
+      s.read.schema("doc_id LONG, lang STRING, n_chars LONG").json(tmp)
         .filter(col("n_chars") > 100)
         .orderBy(col("doc_id"))
     }),
@@ -838,6 +863,19 @@ object SparkEntry {
          |SELECT p_brand, min(ulx) AS ulx, min(uly) AS uly,
          |       max(lrx) AS lrx, max(lry) AS lry
          |FROM boxes GROUP BY p_brand ORDER BY p_brand""".stripMargin.replace("\n", " ")),
+
+    "q_redact" ->
+      ("""SELECT doc_id,
+         |  regexp_replace(regexp_replace(
+         |    CASE WHEN doc_id % 7 = 0
+         |         THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com call +1-555-123-4567 now'
+         |         ELSE text END,
+         |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+         |    '\+?[0-9]{1,2}[- ]?[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}', '<PHONE>', 'g') AS redacted
+         |FROM documents""".stripMargin.replace("\n", " ")),
+
+    "q_jsonl_scan" ->
+      ("SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 100 ORDER BY doc_id"),
 
     "q_inverted_index" ->
       ("""WITH pairs AS (

@@ -219,6 +219,19 @@ object TextOps {
       .toDF("doc_id", "top2gram_char_frac", "top3gram_char_frac", "top4gram_char_frac")
   }
 
+  /** PII redaction over a text column — emails and phone-shaped numbers
+    * replaced by type tokens, the standard pretraining-corpus scrub. Pure
+    * chained `regexp_replace` (whole-stage codegen, no UDF). The patterns
+    * use ONLY explicit character classes — no \w/\s/\b — so they mean the
+    * same thing under Java regex (Spark) and RE2 (DuckDB/most scrubbers);
+    * the engines' class shorthands differ (FIXTURES.md §DuckDB-parity).
+    */
+  def redactPii(text: Column): Column = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phone = "\\+?[0-9]{1,2}[- ]?[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}"
+    regexp_replace(regexp_replace(text, email, "<EMAIL>"), phone, "<PHONE>")
+  }
+
   /** Inverted-index build (term → document-frequency + posting list) with
     * the classic hot-key guard: stopword-grade terms are exactly the skewed
     * keys of a web corpus (a term in 10% of 10^12 documents would build a
