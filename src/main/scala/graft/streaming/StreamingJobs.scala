@@ -27,7 +27,11 @@ object StreamingJobs {
       .schema(implicitly[org.apache.spark.sql.Encoder[Page]].schema)
       .parquet(pagesDir)
       .as[Page]
-    AlignJob.spans(AlignJob.align(pages))
+    // same url-hash salt as the batch flagship: a micro-batch of crawled
+    // pages has the same long-document skew as a batch partition, and the
+    // output is salt-independent by construction (spec-asserted)
+    AlignJob.spans(AlignJob.align(pages,
+      saltPartitions = spark.sparkContext.defaultParallelism))
   }
 
   /** Windowed event aggregation with watermark + late-data handling over the
