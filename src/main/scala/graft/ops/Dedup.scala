@@ -185,6 +185,12 @@ object Dedup {
 
   // ---------------- SimHash ----------------
 
+  /** [[graft.functions.SimHash64]] as a Column (codegen'd, no UDF boxing). */
+  def simhashCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.functions.SimHash64(GraftSqlBridge.expression(text)))
+  }
+
   /** 64-bit SimHash over word features. */
   def simhashOf(text: String): Long = {
     val counts = new Array[Int](64)
@@ -240,12 +246,11 @@ object Dedup {
     // key table derived from them feeds the bucket-count aggregate AND both
     // sides of the candidate self-join — without the cache each consumer
     // would re-run the full SimHash pass over the text (the round-2 bench
-    // regression: 3× signature recompute)
+    // regression: 3× signature recompute). The signature itself is a native
+    // codegen expression (no Dataset object boundary).
     val sigs = CacheRegistry.register(documents
-      .select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, t) => (id, simhashOf(t)) })
-      .toDF("doc_id", "sig")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        simhashCol(col("text")).as("sig"))
       .persist())
 
     val bits = 64 / chunks
