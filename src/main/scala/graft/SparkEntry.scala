@@ -36,19 +36,30 @@ object SparkEntry {
     }
   }
 
-  /** Fresh per-run scratch dir for the streaming batch-equivalence queries
-    * (a stale checkpoint would make the stream skip the re-written input).
-    * Also deletes this query's scratch dirs left by PREVIOUS sessions —
-    * they are keyed by applicationId, so no later run would ever reuse
-    * (or clean) them and /tmp would grow without bound across sessions.
+  /** Fresh per-run scratch dir for the file-roundtrip and streaming
+    * batch-equivalence queries (a stale checkpoint would make a stream skip
+    * the re-written input). Also garbage-collects this query's scratch dirs
+    * left by PREVIOUS sessions — they are keyed by applicationId, so no
+    * later run would ever reuse (or clean) them and /tmp would grow without
+    * bound across sessions. The GC is conservative: only dirs STALE for
+    * ≥ 6 h (a concurrently-running session's live dir is never touched)
+    * and every deletion failure is skipped (a foreign undeletable dir must
+    * not fail THIS query).
     */
-  private def streamTmp(s: SparkSession, name: String): String = {
+  private def scratchDir(s: SparkSession, name: String): String = {
     val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val own = s"graft_${name}_${s.sparkContext.applicationId}"
+    val staleBefore = System.currentTimeMillis() - 6L * 3600 * 1000
     val listing = java.nio.file.Files.list(base)
-    try listing.filter(_.getFileName.toString.startsWith(s"graft_${name}_"))
-      .forEach(p => rmTree(p.toString))
+    try listing
+      .filter { p =>
+        val fn = p.getFileName.toString
+        fn.startsWith(s"graft_${name}_") &&
+          (fn == own || p.toFile.lastModified() < staleBefore)
+      }
+      .forEach(p => try rmTree(p.toString) catch { case _: Exception => () })
     finally listing.close()
-    s"$base/graft_${name}_${s.sparkContext.applicationId}"
+    s"$base/$own"
   }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: synthesize
@@ -520,9 +531,8 @@ object SparkEntry {
 
     // ---- CSV source scan (O23) ----
     "q_csv_scan" -> ((s, dir) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_scan_${s.sparkContext.applicationId}"
+      val tmp = scratchDir(s, "csv_scan")
       docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
-        .orderBy(col("doc_id"))
         .write.mode("overwrite").option("header", "true").csv(tmp)
       s.read.option("header", "true")
         .schema("doc_id LONG, lang STRING, n_chars LONG")
@@ -533,11 +543,12 @@ object SparkEntry {
 
     // ---- JSONL source + sink (O23 sibling — the dominant webtext
     //      interchange format): write the projection as JSON lines, read it
-    //      back through the JSON source with an explicit schema ----
+    //      back through the JSON source with an explicit schema. No
+    //      pre-write sort: multi-file read-back order is not preserved
+    //      anyway, and the post-read orderBy defines the compared output ----
     "q_jsonl_scan" -> ((s, dir) => {
-      val tmp = streamTmp(s, "jsonl_scan")
+      val tmp = scratchDir(s, "jsonl_scan")
       docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
-        .orderBy(col("doc_id"))
         .write.mode("overwrite").json(tmp)
       s.read.schema("doc_id LONG, lang STRING, n_chars LONG").json(tmp)
         .filter(col("n_chars") > 100)
@@ -552,7 +563,7 @@ object SparkEntry {
     // the flagship kernel over a file-source stream; oracle = the SAME
     // reference-executed golden as batch q_align_spans
     "q_align_stream" -> ((s, dir) => {
-      val tmp = streamTmp(s, "align_stream")
+      val tmp = scratchDir(s, "align_stream")
       AlignJob.synthPages(s, dir).toDF().write.parquet(s"$tmp/pages")
       graft.streaming.StreamingJobs.runAvailableNow(
         graft.streaming.StreamingJobs.alignStream(s, s"$tmp/pages"), s"$tmp/out")
@@ -572,7 +583,7 @@ object SparkEntry {
     // backwards into the open session, which is correct streaming semantics
     // but not the batch split the SQL oracle computes)
     "q_sessionize_stream" -> ((s, dir) => {
-      val tmp = streamTmp(s, "sessionize_stream")
+      val tmp = scratchDir(s, "sessionize_stream")
       val src = tbl(s, dir, "events")
       src.coalesce(1).write.parquet(s"$tmp/events")
       val stream = s.readStream.schema(src.schema).parquet(s"$tmp/events")
@@ -589,7 +600,7 @@ object SparkEntry {
     // planted-duplicate corpus; emits the surviving text (deterministic —
     // duplicates share their text)
     "q_dedup_stream" -> ((s, dir) => {
-      val tmp = streamTmp(s, "dedup_stream")
+      val tmp = scratchDir(s, "dedup_stream")
       docsWithExactDups(s, dir)
         .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
         .write.parquet(s"$tmp/docs")
@@ -603,7 +614,7 @@ object SparkEntry {
     // watermarked tumbling-window aggregation, Complete mode to a memory
     // sink: the full window table equals the batch aggregation
     "q_window_stream" -> ((s, dir) => {
-      val tmp = streamTmp(s, "window_stream")
+      val tmp = scratchDir(s, "window_stream")
       val src = tbl(s, dir, "events")
       src.write.parquet(s"$tmp/events")
       val stream = s.readStream.schema(src.schema).parquet(s"$tmp/events")
