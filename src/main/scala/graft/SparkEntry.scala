@@ -182,13 +182,24 @@ object SparkEntry {
           Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
             .rowsBetween(-2, 2)).as("smoothed"))),
 
-    // ---- O40/O41/O43 bbox theta-join + argmax-per-group IOU ----
+    // ---- O40/O41/O43 bbox theta-join + argmax-per-group IOU.
+    //      The join key is (brand, x-bucket), not brand alone: a pure
+    //      brand-equi self-join has a bounded keyspace (~25 brands), so its
+    //      buckets grow as N/25 and the join goes quadratic at scale no
+    //      matter the cap. Both sides explode to the width-16 x-buckets
+    //      their boxes cover (MeiAssign's banding); two x-overlapping boxes
+    //      always share the bucket of an overlap point, so candidates are a
+    //      strict superset of the true pairs at a fraction of the volume,
+    //      and a pair surfacing in several buckets collapses in the
+    //      row_number argmax (identical output — same oracle hash). ----
     "q_iou_argmax" -> ((s, dir) => {
+      val W = 16
       val boxes = tbl(s, dir, "part").select(
-        col("p_partkey"), col("p_brand"),
-        (col("p_partkey") % 97).as("ulx"), (col("p_partkey") % 89).as("uly"),
-        (col("p_partkey") % 97 + 1 + col("p_size") % 13).as("lrx"),
-        (col("p_partkey") % 89 + 1 + col("p_size") % 11).as("lry"))
+          col("p_partkey"), col("p_brand"),
+          (col("p_partkey") % 97).as("ulx"), (col("p_partkey") % 89).as("uly"),
+          (col("p_partkey") % 97 + 1 + col("p_size") % 13).as("lrx"),
+          (col("p_partkey") % 89 + 1 + col("p_size") % 11).as("lry"))
+        .withColumn("bkt", explode(sequence(floor(col("ulx") / W), floor(col("lrx") / W))))
       val l = boxes.as("l"); val r = boxes.as("r")
       val dx = least(col("l.lrx"), col("r.lrx")) - greatest(col("l.ulx"), col("r.ulx"))
       val dy = least(col("l.lry"), col("r.lry")) - greatest(col("l.uly"), col("r.uly"))
@@ -196,6 +207,7 @@ object SparkEntry {
       val areaL = (col("l.lrx") - col("l.ulx")) * (col("l.lry") - col("l.uly"))
       val areaR = (col("r.lrx") - col("r.ulx")) * (col("r.lry") - col("r.uly"))
       l.join(r, col("l.p_brand") === col("r.p_brand") &&
+          col("l.bkt") === col("r.bkt") &&
           col("l.p_partkey") < col("r.p_partkey"))
         .filter(dx > 0 && dy > 0)
         .select(col("l.p_partkey").as("pk_a"), col("r.p_partkey").as("pk_b"),
