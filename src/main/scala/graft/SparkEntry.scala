@@ -228,6 +228,15 @@ object SparkEntry {
         .select(col("canonical_doc_id"), col("dup_count"))
         .orderBy(col("canonical_doc_id"))),
 
+    // ---- exact duplicate GROUPS via the digest op — the 100 TB shape
+    //      (shuffles 2×64-bit digests + length, never the text). The DuckDB
+    //      oracle groups by text: identical rows unless a double-xxhash64
+    //      collision occurs (< 2^-90 per pair), so the hash compare also
+    //      certifies collision-freedom on this corpus ----
+    "q_dedup_groups" -> ((s, dir) =>
+      Dedup.exactDuplicateGroups(docsWithExactDups(s, dir))
+        .orderBy(col("canonical_doc_id"))),
+
     // ---- token counting (built-ins only) ----
     "q_token_count" -> ((s, dir) =>
       TextOps.tokenCounts(docs(s, dir))),
@@ -784,6 +793,14 @@ object SparkEntry {
          |WHERE rn = 1""".stripMargin.replace("\n", " ")),
 
     "q_dedup_exact" ->
+      ("WITH u AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0) " +
+        "SELECT min(doc_id) AS canonical_doc_id, count(*) AS dup_count FROM u " +
+        "GROUP BY text HAVING count(*) > 1 ORDER BY 1"),
+
+    // text-grouped oracle for the digest-grouped Spark op (collision-free
+    // by the hash compare itself)
+    "q_dedup_groups" ->
       ("WITH u AS (SELECT doc_id, text FROM documents UNION ALL " +
         "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0) " +
         "SELECT min(doc_id) AS canonical_doc_id, count(*) AS dup_count FROM u " +
