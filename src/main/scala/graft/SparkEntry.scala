@@ -237,6 +237,14 @@ object SparkEntry {
       Dedup.exactDuplicateGroups(docsWithExactDups(s, dir))
         .orderBy(col("canonical_doc_id"))),
 
+    // ---- stratified quota sampling (domain/language mixing): map-side
+    //      hash gate, no shuffle, parallelism-independent ----
+    "q_stratified_sample" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedSample(
+        docs(s, dir).select(col("doc_id"), col("lang")),
+        Map("en" -> 0.25, "zh" -> 0.5, "de" -> 1.0))
+        .orderBy(col("doc_id"))),
+
     // ---- token counting (built-ins only) ----
     "q_token_count" -> ((s, dir) =>
       TextOps.tokenCounts(docs(s, dir))),
@@ -682,6 +690,7 @@ object SparkEntry {
     "q_eval_gtxml" -> golden("q_eval_gtxml"),
     // ---- golden-parquet oracles (independent Python reimplementation) ----
     "q_langid" -> golden("q_langid"),
+    "q_stratified_sample" -> golden("q_stratified_sample"),
     "q_fingerprint" -> golden("q_fingerprint"),
     "q_winnow_dedup" -> golden("q_winnow_dedup"),
     "q_minhash_dedup" -> golden("q_minhash_dedup"),

@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling for training-data curation (domain/language
+  * mixing quotas).
+  *
+  * Scale shape: the gate is a pure per-row hash test against a broadcast
+  * quota map — map-side only, NO shuffle, no global count, and the same row
+  * is kept or dropped identically on every run and at every parallelism
+  * (SplitMix64 of the stable doc_id, not Spark's partition-dependent
+  * `sample()`). Rate-based quotas are the web-scale form; an exact-K-per-
+  * stratum sample needs a rank threshold (two-phase selection) and is
+  * deliberately not offered — at 10^12 rows "0.3% of stratum X" is the
+  * operable contract, not "exactly K".
+  */
+object Sampling {
+
+  /** Keep each row of stratum s with probability ≈ quotas(s) (exact in the
+    * hash-uniform limit); strata absent from the map are dropped. Quotas are
+    * fixed-point at 1e-6 resolution.
+    */
+  def stratifiedSample(
+      documents: DataFrame,
+      quotas: Map[String, Double],
+      strataCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
+    val gate = udf((id: Long, stratum: String) => {
+      val q = if (stratum == null) 0.0 else quotas.getOrElse(stratum, 0.0)
+      java.lang.Long.remainderUnsigned(TextOps.mix(id), 1000000L) < (q * 1e6).toLong
+    })
+    documents.filter(gate(col(idCol), col(strataCol)))
+  }
+}

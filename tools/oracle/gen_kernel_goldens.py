@@ -224,6 +224,15 @@ def main():
           {"doc_id": docs.doc_id.tolist(),
            "fp": [g.fingerprint(t) for t in docs.text.tolist()]})
 
+    # ---- q_stratified_sample (hash-gate quota sampling; mirrors
+    #      graft.ops.Sampling.stratifiedSample with SparkEntry's quotas) ----
+    quotas = {"en": 0.25, "zh": 0.5, "de": 1.0}
+    strows = [(int(i), l) for i, l in zip(docs.doc_id.tolist(), docs.lang.tolist())
+              if g.mix(int(i)) % 1000000 < int(quotas.get(l, 0.0) * 1e6)]
+    write("q_stratified_sample",
+          pa.schema([("doc_id", pa.int64()), ("lang", pa.string())]),
+          {"doc_id": [x[0] for x in strows], "lang": [x[1] for x in strows]})
+
     # ---- near-dup corpus: docs ∪ mutated every-10th (SparkEntry.docsWithNearDups) ----
     near = {int(i): t for i, t in doc_items}
     for doc_id, text in doc_items:
