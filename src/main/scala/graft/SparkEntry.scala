@@ -41,15 +41,16 @@ object SparkEntry {
     * the re-written input). Also garbage-collects this query's scratch dirs
     * left by PREVIOUS sessions — they are keyed by applicationId, so no
     * later run would ever reuse (or clean) them and /tmp would grow without
-    * bound across sessions. The GC is conservative: only dirs STALE for
-    * ≥ 6 h (a concurrently-running session's live dir is never touched)
-    * and every deletion failure is skipped (a foreign undeletable dir must
-    * not fail THIS query).
+    * bound across sessions. The GC is conservative: only dirs whose
+    * top-level mtime is ≥ 24 h old (a running session's live dir is never
+    * touched — note a stream writing into SUBdirs does not refresh the top
+    * dir's mtime, hence the wide margin) and every deletion failure is
+    * skipped (a foreign undeletable dir must not fail THIS query).
     */
   private def scratchDir(s: SparkSession, name: String): String = {
     val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     val own = s"graft_${name}_${s.sparkContext.applicationId}"
-    val staleBefore = System.currentTimeMillis() - 6L * 3600 * 1000
+    val staleBefore = System.currentTimeMillis() - 24L * 3600 * 1000
     val listing = java.nio.file.Files.list(base)
     try listing
       .filter { p =>
