@@ -41,12 +41,22 @@ object SparkEntry {
     * the re-written input). Also garbage-collects this query's scratch dirs
     * left by PREVIOUS sessions — they are keyed by applicationId, so no
     * later run would ever reuse (or clean) them and /tmp would grow without
-    * bound across sessions. The GC is conservative: only dirs whose
-    * top-level mtime is ≥ 24 h old (a running session's live dir is never
-    * touched — note a stream writing into SUBdirs does not refresh the top
-    * dir's mtime, hence the wide margin) and every deletion failure is
-    * skipped (a foreign undeletable dir must not fail THIS query).
+    * bound across sessions. The GC is conservative: only dirs whose NEWEST
+    * recursive mtime is ≥ 24 h old (so a running session's live dir is
+    * never touched, however long it runs — its sink/checkpoint writes keep
+    * refreshing files inside), and every deletion failure is skipped (a
+    * foreign undeletable dir must not fail THIS query).
     */
+  /** Newest mtime anywhere in the tree — a live streaming session writes
+    * into SUBdirectories without refreshing the top dir's mtime, so only a
+    * recursive maximum can certify staleness.
+    */
+  private def newestMtime(p: java.nio.file.Path): Long = {
+    val walk = java.nio.file.Files.walk(p)
+    try walk.mapToLong(_.toFile.lastModified()).max().orElse(0L)
+    finally walk.close()
+  }
+
   private def scratchDir(s: SparkSession, name: String): String = {
     val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     val own = s"graft_${name}_${s.sparkContext.applicationId}"
@@ -56,7 +66,8 @@ object SparkEntry {
       .filter { p =>
         val fn = p.getFileName.toString
         fn.startsWith(s"graft_${name}_") &&
-          (fn == own || p.toFile.lastModified() < staleBefore)
+          (fn == own ||
+            (try newestMtime(p) < staleBefore catch { case _: Exception => false }))
       }
       .forEach(p => try rmTree(p.toString) catch { case _: Exception => () })
     finally listing.close()
@@ -674,6 +685,14 @@ object SparkEntry {
   private def golden(name: String): String =
     s"SELECT * FROM '$GoldenDir/$name.parquet'"
 
+  /** The planted-exact-duplicate corpus (docsWithExactDups) as a DuckDB CTE —
+    * shared by every oracle over that corpus so the definition can never
+    * drift between them.
+    */
+  private val ExactDupsCte: String =
+    "WITH u AS (SELECT doc_id, text FROM documents UNION ALL " +
+      "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0) "
+
   def oracleSql: Map[String, String] = Map(
     // ---- golden-parquet oracles (reference-derived) ----
     "q_align_spans" -> golden("q_align_spans"),
@@ -803,16 +822,14 @@ object SparkEntry {
          |WHERE rn = 1""".stripMargin.replace("\n", " ")),
 
     "q_dedup_exact" ->
-      ("WITH u AS (SELECT doc_id, text FROM documents UNION ALL " +
-        "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0) " +
+      (ExactDupsCte +
         "SELECT min(doc_id) AS canonical_doc_id, count(*) AS dup_count FROM u " +
         "GROUP BY text HAVING count(*) > 1 ORDER BY 1"),
 
     // text-grouped oracle for the digest-grouped Spark op (collision-free
     // by the hash compare itself)
     "q_dedup_groups" ->
-      ("WITH u AS (SELECT doc_id, text FROM documents UNION ALL " +
-        "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0) " +
+      (ExactDupsCte +
         "SELECT min(doc_id) AS canonical_doc_id, count(*) AS dup_count FROM u " +
         "GROUP BY text HAVING count(*) > 1 ORDER BY 1"),
 
@@ -876,9 +893,7 @@ object SparkEntry {
         .stripMargin.replace("\n", " ")),
 
     "q_dedup_stream" ->
-      ("WITH u AS (SELECT doc_id, text FROM documents UNION ALL " +
-        "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0) " +
-        "SELECT DISTINCT text FROM u"),
+      (ExactDupsCte + "SELECT DISTINCT text FROM u"),
 
     "q_window_stream" ->
       ("SELECT epoch_us(time_bucket(INTERVAL '1 minute', ts)) AS window_start_us, " +

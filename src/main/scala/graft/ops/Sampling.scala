@@ -19,16 +19,20 @@ object Sampling {
 
   /** Keep each row of stratum s with probability ≈ quotas(s) (exact in the
     * hash-uniform limit); strata absent from the map are dropped. Quotas are
-    * fixed-point at 1e-6 resolution.
+    * fixed-point at 1e-6 resolution — thresholds are ROUNDED once up front
+    * (truncation would gate a binary-unrepresentable quota like 0.3 one
+    * millionth low), and the precomputed map is what the per-row gate reads.
     */
   def stratifiedSample(
       documents: DataFrame,
       quotas: Map[String, Double],
       strataCol: String = "lang",
       idCol: String = "doc_id"): DataFrame = {
+    val thresholds: Map[String, Long] =
+      quotas.map { case (k, q) => k -> math.floor(q * 1e6 + 0.5).toLong }
     val gate = udf((id: Long, stratum: String) => {
-      val q = if (stratum == null) 0.0 else quotas.getOrElse(stratum, 0.0)
-      java.lang.Long.remainderUnsigned(TextOps.mix(id), 1000000L) < (q * 1e6).toLong
+      val t = if (stratum == null) 0L else thresholds.getOrElse(stratum, 0L)
+      java.lang.Long.remainderUnsigned(TextOps.mix(id), 1000000L) < t
     })
     documents.filter(gate(col(idCol), col(strataCol)))
   }

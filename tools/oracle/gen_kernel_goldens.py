@@ -227,8 +227,10 @@ def main():
     # ---- q_stratified_sample (hash-gate quota sampling; mirrors
     #      graft.ops.Sampling.stratifiedSample with SparkEntry's quotas) ----
     quotas = {"en": 0.25, "zh": 0.5, "de": 1.0}
+    # threshold mirror of Sampling.stratifiedSample: floor(q*1e6 + 0.5)
+    thresholds = {k: int(math.floor(q * 1e6 + 0.5)) for k, q in quotas.items()}
     strows = [(int(i), l) for i, l in zip(docs.doc_id.tolist(), docs.lang.tolist())
-              if g.mix(int(i)) % 1000000 < int(quotas.get(l, 0.0) * 1e6)]
+              if g.mix(int(i)) % 1000000 < thresholds.get(l, 0)]
     write("q_stratified_sample",
           pa.schema([("doc_id", pa.int64()), ("lang", pa.string())]),
           {"doc_id": [x[0] for x in strows], "lang": [x[1] for x in strows]})
