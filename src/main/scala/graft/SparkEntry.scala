@@ -257,6 +257,16 @@ object SparkEntry {
         Map("en" -> 0.25, "zh" -> 0.5, "de" -> 1.0))
         .orderBy(col("doc_id"))),
 
+    // ---- benchmark decontamination: distinct 8-gram overlap of every
+    //      document against a (broadcast) benchmark set — docs doc_id < 10
+    //      play the eval set, so they self-contaminate fully and any
+    //      incidental 8-gram collisions surface too ----
+    "q_contamination" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      TextOps.contaminationCounts(d, d.filter(col("doc_id") < 10))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- token counting (built-ins only) ----
     "q_token_count" -> ((s, dir) =>
       TextOps.tokenCounts(docs(s, dir))),
@@ -941,6 +951,23 @@ object SparkEntry {
 
     "q_jsonl_scan" ->
       ("SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 100 ORDER BY doc_id"),
+
+    "q_contamination" ->
+      ("""WITH tok AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) < 8 THEN (CASE WHEN len(toks) = 0 THEN [] ELSE [array_to_string(toks, ' ')] END)
+         |         ELSE list_transform(range(1, len(toks) - 6),
+         |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+         |                     toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])
+         |    END AS sh FROM tok),
+         |docg AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(sh) AS g FROM sh)),
+         |bench AS (SELECT DISTINCT g FROM docg WHERE doc_id < 10)
+         |SELECT d.doc_id, count(*) AS n_contaminated
+         |FROM docg d JOIN bench b USING (g)
+         |GROUP BY 1""".stripMargin.replace("\n", " ")),
 
     "q_inverted_index" ->
       ("""WITH pairs AS (

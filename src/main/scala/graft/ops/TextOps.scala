@@ -219,6 +219,31 @@ object TextOps {
       .toDF("doc_id", "top2gram_char_frac", "top3gram_char_frac", "top4gram_char_frac")
   }
 
+  /** Benchmark decontamination counts — for every corpus document, the
+    * number of DISTINCT word n-grams it shares with a benchmark/eval set
+    * (the standard pretraining contamination check; docs over a threshold
+    * get dropped or flagged before training).
+    *
+    * Scale shape: the benchmark side is tiny by definition (an eval set) —
+    * its distinct shingle set BROADCASTS, so the corpus-side scan is one
+    * map-side semi-join + a partial-aggregating count keyed by doc_id. No
+    * corpus shuffle beyond the final per-doc count; only contaminated docs
+    * are emitted.
+    */
+  def contaminationCounts(
+      documents: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 8): DataFrame = {
+    val shingleUdf = udf((t: String) => Dedup.shingles(t, n).distinct)
+    val docSh = documents
+      .select(col("doc_id"), explode(shingleUdf(col("text"))).as("g"))
+    val benchSh = benchmark
+      .select(explode(shingleUdf(col("text"))).as("g")).distinct()
+    docSh.join(broadcast(benchSh), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+
   /** PII redaction over a text column — emails and phone-shaped numbers
     * replaced by type tokens, the standard pretraining-corpus scrub. Pure
     * chained `regexp_replace` (whole-stage codegen, no UDF). The patterns
