@@ -21,6 +21,16 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Best-of-2 per query (VERDICT r3 #1: a single cold pass has no variance
+    * guard, so one noisy-neighbor burst becomes the round's committed
+    * record). Both passes are recorded — a max/min ratio > 3 is the
+    * contamination flag BASELINE.md documents. Returns (min, all runs).
+    */
+  def timeQueryBestOf(fn: => DataFrame, runs: Int = 2): (Double, Seq[Double]) = {
+    val times = (1 to runs).map { _ => timeQuery(fn) }
+    (times.min, times)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -77,17 +87,24 @@ object Bench {
       // alphabet absorb the GC debt of earlier ones and read 2-3x slower
       // run-to-run
       System.gc()
-      val sec =
-        try timeQuery(fn(spark, sfDir))
+      val (sec, all) =
+        try timeQueryBestOf(fn(spark, sfDir))
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          (-1.0, Seq.empty[Double])
         }
-      name -> sec
+      if (all.length >= 2 && all.min > 0 && all.max / all.min > 3.0)
+        System.err.println(f"[bench] $name high variance: min=${all.min}%.2f max=${all.max}%.2f")
+      (name, sec, all)
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qruns = results.map { case (k, _, all) =>
+      "\"" + k + "\":" + all.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","align_docs_per_sec":$docsPerSec,"align_docs":$nDocs,"align_runs_sec":$runsJson,"cpus":"$cpus"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_runs":$qruns,"sf":"$sfDir","align_docs_per_sec":$docsPerSec,"align_docs":$nDocs,"align_runs_sec":$runsJson,"cpus":"$cpus"}""")
     spark.stop()
   }
 }

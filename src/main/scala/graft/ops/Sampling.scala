@@ -22,6 +22,13 @@ object Sampling {
     * fixed-point at 1e-6 resolution — thresholds are ROUNDED once up front
     * (truncation would gate a binary-unrepresentable quota like 0.3 one
     * millionth low), and the precomputed map is what the per-row gate reads.
+    *
+    * Null handling (both drops are CONTRACT, not accident): a null stratum
+    * has no quota, so the row is dropped; a null id is dropped by the
+    * EXPLICIT isNotNull filter below — the gate needs a stable 64-bit key
+    * and there is no principled hash of "unknown id" (without the explicit
+    * filter the primitive-parameter UDF would silently null-drop anyway;
+    * making it a visible filter documents the behavior in the plan).
     */
   def stratifiedSample(
       documents: DataFrame,
@@ -34,6 +41,6 @@ object Sampling {
       val t = if (stratum == null) 0L else thresholds.getOrElse(stratum, 0L)
       java.lang.Long.remainderUnsigned(TextOps.mix(id), 1000000L) < t
     })
-    documents.filter(gate(col(idCol), col(strataCol)))
+    documents.filter(col(idCol).isNotNull && gate(col(idCol), col(strataCol)))
   }
 }

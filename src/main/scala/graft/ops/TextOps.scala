@@ -250,10 +250,18 @@ object TextOps {
     * use ONLY explicit character classes — no \w/\s/\b — so they mean the
     * same thing under Java regex (Spark) and RE2 (DuckDB/most scrubbers);
     * the engines' class shorthands differ (FIXTURES.md §DuckDB-parity).
+    *
+    * Phone coverage (ADVICE r3): an optional +CC prefix, then either a
+    * parenthesized or separator-delimited area code, then the 3-4 local
+    * groups — so '+1-555-123-4567', '555-123-4567', '(555) 123-4567' and
+    * '555 123 4567' all redact. UNSEPARATED 10-digit runs are deliberately
+    * NOT matched: any numeric id/timestamp would collide, and a scrub that
+    * eats arbitrary long numbers destroys non-PII data (documented recall
+    * bound, not an oversight).
     */
   def redactPii(text: Column): Column = {
     val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-    val phone = "\\+?[0-9]{1,2}[- ]?[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}"
+    val phone = "(?:\\+?[0-9]{1,2}[- ])?(?:\\([0-9]{3}\\) ?|[0-9]{3}[- ])[0-9]{3}[- ][0-9]{4}"
     regexp_replace(regexp_replace(text, email, "<EMAIL>"), phone, "<PHONE>")
   }
 
