@@ -109,6 +109,27 @@ object SparkEntry {
     d.unionAll(mutated)
   }
 
+  /** Deterministic line/paragraph structure for the repetition fixture: the
+    * synthetic corpus has no newlines, so reflow each doc into 6-token
+    * lines and 3-line paragraphs, then PLANT duplicates (every 4th line
+    * repeats its predecessor, every 5th paragraph repeats its predecessor)
+    * so `dup_line_char_frac` / `dup_para_char_frac` have non-vacuous values
+    * the oracle can disagree with. Mirrored token-for-token in
+    * gen_kernel_goldens.py.
+    */
+  private[graft] def reflowForRepetition(text: String): String = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    val lines0 = toks.grouped(6).map(_.mkString(" ")).toArray
+    val lines = lines0.zipWithIndex.map { case (l, i) =>
+      if (i % 4 == 3) lines0(i - 1) else l
+    }
+    val paras0 = lines.grouped(3).map(_.mkString("\n")).toArray
+    val paras = paras0.zipWithIndex.map { case (p, i) =>
+      if (i % 5 == 4) paras0(i - 1) else p
+    }
+    paras.mkString("\n\n")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- flagship kernel pipeline (non-SQL; golden/differential-verified) ----
@@ -271,9 +292,14 @@ object SparkEntry {
     "q_token_count" -> ((s, dir) =>
       TextOps.tokenCounts(docs(s, dir))),
 
-    // ---- Gopher-style repetition signals (top n-gram char fractions) ----
-    "q_repetition" -> ((s, dir) =>
-      TextOps.repetitionScores(docs(s, dir))),
+    // ---- Gopher-style repetition signals (top n-gram char fractions +
+    //      dup-line/dup-paragraph char fractions) over the deterministically
+    //      reflowed corpus (the raw synthetic docs have no line structure) ----
+    "q_repetition" -> ((s, dir) => {
+      val reflow = udf(reflowForRepetition _)
+      TextOps.repetitionScores(
+        docs(s, dir).select(col("doc_id"), reflow(col("text")).as("text")))
+    }),
 
     // ---- inverted-index build with document-frequency capping (the
     //      stopword hot-key guard: count-first, posting lists only under

@@ -205,8 +205,44 @@ object TextOps {
     else (bestC.toLong * bestG.length).toDouble / text.length
   }
 
-  /** Per-document repetition signals for n = 2, 3, 4 — the Gopher filter
-    * columns a pretraining pipeline thresholds on.
+  /** Fraction of line characters inside DUPLICATED lines — the other half
+    * of the Gopher repetition family (Rae et al. §A1.1) alongside the
+    * top-n-gram fractions: boilerplate pages repeat whole lines (nav bars,
+    * cookie banners) that n-gram stats under-weight. Convention (pinned,
+    * mirrored in the golden oracle): lines are `\n`-split, trimmed,
+    * empties dropped; ALL occurrences of a line appearing ≥2 times count as
+    * duplicated; denominator is the summed char length of kept lines (not
+    * raw text length — separator chars would dilute the signal). Exact
+    * per-row hash multiset — no shuffle, no estimate.
+    */
+  def dupLineCharFraction(text: String): Double =
+    dupUnitCharFraction(if (text == null) Array.empty else text.split("\n"))
+
+  /** Paragraph twin of [[dupLineCharFraction]]: units are `\n{2,}`-split
+    * blocks (inner single newlines stay part of the paragraph's identity).
+    */
+  def dupParaCharFraction(text: String): Double =
+    dupUnitCharFraction(if (text == null) Array.empty else text.split("\n{2,}"))
+
+  private def dupUnitCharFraction(units: Array[String]): Double = {
+    val kept = units.iterator.map(_.trim).filter(_.nonEmpty).toArray
+    if (kept.isEmpty) return 0.0
+    val counts = new java.util.HashMap[String, Int]()
+    kept.foreach(u => counts.merge(u, 1, (a, b) => a + b))
+    var total = 0L
+    var dup = 0L
+    counts.forEach { (u, c) =>
+      val chars = u.length.toLong * c
+      total += chars
+      if (c >= 2) dup += chars
+    }
+    if (total == 0L) 0.0 else dup.toDouble / total
+  }
+
+  /** Per-document repetition signals — the Gopher filter columns a
+    * pretraining pipeline thresholds on: top n-gram char fractions for
+    * n = 2, 3, 4 plus duplicate-line / duplicate-paragraph char fractions,
+    * all computed per-row in one pass (no shuffle).
     */
   def repetitionScores(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
@@ -214,9 +250,11 @@ object TextOps {
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, t) =>
         (id, topNgramCharFraction(t, 2), topNgramCharFraction(t, 3),
-          topNgramCharFraction(t, 4))
+          topNgramCharFraction(t, 4), dupLineCharFraction(t),
+          dupParaCharFraction(t))
       })
-      .toDF("doc_id", "top2gram_char_frac", "top3gram_char_frac", "top4gram_char_frac")
+      .toDF("doc_id", "top2gram_char_frac", "top3gram_char_frac",
+        "top4gram_char_frac", "dup_line_char_frac", "dup_para_char_frac")
   }
 
   /** Benchmark decontamination counts — for every corpus document, the

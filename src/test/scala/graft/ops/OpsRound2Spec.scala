@@ -185,4 +185,22 @@ class OpsRound2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.note === "band_overflow_drop:0")
     assert(r.traAlign.isEmpty)
   }
+
+  test("dup-line char fraction: all occurrences of duplicated lines count") {
+    // lines: "aaaa" x2 (8 chars dup), "bb" (2 chars unique) -> 8/10
+    assert(TextOps.dupLineCharFraction("aaaa\nbb\naaaa") === 0.8)
+    // trimming + empty-line drops before counting
+    assert(TextOps.dupLineCharFraction("  x \n\n x\n") === 1.0)
+    assert(TextOps.dupLineCharFraction("abc\ndef") === 0.0)
+    assert(TextOps.dupLineCharFraction("") === 0.0)
+    assert(TextOps.dupLineCharFraction(null) === 0.0)
+  }
+
+  test("dup-paragraph char fraction: blocks split on blank lines, inner newlines kept") {
+    // paragraphs "a\nb" x2 duplicated, "zz" unique -> 6/8
+    assert(TextOps.dupParaCharFraction("a\nb\n\nzz\n\na\nb") === 0.75)
+    // 3+ newlines still one separator; single newline does NOT split
+    assert(TextOps.dupParaCharFraction("p\n\n\np") === 1.0)
+    assert(TextOps.dupParaCharFraction("a\nb") === 0.0)
+  }
 }

@@ -315,16 +315,22 @@ def main():
            "frames_sampled": [g.sample_frame_count(g.media_kind(i), len(t.encode("utf-8")))
                               for i, t in doc_items]})
 
-    # ---- q_repetition (Gopher top-ngram char fractions) ----
+    # ---- q_repetition (Gopher top-ngram char fractions + dup-line/para
+    #      fractions over the deterministically reflowed corpus) ----
+    reflowed = [g.reflow_for_repetition(t) for t in docs.text.tolist()]
     write("q_repetition",
           pa.schema([("doc_id", pa.int64()),
                      ("top2gram_char_frac", pa.float64()),
                      ("top3gram_char_frac", pa.float64()),
-                     ("top4gram_char_frac", pa.float64())]),
+                     ("top4gram_char_frac", pa.float64()),
+                     ("dup_line_char_frac", pa.float64()),
+                     ("dup_para_char_frac", pa.float64())]),
           {"doc_id": docs.doc_id.tolist(),
-           "top2gram_char_frac": [g.top_ngram_char_fraction(t, 2) for t in docs.text.tolist()],
-           "top3gram_char_frac": [g.top_ngram_char_fraction(t, 3) for t in docs.text.tolist()],
-           "top4gram_char_frac": [g.top_ngram_char_fraction(t, 4) for t in docs.text.tolist()]})
+           "top2gram_char_frac": [g.top_ngram_char_fraction(t, 2) for t in reflowed],
+           "top3gram_char_frac": [g.top_ngram_char_fraction(t, 3) for t in reflowed],
+           "top4gram_char_frac": [g.top_ngram_char_fraction(t, 4) for t in reflowed],
+           "dup_line_char_frac": [g.dup_line_char_fraction(t) for t in reflowed],
+           "dup_para_char_frac": [g.dup_para_char_fraction(t) for t in reflowed]})
 
     # ---- embeddings-based queries ----
     emb_tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),

@@ -530,6 +530,46 @@ def top_ngram_char_fraction(text, n):
     return (best_c * len(best_g)) / len(text)
 
 
+def reflow_for_repetition(text):
+    """Mirror of SparkEntry.reflowForRepetition (repetition fixture synth):
+    6-token lines, 3-line paragraphs, every 4th line repeats its
+    predecessor, every 5th paragraph repeats its predecessor."""
+    toks = [t for t in text.split(" ") if t]
+    lines0 = [" ".join(toks[i:i + 6]) for i in range(0, len(toks), 6)]
+    lines = [lines0[i - 1] if i % 4 == 3 else l for i, l in enumerate(lines0)]
+    paras0 = ["\n".join(lines[i:i + 3]) for i in range(0, len(lines), 3)]
+    paras = [paras0[i - 1] if i % 5 == 4 else p for i, p in enumerate(paras0)]
+    return "\n\n".join(paras)
+
+
+def _dup_unit_char_fraction(units):
+    """Mirror of TextOps.dupUnitCharFraction: trimmed non-empty units; all
+    occurrences of a unit appearing >=2 times count as duplicated chars;
+    denominator is total kept-unit chars."""
+    kept = [u.strip() for u in units]
+    kept = [u for u in kept if u]
+    if not kept:
+        return 0.0
+    counts = {}
+    for u in kept:
+        counts[u] = counts.get(u, 0) + 1
+    total = dup = 0
+    for u, c in counts.items():
+        chars = len(u) * c
+        total += chars
+        if c >= 2:
+            dup += chars
+    return dup / total if total else 0.0
+
+
+def dup_line_char_fraction(text):
+    return _dup_unit_char_fraction((text or "").split("\n"))
+
+
+def dup_para_char_fraction(text):
+    return _dup_unit_char_fraction(re.split(r"\n{2,}", text or ""))
+
+
 # ---------------- Multimodal stub ----------------
 
 def media_kind(doc_id):
