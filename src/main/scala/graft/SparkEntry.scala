@@ -704,6 +704,28 @@ object SparkEntry {
     //      These queries are EAGER — they run the stream to completion at
     //      construction time and return the sink contents. ----
 
+    // ---- kill/rerun resumability under a hard oracle (VERDICT r3 #5):
+    //      run the checkpointed flagship with maxWaves=1 (one bucket), stop
+    //      — the simulated kill — then invoke AGAIN from nothing but the
+    //      on-disk manifest; the second run must process ONLY the
+    //      uncommitted bucket, and the stitched output table must equal the
+    //      single-shot reference-executed alignment golden ----
+    "q_resume" -> ((s, dir) => {
+      val tmp = scratchDir(s, "resume")
+      rmTree(tmp) // this row certifies the rerun protocol, not stale reuse
+      val pages = graft.pipeline.AlignJob.synthPages(s, dir)
+      val first = graft.pipeline.ResumableAlignRunner.run(
+        pages, tmp, nBuckets = 2, bucketsPerWave = 1, maxWaves = 1)
+      // -- simulated kill: nothing survives to the second call but the dir --
+      val second = graft.pipeline.ResumableAlignRunner.run(
+        pages, tmp, nBuckets = 2, bucketsPerWave = 1)
+      require(first == Seq(0) && second == Seq(1),
+        s"resume protocol broken: first=$first second=$second")
+      s.read.parquet(s"$tmp/spans")
+        .select(col("url"), col("seq"), col("syl"),
+          col("ulx"), col("uly"), col("lrx"), col("lry"))
+    }),
+
     // the flagship kernel over a file-source stream; oracle = the SAME
     // reference-executed golden as batch q_align_spans
     "q_align_stream" -> ((s, dir) => {
@@ -799,6 +821,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // ---- golden-parquet oracles (reference-derived) ----
     "q_align_spans" -> golden("q_align_spans"),
+    // kill/rerun must reproduce the identical single-shot table
+    "q_resume" -> golden("q_align_spans"),
     "q_align_metrics" -> golden("q_align_metrics"),
     "q_extract_text" -> golden("q_extract_text"),
     "q_doc_json" -> golden("q_doc_json"),
