@@ -454,6 +454,27 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(tbl(s, dir, "embeddings"), queryMaxId = 20, k = 5)),
 
+    // ---- ANN quality as a recorded metric row (VERDICT r3 #7): recall@5
+    //      of the LSH and IVF paths against the exact brute-force top-k —
+    //      all three deterministic, so the recall itself is a hard oracle
+    //      value, not a flaky statistic ----
+    "q_ann_recall" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val brute = Similarity.bruteForceTopK(e, queryMaxId = 20, k = 5)
+        .select(col("q_id"), col("neighbor_id"))
+      val cand = Similarity.lshTopK(e, queryMaxId = 20, k = 5)
+        .select(lit("lsh").as("method"), col("q_id"), col("neighbor_id"))
+        .unionAll(Similarity.ivfTopK(e, queryMaxId = 20, k = 5)
+          .select(lit("ivf").as("method"), col("q_id"), col("neighbor_id")))
+      cand.join(brute, Seq("q_id", "neighbor_id"))
+        .groupBy(col("method"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(brute.agg(count(lit(1)).as("total")))
+        .select(col("method"), col("hits"),
+          (col("hits").cast("double") / col("total")).as("recall_at_k"))
+        .orderBy(col("method"))
+    }),
+
     // ---- embedding-cosine near-dup pairs (planted perturbed copies) ----
     "q_embed_near_dups" -> ((s, dir) => {
       import s.implicits._
@@ -880,6 +901,34 @@ object SparkEntry {
          |               ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank,
          |       vec_id AS neighbor_id, score
          |FROM pairs QUALIFY rank <= 5""".stripMargin.replace("\n", " ")),
+
+    // ---- ANN recall: DuckDB recomputes the exact brute-force top-5 (same
+    //      CTE as q_ann_brute) and scores the LSH/IVF GOLDEN tables against
+    //      it — the golden side is the independently generated Python
+    //      reimplementation, so both factors of the recall are independent
+    //      of the Spark code under test ----
+    "q_ann_recall" ->
+      (s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+         |           FROM embeddings WHERE vec_id < 20),
+         |pairs AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    list_dot_product(q.q_emb, e.embedding::DOUBLE[]) /
+         |      (sqrt(list_dot_product(q.q_emb, q.q_emb)) *
+         |       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS score
+         |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+         |ranked AS (SELECT q_id, vec_id AS neighbor_id,
+         |             row_number() OVER (PARTITION BY q_id
+         |               ORDER BY score DESC, vec_id ASC) AS rank FROM pairs),
+         |brute AS (SELECT q_id, neighbor_id FROM ranked WHERE rank <= 5),
+         |cand AS (SELECT 'lsh' AS method, q_id, neighbor_id
+         |           FROM '$GoldenDir/q_ann_lsh.parquet'
+         |         UNION ALL SELECT 'ivf', q_id, neighbor_id
+         |           FROM '$GoldenDir/q_ann_ivf.parquet'),
+         |tot AS (SELECT count(*) AS total FROM brute)
+         |SELECT method, CAST(count(*) AS BIGINT) AS hits,
+         |       count(*)::DOUBLE / (SELECT total FROM tot) AS recall_at_k
+         |FROM cand JOIN brute USING (q_id, neighbor_id)
+         |GROUP BY method ORDER BY method""".stripMargin.replace("\n", " ")),
 
     // ---- n-gram Jaccard over the planted near-dup corpus, pure SQL ----
     "q_ngram_jaccard" ->
