@@ -109,6 +109,28 @@ object SparkEntry {
     d.unionAll(mutated)
   }
 
+  /** Session-memoized near-dup cluster table (shared by q_dedup_clusters
+    * and q_dedup_survivors): `Dedup.nearDupClusters` returns a projection
+    * of an eagerly CHECKPOINTED label table, whose plan is a fresh
+    * LogicalRDD every call — the CacheRegistry's plan-identity dedupe (how
+    * q_mei_assign/q_mei_xml share spans) cannot see through it, so without
+    * this memo each consumer would re-run the full minhash+simhash pair
+    * pipelines. Keyed by (applicationId, sfDir); the checkpointed blocks it
+    * pins are label-table-sized (pairs, not corpus).
+    */
+  private val dedupClusterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def nearDupClustersFor(s: SparkSession, dir: String): DataFrame =
+    dedupClusterCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + dir, _ => {
+        val corpus = docsWithNearDups(s, dir)
+        val pairs = Dedup.minhashNearDups(corpus, threshold = 0.5)
+          .select(col("doc_a"), col("doc_b"))
+          .unionAll(Dedup.simhashNearDups(corpus, keyChunks = 2)
+            .select(col("doc_a"), col("doc_b")))
+        Dedup.nearDupClusters(pairs)
+      })
+
   /** Deterministic url synthesis for the domain ops: the corpus table has
     * no url column, so derive one from source + doc_id (subdomain rotates
     * www/cdn/apex so host extraction is exercised on all three shapes).
@@ -398,28 +420,16 @@ object SparkEntry {
     //      bounded min-label propagation, canonical = min doc_id. The
     //      oracle recomputes the components independently with a DuckDB
     //      recursive CTE over the golden pair tables ----
-    "q_dedup_clusters" -> ((s, dir) => {
-      val corpus = docsWithNearDups(s, dir)
-      val pairs = Dedup.minhashNearDups(corpus, threshold = 0.5)
-        .select(col("doc_a"), col("doc_b"))
-        .unionAll(Dedup.simhashNearDups(corpus, keyChunks = 2)
-          .select(col("doc_a"), col("doc_b")))
-      Dedup.nearDupClusters(pairs).orderBy(col("doc_id"))
-    }),
+    "q_dedup_clusters" -> ((s, dir) =>
+      nearDupClustersFor(s, dir).orderBy(col("doc_id"))),
 
     // ---- near-dup SURVIVORS: the deduped corpus (drop every cluster
     //      member except its canonical) — pairs → clusters → corpus, the
     //      full pipeline a 100 TB dedup actually ships ----
-    "q_dedup_survivors" -> ((s, dir) => {
-      val corpus = docsWithNearDups(s, dir)
-      val pairs = Dedup.minhashNearDups(corpus, threshold = 0.5)
-        .select(col("doc_a"), col("doc_b"))
-        .unionAll(Dedup.simhashNearDups(corpus, keyChunks = 2)
-          .select(col("doc_a"), col("doc_b")))
-      Dedup.dedupSurvivors(corpus, Dedup.nearDupClusters(pairs))
+    "q_dedup_survivors" -> ((s, dir) =>
+      Dedup.dedupSurvivors(docsWithNearDups(s, dir), nearDupClustersFor(s, dir))
         .select(col("doc_id"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     // ---- winnowing similarity over the planted near-dup pairs ----
     "q_winnow_dedup" -> ((s, dir) => {
@@ -774,10 +784,14 @@ object SparkEntry {
       val src = tbl(s, dir, "events")
       src.coalesce(1).write.parquet(s"$tmp/events")
       val stream = s.readStream.schema(src.schema).parquet(s"$tmp/events")
-      graft.streaming.StreamingJobs.runAvailableNow(
-        graft.streaming.StreamingJobs
-          .sessionizeStream(stream, watermarkDelay = "3650 days").toDF(),
-        s"$tmp/out")
+      // 4 state partitions for the one-batch harness (semantics are
+      // partition-count-independent; see withShufflePartitions)
+      graft.streaming.StreamingJobs.withShufflePartitions(s, 4) {
+        graft.streaming.StreamingJobs.runAvailableNow(
+          graft.streaming.StreamingJobs
+            .sessionizeStream(stream, watermarkDelay = "3650 days").toDF(),
+          s"$tmp/out")
+      }
       s.read.parquet(s"$tmp/out/data")
         .select(col("user_id"), col("session_start_us"),
           col("session_end_us"), col("n_events"))
@@ -791,10 +805,12 @@ object SparkEntry {
       docsWithExactDups(s, dir)
         .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
         .write.parquet(s"$tmp/docs")
-      graft.streaming.StreamingJobs.runAvailableNow(
-        graft.streaming.StreamingJobs.dedupDocsStream(s, s"$tmp/docs",
-          horizon = "3650 days"),
-        s"$tmp/out")
+      graft.streaming.StreamingJobs.withShufflePartitions(s, 4) {
+        graft.streaming.StreamingJobs.runAvailableNow(
+          graft.streaming.StreamingJobs.dedupDocsStream(s, s"$tmp/docs",
+            horizon = "3650 days"),
+          s"$tmp/out")
+      }
       s.read.parquet(s"$tmp/out/data")
     }),
 
@@ -805,9 +821,11 @@ object SparkEntry {
       val src = tbl(s, dir, "events")
       src.write.parquet(s"$tmp/events")
       val stream = s.readStream.schema(src.schema).parquet(s"$tmp/events")
-      graft.streaming.StreamingJobs.runCompleteToMemory(
-        graft.streaming.StreamingJobs.eventWindowStats(stream),
-        "graft_window_stream")
+      graft.streaming.StreamingJobs.withShufflePartitions(s, 4) {
+        graft.streaming.StreamingJobs.runCompleteToMemory(
+          graft.streaming.StreamingJobs.eventWindowStats(stream),
+          "graft_window_stream")
+      }
     })
   )
 

@@ -72,6 +72,24 @@ class DedupClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(survivors === Set(0L, 1L, 2L, 3L, 5L, 6L, 8L))
   }
 
+  test("scale shape: result plan is lineage-truncated (checkpointed labels, " +
+    "no re-execution of the pair-producing plan; edges never collected)") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.nearDupClusters(pairs)
+    // every leaf of the optimized plan must be a checkpointed-RDD scan —
+    // the upstream pair plan (at scale: the full minhash+simhash pipelines)
+    // is gone from the lineage, so no consumer action can re-trigger it,
+    // and the only driver-side materialization inside the loop was the
+    // 1-row label-sum scalar
+    val leaves = got.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty)
+    leaves.foreach { l =>
+      assert(l.getClass.getSimpleName === "LogicalRDD",
+        s"non-truncated leaf in cluster plan: ${l.getClass.getName}")
+    }
+  }
+
   test("survivor table keeps the full document row (text intact)") {
     import spark.implicits._
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
