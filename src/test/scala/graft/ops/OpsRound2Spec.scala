@@ -186,6 +186,26 @@ class OpsRound2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.traAlign.isEmpty)
   }
 
+  test("contamination gate: oversized benchmark side drops the broadcast hint, same result") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "z y x w v u t s r q"),
+      (3L, "a b c d e f g h i j k l")).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("a b c d e f g h i j")).toDF("text")
+    def hints(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect { case j: Join => j.hint }
+    val small = TextOps.contaminationCounts(docs, bench)
+    val big = TextOps.contaminationCounts(docs, bench, maxBroadcastShingles = 0)
+    assert(hints(small).exists(_ != JoinHint.NONE), "eval-sized side should carry the broadcast hint")
+    assert(hints(big).forall(_ == JoinHint.NONE), "oversized side must take the shuffled plan")
+    val a = small.orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val b = big.orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(a === b)
+    assert(a.map(_._1) === Seq(1L, 3L)) // doc 2 shares no 8-gram
+  }
+
   test("dup-line char fraction: all occurrences of duplicated lines count") {
     // lines: "aaaa" x2 (8 chars dup), "bb" (2 chars unique) -> 8/10
     assert(TextOps.dupLineCharFraction("aaaa\nbb\naaaa") === 0.8)
