@@ -313,6 +313,43 @@ object SparkEntry {
         Map("en" -> 0.25, "zh" -> 0.5, "de" -> 1.0))
         .orderBy(col("doc_id"))),
 
+    // ---- quality-quantile bucketing (the "keep the top X% by score" cut):
+    //      thresholds from a deterministic hash-gated sample (reproducible
+    //      at any parallelism, unlike approxQuantile's merge-order-
+    //      dependent GK sketch), assignment map-side ----
+    "q_quantile_bucket" -> ((s, dir) =>
+      graft.ops.Sampling.bucketByScore(
+        docs(s, dir).select(col("doc_id"),
+          length(col("text")).cast("double").as("score")),
+        nBuckets = 4, sampleMicros = 200000L)
+        .orderBy(col("doc_id"))),
+
+    // ---- case/punct-insensitive exact dedup: normalization (chained
+    //      codegen regexes, no UDF) composed with the digest group op over
+    //      planted uppercase/punctuated variants — the oracle recomputes
+    //      the normalization independently in DuckDB, so a normalization
+    //      bug surfaces as a group mismatch ----
+    "q_dedup_normalized" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.unionAll(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit("?! ")).as("text")))
+      Dedup.exactDuplicateGroups(corpus.select(col("doc_id"),
+          TextOps.normalizeForDedup(col("text")).as("text")))
+        .orderBy(col("canonical_doc_id"))
+    }),
+
+    // ---- domain blocklist scrub: broadcast left-anti on the registered
+    //      domain — map-side, no corpus shuffle ----
+    "q_domain_filter" -> ((s, dir) => {
+      import s.implicits._
+      val block = Seq("src3-site.org", "src7-site.org", "src11-site.org")
+        .toDF("domain")
+      graft.ops.Domains.filterByDomain(docsWithUrls(s, dir), block)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- per-registered-domain corpus statistics (the mixing-policy
     //      input table): pure-Catalyst host/domain extraction + one
     //      partial-combining hash aggregate ----
@@ -874,6 +911,37 @@ object SparkEntry {
     "q_mei_assign" -> golden("q_mei_assign"),
     "q_mei_xml" -> golden("q_mei_xml"),
     "q_eval_gtxml" -> golden("q_eval_gtxml"),
+    // ---- normalized exact dedup: DuckDB recomputes the normalization
+    //      with its own regex engine and groups by the normalized TEXT
+    //      (doubling as a digest-collision check, like q_dedup_groups) ----
+    "q_dedup_normalized" ->
+      ("""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, '  ' || upper(text) || '?! ' AS text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |n AS (SELECT doc_id,
+         |        trim(regexp_replace(regexp_replace(lower(text),
+         |          '[^a-z0-9 ]', ' ', 'g'), ' {2,}', ' ', 'g')) AS text
+         |      FROM u)
+         |SELECT min(doc_id) AS canonical_doc_id, count(*) AS dup_count
+         |FROM n GROUP BY text HAVING count(*) > 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+
+    // ---- domain blocklist: same url/domain synthesis as q_domain_stats,
+    //      NOT IN the blocked set ----
+    "q_domain_filter" ->
+      ("""WITH d AS (SELECT *, 'https://' ||
+         |    (CASE WHEN doc_id % 3 = 0 THEN 'www.'
+         |          WHEN doc_id % 3 = 1 THEN 'cdn.' ELSE '' END) ||
+         |    source || '-site.org/p/' || CAST(doc_id AS VARCHAR) AS url
+         |  FROM documents),
+         |h AS (SELECT *, regexp_extract(
+         |        regexp_extract(url, '^[a-z]+://([^/]+)', 1),
+         |        '[^.]+\.[^.]+$', 0) AS domain FROM d)
+         |SELECT doc_id FROM h
+         |WHERE domain NOT IN ('src3-site.org', 'src7-site.org', 'src11-site.org')
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
     // ---- per-domain stats: url synthesis + host/registered-domain
     //      extraction reimplemented with DuckDB regexes (not parse_url) ----
     "q_domain_stats" ->
@@ -893,6 +961,7 @@ object SparkEntry {
     "q_langid" -> golden("q_langid"),
     "q_stratified_sample" -> golden("q_stratified_sample"),
     "q_domain_sample" -> golden("q_domain_sample"),
+    "q_quantile_bucket" -> golden("q_quantile_bucket"),
     "q_fingerprint" -> golden("q_fingerprint"),
     "q_winnow_dedup" -> golden("q_winnow_dedup"),
     "q_minhash_dedup" -> golden("q_minhash_dedup"),

@@ -43,4 +43,28 @@ object Domains {
         count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ", -1))).as("n_tokens"),
         sum(length(col("text"))).as("n_chars"))
+
+  /** Drop (or keep) documents whose registered domain is on a list — the
+    * blocklist scrub every crawl pipeline runs before anything else.
+    *
+    * Scale shape: a domain list is small by definition (even the big public
+    * blocklists are single-digit millions of rows ≈ tens of MB), so it
+    * joins BROADCAST as a left-anti (blocklist) / left-semi (allowlist) —
+    * map-side, no corpus shuffle, nulls (unparseable urls) conservatively
+    * KEPT on blocklists and DROPPED on allowlists (an anti-join cannot
+    * match a null key; documented, not accidental).
+    */
+  def filterByDomain(
+      documents: DataFrame,
+      domains: DataFrame,
+      mode: String = "block",
+      urlCol: String = "url"): DataFrame = {
+    require(mode == "block" || mode == "allow", s"mode must be block|allow: $mode")
+    val joinType = if (mode == "block") "left_anti" else "left_semi"
+    val withDomain = documents.withColumn("__domain", registeredDomain(col(urlCol)))
+    withDomain.join(
+        broadcast(domains.select(col(domains.columns.head).as("__domain")).distinct()),
+        Seq("__domain"), joinType)
+      .drop("__domain")
+  }
 }

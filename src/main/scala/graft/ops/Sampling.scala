@@ -43,4 +43,51 @@ object Sampling {
     })
     documents.filter(col(idCol).isNotNull && gate(col(idCol), col(strataCol)))
   }
+
+  /** Quality-quantile bucketing ("keep the top 25% by quality score"):
+    * assigns each row a bucket 0..nBuckets-1 from thresholds computed over
+    * a DETERMINISTIC hash-gated sample of the score column.
+    *
+    * Why sample-based and not exact/approx global quantiles: exact global
+    * quantiles need a global sort (scale-killer), and Spark's
+    * approxQuantile GK sketch is merge-order-dependent (thresholds change
+    * run to run at the error margin — unacceptable for a reproducible
+    * curation cut). The SplitMix64 gate picks the SAME rows at every
+    * parallelism; the sampled scores sort exactly; the nBuckets-1
+    * thresholds broadcast in the bucket closure; assignment is map-side.
+    * Sampling error on the CUT POINT is the explicit trade (a ~1e6-row
+    * sample puts it well under 0.1% — size `sampleMicros` to the corpus:
+    * at 10^12 rows use ~1, at 10^6 rows use ~1e5; the driver-side collect
+    * is bounded by `sampleMicros`, which is the documented contract).
+    *
+    * Threshold convention (pinned, mirrored in the golden oracle):
+    * t_i = sortedSample(floor(i*n/B)) for i in 1..B-1; bucket = number of
+    * thresholds <= score (ties promote to the upper bucket). Null scores
+    * get a null bucket; null ids are never sampled.
+    */
+  def bucketByScore(
+      df: DataFrame,
+      nBuckets: Int,
+      sampleMicros: Long,
+      scoreCol: String = "score",
+      idCol: String = "doc_id"): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
+    val gate = udf((id: Long) =>
+      java.lang.Long.remainderUnsigned(TextOps.mix(id), 1000000L) < sampleMicros)
+    val sample = df
+      .filter(col(idCol).isNotNull && gate(col(idCol)) && col(scoreCol).isNotNull)
+      .select(col(scoreCol).cast("double"))
+      .collect().map(_.getDouble(0)).sorted
+    require(sample.nonEmpty,
+      s"quantile sample is empty — raise sampleMicros (=$sampleMicros)")
+    val n = sample.length
+    val thresholds = (1 until nBuckets)
+      .map(i => sample((i.toLong * n / nBuckets).toInt)).toArray
+    val bucketUdf = udf((score: Double) => {
+      var b = 0
+      while (b < thresholds.length && score >= thresholds(b)) b += 1
+      b
+    })
+    df.withColumn("bucket", bucketUdf(col(scoreCol).cast("double")))
+  }
 }

@@ -239,6 +239,19 @@ object TextOps {
     if (total == 0L) 0.0 else dup.toDouble / total
   }
 
+  /** Dedup-key normalization — the canonical pre-hash cleanup (lowercase,
+    * non-alphanumerics to spaces, whitespace-run collapse, trim) that lets
+    * exact dedup catch case/punctuation variants of the same page. Pure
+    * chained codegen expressions (no UDF); explicit character classes only,
+    * so the pattern means the same thing under Spark (Java regex) and
+    * DuckDB (RE2). ASCII-only fold BY CONTRACT: unicode case-folding is
+    * locale- and engine-divergent — a web pipeline language-segments first
+    * and normalizes per script.
+    */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " {2,}", " "))
+
   /** Per-document repetition signals — the Gopher filter columns a
     * pretraining pipeline thresholds on: top n-gram char fractions for
     * n = 2, 3, 4 plus duplicate-line / duplicate-paragraph char fractions,

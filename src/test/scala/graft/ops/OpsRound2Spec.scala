@@ -186,6 +186,37 @@ class OpsRound2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.traAlign.isEmpty)
   }
 
+  test("quantile buckets are parallelism-independent and monotone in score") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, (i * 37 % 101).toDouble)).toDF("doc_id", "score")
+    def buckets(d: org.apache.spark.sql.DataFrame) =
+      Sampling.bucketByScore(d, nBuckets = 4, sampleMicros = 500000L)
+        .select("doc_id", "score", "bucket").as[(Long, Double, Int)]
+        .collect().sortBy(_._1).toSeq
+    val a = buckets(df.repartition(7))
+    val b = buckets(df.repartition(2))
+    assert(a === b) // same rows sampled, same thresholds, at any parallelism
+    // monotone: a higher score never lands in a lower bucket
+    val byScore = a.sortBy(_._2)
+    byScore.sliding(2).foreach { case Seq(lo, hi) => assert(lo._3 <= hi._3) }
+    assert(a.map(_._3).distinct.sorted === Seq(0, 1, 2, 3)) // all buckets hit
+  }
+
+  test("domain filter: block keeps null-domain rows, allow drops them") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://www.bad-site.org/p/1"),
+      (2L, "https://cdn.good-site.org/p/2"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "url")
+    val list = Seq(Tuple1("bad-site.org")).toDF("domain")
+    val blocked = Domains.filterByDomain(docs, list, mode = "block")
+      .select("doc_id").as[Long].collect().toSet
+    val allowed = Domains.filterByDomain(docs, list, mode = "allow")
+      .select("doc_id").as[Long].collect().toSet
+    assert(blocked === Set(2L, 3L)) // null url: conservatively kept
+    assert(allowed === Set(1L))     // null url: cannot prove membership
+  }
+
   test("contamination gate: oversized benchmark side drops the broadcast hint, same result") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}

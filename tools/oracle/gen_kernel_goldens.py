@@ -256,6 +256,20 @@ def main():
           pa.schema([("doc_id", pa.int64()), ("domain", pa.string())]),
           {"doc_id": [x[0] for x in drows], "domain": [x[1] for x in drows]})
 
+    # ---- q_quantile_bucket (deterministic-sample quantile bucketing;
+    #      mirrors Sampling.bucketByScore: same gate, same floor(i*n/B)
+    #      threshold indices, ties promote upward) ----
+    qrows = [(int(i), float(len(t))) for i, t in doc_items]
+    qsample = sorted(s for i, s in qrows if g.mix(i) % 1000000 < 200000)
+    qn = len(qsample)
+    qthr = [qsample[(i * qn) // 4] for i in range(1, 4)]
+    write("q_quantile_bucket",
+          pa.schema([("doc_id", pa.int64()), ("score", pa.float64()),
+                     ("bucket", pa.int32())]),
+          {"doc_id": [r[0] for r in qrows],
+           "score": [r[1] for r in qrows],
+           "bucket": [sum(1 for t in qthr if r[1] >= t) for r in qrows]})
+
     # ---- near-dup corpus: docs ∪ mutated every-10th (SparkEntry.docsWithNearDups) ----
     near = {int(i): t for i, t in doc_items}
     for doc_id, text in doc_items:
