@@ -313,6 +313,15 @@ object SparkEntry {
         Map("en" -> 0.25, "zh" -> 0.5, "de" -> 1.0))
         .orderBy(col("doc_id"))),
 
+    // ---- corpus mixing to target proportions: counts → max achievable
+    //      volume → per-stratum keep-rates → deterministic gate (the
+    //      binding stratum, de at these weights, keeps 100%) ----
+    "q_mix_weights" -> ((s, dir) =>
+      graft.ops.Sampling.mixToWeights(
+        docs(s, dir).select(col("doc_id"), col("lang")),
+        Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.25))
+        .orderBy(col("doc_id"))),
+
     // ---- quality-quantile bucketing (the "keep the top X% by score" cut):
     //      thresholds from a deterministic hash-gated sample (reproducible
     //      at any parallelism, unlike approxQuantile's merge-order-
@@ -962,6 +971,7 @@ object SparkEntry {
     "q_stratified_sample" -> golden("q_stratified_sample"),
     "q_domain_sample" -> golden("q_domain_sample"),
     "q_quantile_bucket" -> golden("q_quantile_bucket"),
+    "q_mix_weights" -> golden("q_mix_weights"),
     "q_fingerprint" -> golden("q_fingerprint"),
     "q_winnow_dedup" -> golden("q_winnow_dedup"),
     "q_minhash_dedup" -> golden("q_minhash_dedup"),

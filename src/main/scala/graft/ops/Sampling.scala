@@ -44,6 +44,39 @@ object Sampling {
     documents.filter(col(idCol).isNotNull && gate(col(idCol), col(strataCol)))
   }
 
+  /** Corpus mixing to TARGET PROPORTIONS (the step a mixing policy actually
+    * wants: "make the output 50% en / 25% es / 25% de"): computes the
+    * maximum achievable output volume T = min_s(count_s / weight_s), turns
+    * it into per-stratum keep-rates quota_s = weight_s * T / count_s (the
+    * binding stratum keeps 100%), and applies the deterministic
+    * [[stratifiedSample]] gate. Strata absent from `weights` are dropped.
+    *
+    * Scale shape: ONE partial-aggregating count per stratum (driver side
+    * holds one row per stratum — bounded by strata cardinality, which is a
+    * mixing-policy constant), then the zero-shuffle map-side gate.
+    * Deterministic end to end: exact counts, fixed IEEE quota arithmetic
+    * (mirrored in the golden oracle), hash gate.
+    */
+  def mixToWeights(
+      documents: DataFrame,
+      weights: Map[String, Double],
+      strataCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val counts: Map[String, Long] = documents
+      .filter(col(strataCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(strataCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    weights.keys.foreach { s =>
+      require(counts.getOrElse(s, 0L) > 0L,
+        s"stratum '$s' has no documents — target mix unachievable")
+    }
+    val t = weights.map { case (s, w) => counts(s) / w }.min
+    val quotas = weights.map { case (s, w) => s -> (w * t / counts(s)) }
+    stratifiedSample(documents, quotas, strataCol, idCol)
+  }
+
   /** Quality-quantile bucketing ("keep the top 25% by quality score"):
     * assigns each row a bucket 0..nBuckets-1 from thresholds computed over
     * a DETERMINISTIC hash-gated sample of the score column.

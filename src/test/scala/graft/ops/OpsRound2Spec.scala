@@ -202,6 +202,25 @@ class OpsRound2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.map(_._3).distinct.sorted === Seq(0, 1, 2, 3)) // all buckets hit
   }
 
+  test("mixToWeights: binding stratum keeps all rows, achieved mix tracks targets") {
+    import spark.implicits._
+    // 1000 'a', 300 'b', 100 'c'; weights 0.6/0.2/0.2 -> T = min(1000/.6,
+    // 300/.2, 100/.2) = 500 -> quotas a=0.3, b=1/3, c=1.0 (binding)
+    val df = ((1L to 1000L).map(i => (i, "a")) ++
+      (2001L to 2300L).map(i => (i, "b")) ++
+      (3001L to 3100L).map(i => (i, "c"))).toDF("doc_id", "lang")
+    val got = Sampling.mixToWeights(df, Map("a" -> 0.6, "b" -> 0.2, "c" -> 0.2))
+      .as[(Long, String)].collect().groupBy(_._2).view.mapValues(_.length).toMap
+    assert(got("c") === 100) // binding stratum: quota exactly 1.0
+    // hash-gate noise on a ~300-row stratum is a few percent
+    assert(math.abs(got("a") - 300) <= 30, s"a=${got("a")}")
+    assert(math.abs(got("b") - 100) <= 20, s"b=${got("b")}")
+    // unlisted stratum would be dropped; empty stratum must refuse
+    intercept[IllegalArgumentException] {
+      Sampling.mixToWeights(df, Map("a" -> 0.5, "zz" -> 0.5)).count()
+    }
+  }
+
   test("domain filter: block keeps null-domain rows, allow drops them") {
     import spark.implicits._
     val docs = Seq(

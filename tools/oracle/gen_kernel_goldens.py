@@ -270,6 +270,24 @@ def main():
            "score": [r[1] for r in qrows],
            "bucket": [sum(1 for t in qthr if r[1] >= t) for r in qrows]})
 
+    # ---- q_mix_weights (corpus mixing to target proportions; mirrors
+    #      Sampling.mixToWeights: exact counts -> T = min(c/w) ->
+    #      quota = w*T/c -> the same stratifiedSample gate) ----
+    mweights = {"en": 0.5, "es": 0.25, "de": 0.25}
+    lrows = [(int(i), l) for i, l in zip(docs.doc_id.tolist(), docs.lang.tolist())]
+    mcounts = {}
+    for _, l in lrows:
+        if l in mweights:
+            mcounts[l] = mcounts.get(l, 0) + 1
+    mt = min(mcounts[s] / w for s, w in mweights.items())
+    mquotas = {s: w * mt / mcounts[s] for s, w in mweights.items()}
+    mthresholds = {s: int(math.floor(q * 1e6 + 0.5)) for s, q in mquotas.items()}
+    mrows = [(i, l) for i, l in lrows
+             if g.mix(i) % 1000000 < mthresholds.get(l, 0)]
+    write("q_mix_weights",
+          pa.schema([("doc_id", pa.int64()), ("lang", pa.string())]),
+          {"doc_id": [x[0] for x in mrows], "lang": [x[1] for x in mrows]})
+
     # ---- near-dup corpus: docs ∪ mutated every-10th (SparkEntry.docsWithNearDups) ----
     near = {int(i): t for i, t in doc_items}
     for doc_id, text in doc_items:
