@@ -477,6 +477,14 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // ---- cross-document duplicate SPANS (substring-dedup signal): token
+    //      offsets of 8-token windows that also occur in another document —
+    //      the masking input for span-level dedup; shuffle carries
+    //      (hash, doc_id) only ----
+    "q_dup_spans" -> ((s, dir) =>
+      TextOps.duplicateSpans(docsWithNearDups(s, dir), n = 8, stride = 1)
+        .orderBy(col("doc_id"), col("tok_start"))),
+
     // ---- winnowing similarity over the planted near-dup pairs ----
     "q_winnow_dedup" -> ((s, dir) => {
       Functions.register(s)
@@ -1026,6 +1034,26 @@ object SparkEntry {
          |       count(*)::DOUBLE / (SELECT total FROM tot) AS recall_at_k
          |FROM cand JOIN brute USING (q_id, neighbor_id)
          |GROUP BY method ORDER BY method""".stripMargin.replace("\n", " ")),
+
+    // ---- duplicate spans: DuckDB rebuilds the windows from TEXT (not
+    //      hashes) and groups by window text — so this row is also the
+    //      64-bit window-hash collision check at verify SF ----
+    "q_dup_spans" ->
+      ("""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |         array_to_string(list_filter(string_split(text, ' '),
+         |                                     (x, i) -> (i - 1 + doc_id) % 37 <> 0), ' ') AS text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM u),
+         |w AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS tok_start,
+         |        array_to_string(toks[i:i+7], ' ') AS win
+         |      FROM t, UNNEST(range(1, len(toks) - 6)) AS r(i)
+         |      WHERE len(toks) >= 8),
+         |d AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) > 1)
+         |SELECT w.doc_id, w.tok_start FROM w JOIN d USING (win)
+         |ORDER BY doc_id, tok_start""".stripMargin.replace("\n", " ")),
 
     // ---- n-gram Jaccard over the planted near-dup corpus, pure SQL ----
     "q_ngram_jaccard" ->

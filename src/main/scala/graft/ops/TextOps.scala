@@ -239,6 +239,49 @@ object TextOps {
     if (total == 0L) 0.0 else dup.toDouble / total
   }
 
+  /** Cross-document DUPLICATE-SPAN detection — the substring-dedup signal
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): emit, per document, the token offsets of every n-token
+    * window whose text also occurs in ANOTHER document, so a masking pass
+    * can cut the duplicated span instead of dropping the whole page.
+    *
+    * Spark-first shape (the reference technique is a single-node suffix
+    * array — not a cluster plan): windows are emitted at `stride` (1 =
+    * exact window coverage; production uses n/2 or n, the standard
+    * approximation that bounds volume to tokens/stride rows), and the
+    * shuffle carries (windowHash:8B, doc_id:8B) — never window text. A
+    * partial-aggregating count of DISTINCT docs per hash finds cross-doc
+    * windows; a second pass joins the (small, duplicated-only) hash set
+    * back map-side. Same-doc repeats are NOT flagged (q_repetition owns
+    * within-doc signals).
+    *
+    * Hash collisions: 64-bit over ~tokens/stride windows — at 10^12-token
+    * scale use the two-hash form like exact dedup; here single-hash keeps
+    * the oracle SQL-expressible, and the DuckDB oracle groups by window
+    * TEXT, so it doubles as the collision check at verify SF.
+    */
+  def duplicateSpans(
+      documents: DataFrame,
+      n: Int = 8,
+      stride: Int = 1): DataFrame = {
+    val winUdf = udf((t: String) => {
+      val toks = t.split(" ").filter(_.nonEmpty)
+      if (toks.length < n) Array.empty[(Int, Long)]
+      else Array.range(0, toks.length - n + 1, stride)
+        .map(i => (i, Dedup.stringHash64(toks.slice(i, i + n).mkString(" "))))
+    })
+    val wins = documents
+      .select(col("doc_id"), explode(winUdf(col("text"))).as("w"))
+      .select(col("doc_id"), col("w._1").as("tok_start"), col("w._2").as("h"))
+    val dupHashes = wins
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("h"))
+    wins.join(dupHashes, Seq("h"))
+      .select(col("doc_id"), col("tok_start"))
+  }
+
   /** Dedup-key normalization — the canonical pre-hash cleanup (lowercase,
     * non-alphanumerics to spaces, whitespace-run collapse, trim) that lets
     * exact dedup catch case/punctuation variants of the same page. Pure

@@ -202,6 +202,21 @@ class OpsRound2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.map(_._3).distinct.sorted === Seq(0, 1, 2, 3)) // all buckets hit
   }
 
+  test("duplicateSpans: cross-doc windows flagged, same-doc repeats are not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h x y"),
+      (2L, "q a b c d e f g h z"),
+      // repeats its own 8-gram internally -> within-doc only, not flagged
+      (3L, "k l m n o p r s k l m n o p r s")).toDF("doc_id", "text")
+    val got = TextOps.duplicateSpans(docs, n = 8)
+      .as[(Long, Int)].collect().toSet
+    assert(got === Set((1L, 0), (2L, 1)))
+    // stride skips odd offsets: the shared window at doc2 offset 1 is never
+    // emitted, so nothing matches — the documented coverage trade
+    assert(TextOps.duplicateSpans(docs, n = 8, stride = 2).count() === 0L)
+  }
+
   test("mixToWeights: binding stratum keeps all rows, achieved mix tracks targets") {
     import spark.implicits._
     // 1000 'a', 300 'b', 100 'c'; weights 0.6/0.2/0.2 -> T = min(1000/.6,
