@@ -485,6 +485,17 @@ object SparkEntry {
       TextOps.duplicateSpans(docsWithNearDups(s, dir), n = 8, stride = 1)
         .orderBy(col("doc_id"), col("tok_start"))),
 
+    // ---- span MASKING (the consumer of q_dup_spans): cut every token
+    //      covered by a cross-doc duplicated window, keep the unique
+    //      remainder — relational gaps-and-islands interval merge, per-doc
+    //      bounded UDF cut ----
+    "q_mask_spans" -> ((s, dir) => {
+      val corpus = docsWithNearDups(s, dir)
+      TextOps.maskDuplicateSpans(corpus,
+          TextOps.duplicateSpans(corpus, n = 8, stride = 1), n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- winnowing similarity over the planted near-dup pairs ----
     "q_winnow_dedup" -> ((s, dir) => {
       Functions.register(s)
@@ -1054,6 +1065,39 @@ object SparkEntry {
          |d AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) > 1)
          |SELECT w.doc_id, w.tok_start FROM w JOIN d USING (win)
          |ORDER BY doc_id, tok_start""".stripMargin.replace("\n", " ")),
+
+    // ---- span masking: same window/dup CTEs as q_dup_spans, then the
+    //      identical gaps-and-islands merge in DuckDB SQL and a
+    //      covered-index token filter ----
+    "q_mask_spans" ->
+      ("""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |         array_to_string(list_filter(string_split(text, ' '),
+         |                                     (x, i) -> (i - 1 + doc_id) % 37 <> 0), ' ') AS text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM u),
+         |w AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS tok_start,
+         |        array_to_string(toks[i:i+7], ' ') AS win
+         |      FROM t, UNNEST(range(1, len(toks) - 6)) AS r(i)
+         |      WHERE len(toks) >= 8),
+         |d AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) > 1),
+         |sp AS (SELECT w.doc_id, w.tok_start FROM w JOIN d USING (win)),
+         |i1 AS (SELECT doc_id, tok_start, tok_start + 8 AS e,
+         |         max(tok_start + 8) OVER (PARTITION BY doc_id ORDER BY tok_start
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+         |       FROM sp),
+         |i2 AS (SELECT *, CASE WHEN pme IS NULL OR tok_start > pme THEN 1 ELSE 0 END AS ni FROM i1),
+         |i3 AS (SELECT *, sum(ni) OVER (PARTITION BY doc_id ORDER BY tok_start
+         |         ROWS UNBOUNDED PRECEDING) AS island FROM i2),
+         |isl AS (SELECT doc_id, island, min(tok_start) AS s, max(e) AS e FROM i3 GROUP BY 1, 2),
+         |cov AS (SELECT doc_id, flatten(list(range(s, e))) AS covered FROM isl GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  coalesce(array_to_string(list_filter(t.toks,
+         |    (x, i) -> cov.covered IS NULL OR NOT list_contains(cov.covered, i - 1)), ' '), '') AS masked_text
+         |FROM t LEFT JOIN cov USING (doc_id)
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
 
     // ---- n-gram Jaccard over the planted near-dup corpus, pure SQL ----
     "q_ngram_jaccard" ->

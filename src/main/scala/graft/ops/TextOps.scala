@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline over the
@@ -280,6 +281,50 @@ object TextOps {
       .select(col("h"))
     wins.join(dupHashes, Seq("h"))
       .select(col("doc_id"), col("tok_start"))
+  }
+
+  /** Apply the [[duplicateSpans]] signal: cut every token covered by a
+    * flagged window and return the masked text — span-level dedup keeps
+    * the unique remainder of a page instead of dropping it whole.
+    *
+    * Overlapping/adjacent windows are merged RELATIONALLY first
+    * (gaps-and-islands over a doc-partitioned window: a span opens a new
+    * island when its start exceeds the running max end), so the per-doc
+    * UDF receives only the merged interval list (bounded by doc length,
+    * usually tiny) — never one row per covered token. All windows are
+    * doc_id-partitioned; no global stage.
+    */
+  def maskDuplicateSpans(
+      documents: DataFrame,
+      spans: DataFrame,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tok_start"))
+    val islands = spans
+      .withColumn("end", col("tok_start") + n)
+      .withColumn("prev_max_end", max(col("end"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("prev_max_end").isNull || col("tok_start") > col("prev_max_end"), 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("ni")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("tok_start")).as("s"), max(col("end")).as("e"))
+    val perDoc = islands.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cuts"))
+    val cutUdf = udf((text: String, cuts: Seq[Row]) => {
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val keep = Array.fill(toks.length)(true)
+      cuts.foreach { r =>
+        var i = math.max(0, r.getInt(0))
+        val e = math.min(r.getInt(1), toks.length)
+        while (i < e) { keep(i) = false; i += 1 }
+      }
+      toks.indices.collect { case i if keep(i) => toks(i) }.mkString(" ")
+    })
+    documents.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("cuts").isNull, col("text"))
+          .otherwise(cutUdf(col("text"), col("cuts"))).as("masked_text"))
   }
 
   /** Dedup-key normalization — the canonical pre-hash cleanup (lowercase,

@@ -217,6 +217,21 @@ class OpsRound2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextOps.duplicateSpans(docs, n = 8, stride = 2).count() === 0L)
   }
 
+  test("maskDuplicateSpans: overlapping windows merge, uncovered docs pass through") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (0 until 12).map(i => s"t$i").mkString(" ")),
+      (2L, "u0 u1 u2"),
+      (3L, "v0 v1 v2 v3")).toDF("doc_id", "text")
+    val spans = Seq((1L, 0), (1L, 2), (3L, 0)).toDF("doc_id", "tok_start")
+    val got = TextOps.maskDuplicateSpans(docs, spans, n = 4)
+      .as[(Long, String)].collect().toMap
+    // [0,4) and [2,6) merge to [0,6): t6..t11 survive
+    assert(got(1L) === (6 until 12).map(i => s"t$i").mkString(" "))
+    assert(got(2L) === "u0 u1 u2")  // no spans: untouched
+    assert(got(3L) === "")          // fully covered: empty, not null
+  }
+
   test("mixToWeights: binding stratum keeps all rows, achieved mix tracks targets") {
     import spark.implicits._
     // 1000 'a', 300 'b', 100 'c'; weights 0.6/0.2/0.2 -> T = min(1000/.6,
