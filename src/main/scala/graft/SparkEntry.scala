@@ -348,6 +348,26 @@ object SparkEntry {
         .orderBy(col("canonical_doc_id"))
     }),
 
+    // ---- URL canonicalization over deterministically-messied urls
+    //      (upper-cased hosts, default ports, tracking params, fragments,
+    //      trailing slashes) — pure codegen regexp_replace chain ----
+    "q_canon_url" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val messy = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTPS://WWW."), upper(col("source")), lit("-Site.org:443/Path/"),
+            id, lit("/?utm_source=x&utm_b=2#frag")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("http://"), col("source"), lit("-site.org:80/p/"),
+            id, lit("?a=1&utm_x=9&gclid=z")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://cdn."), col("source"), lit("-site.org/p/"),
+            id, lit("/")))
+        .otherwise(concat(lit("http://"), col("source"), lit("-site.org/p/"),
+          id, lit("?fbclid=abc")))
+      docs(s, dir).select(col("doc_id"),
+        graft.ops.Domains.canonicalizeUrl(messy).as("canon_url"))
+    }),
+
     // ---- domain blocklist scrub: broadcast left-anti on the registered
     //      domain — map-side, no corpus shuffle ----
     "q_domain_filter" -> ((s, dir) => {
@@ -954,6 +974,26 @@ object SparkEntry {
          |      FROM u)
          |SELECT min(doc_id) AS canonical_doc_id, count(*) AS dup_count
          |FROM n GROUP BY text HAVING count(*) > 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+
+    // ---- url canonicalization: the same pinned regex chain replayed step
+    //      by step in DuckDB (RE2) — explicit classes keep the patterns
+    //      engine-portable ----
+    "q_canon_url" ->
+      ("""WITH m AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.' || upper(source) || '-Site.org:443/Path/' || CAST(doc_id AS VARCHAR) || '/?utm_source=x&utm_b=2#frag'
+         |       WHEN doc_id % 4 = 1 THEN 'http://' || source || '-site.org:80/p/' || CAST(doc_id AS VARCHAR) || '?a=1&utm_x=9&gclid=z'
+         |       WHEN doc_id % 4 = 2 THEN 'https://cdn.' || source || '-site.org/p/' || CAST(doc_id AS VARCHAR) || '/'
+         |       ELSE 'http://' || source || '-site.org/p/' || CAST(doc_id AS VARCHAR) || '?fbclid=abc' END AS u
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, regexp_replace(u, '#.*$', '', 'g') AS u FROM m),
+         |s2 AS (SELECT doc_id, regexp_replace(u, '&(?:utm_[a-z0-9]+|fbclid|gclid)=[^&]*', '', 'g') AS u FROM s1),
+         |s3 AS (SELECT doc_id, regexp_replace(u, '\?(?:utm_[a-z0-9]+|fbclid|gclid)=[^&]*&', '?', 'g') AS u FROM s2),
+         |s4 AS (SELECT doc_id, regexp_replace(u, '\?(?:utm_[a-z0-9]+|fbclid|gclid)=[^&]*$', '', 'g') AS u FROM s3),
+         |s5 AS (SELECT doc_id, lower(regexp_extract(u, '^[a-zA-Z]+://[^/?#]*', 0)) || regexp_replace(u, '^[a-zA-Z]+://[^/?#]*', '', 'g') AS u FROM s4),
+         |s6 AS (SELECT doc_id, regexp_replace(u, '^(http://[^/:?#]+):80([/?#]|$)', '\1\2', 'g') AS u FROM s5),
+         |s7 AS (SELECT doc_id, regexp_replace(u, '^(https://[^/:?#]+):443([/?#]|$)', '\1\2', 'g') AS u FROM s6)
+         |SELECT doc_id, regexp_replace(u, '([^/])/$', '\1', 'g') AS canon_url
+         |FROM s7 ORDER BY doc_id""".stripMargin.replace("\n", " ")),
 
     // ---- domain blocklist: same url/domain synthesis as q_domain_stats,
     //      NOT IN the blocked set ----

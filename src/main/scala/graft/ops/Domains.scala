@@ -44,6 +44,39 @@ object Domains {
         sum(size(split(col("text"), " ", -1))).as("n_tokens"),
         sum(length(col("text"))).as("n_chars"))
 
+  /** URL canonicalization — the crawl-dedup pre-step that makes
+    * byte-different spellings of the same resource compare equal. Pinned
+    * convention (each step a codegen `regexp_replace`, no UDF):
+    *   1. strip the fragment (`#...`);
+    *   2. strip tracking params (utm_*, fbclid, gclid) — three passes that
+    *      are provably complete together: (a) every `&track=...` goes
+    *      globally, after which at most ONE tracking param can remain and
+    *      it is first; (b) `?track=...&` → `?`; (c) a lone `?track=...$`
+    *      goes entirely;
+    *   3. lowercase scheme+host only (path case is significant);
+    *   4. strip default ports (`:80` on http, `:443` on https — only on
+    *      the matching scheme);
+    *   5. strip one trailing slash (guarded so `https://` itself is safe).
+    * Explicit character classes only — the same patterns drive the DuckDB
+    * oracle.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val track = "(?:utm_[a-z0-9]+|fbclid|gclid)"
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noMidTrack = regexp_replace(noFrag, s"&$track=[^&]*", "")
+    val noLeadTrack = regexp_replace(noMidTrack, s"\\?$track=[^&]*&", "?")
+    val noTrack = regexp_replace(noLeadTrack, s"\\?$track=[^&]*$$", "")
+    val schemeHost = "^[a-zA-Z]+://[^/?#]*"
+    val lowered = concat(
+      lower(regexp_extract(noTrack, schemeHost, 0)),
+      regexp_replace(noTrack, schemeHost, ""))
+    val noHttpPort =
+      regexp_replace(lowered, "^(http://[^/:?#]+):80([/?#]|$)", "$1$2")
+    val noPort =
+      regexp_replace(noHttpPort, "^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
+    regexp_replace(noPort, "([^/])/$", "$1")
+  }
+
   /** Drop (or keep) documents whose registered domain is on a list — the
     * blocklist scrub every crawl pipeline runs before anything else.
     *

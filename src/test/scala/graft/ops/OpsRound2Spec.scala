@@ -251,6 +251,24 @@ class OpsRound2Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("canonicalizeUrl: tracking runs, default ports, case, trailing slash") {
+    import spark.implicits._
+    def canon(u: String): String =
+      Seq(Tuple1(u)).toDF("u")
+        .select(Domains.canonicalizeUrl(col("u"))).as[String].collect().head
+    // THREE leading tracking params: pass (a) clears all-but-first, (b) the rest
+    assert(canon("http://X.org/p?utm_a=1&utm_b=2&utm_c=3&k=v") === "http://x.org/p?k=v")
+    assert(canon("http://x.org/p?utm_a=1&utm_b=2") === "http://x.org/p")
+    // non-default port survives; default port goes only on the matching scheme
+    assert(canon("http://x.org:8080/p") === "http://x.org:8080/p")
+    assert(canon("http://x.org:443/p") === "http://x.org:443/p")
+    assert(canon("https://x.org:443/p") === "https://x.org/p")
+    // path case significant, host case not; bare scheme-root slash is safe
+    assert(canon("HTTP://X.Org/CaseSensitive/") === "http://x.org/CaseSensitive")
+    assert(canon("https://x.org/") === "https://x.org")
+    assert(canon("https://x.org/a#frag") === "https://x.org/a")
+  }
+
   test("domain filter: block keeps null-domain rows, allow drops them") {
     import spark.implicits._
     val docs = Seq(
