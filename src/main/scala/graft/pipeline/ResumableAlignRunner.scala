@@ -43,6 +43,23 @@ object ResumableAlignRunner {
     }.toSet
   }
 
+  /** Snapshot-consistent read of the spans table: ONLY buckets whose
+    * manifest line has landed — the Iceberg-snapshot read semantics over
+    * the parquet emulation. A reader running concurrently with a writer
+    * (or after a mid-wave crash) never sees a partially-written bucket
+    * directory, because a bucket becomes visible atomically with its
+    * manifest append. Partition pruning: the bucket filter lands on the
+    * `bucket=N` directory column, so uncommitted directories are never
+    * even listed into tasks.
+    */
+  def readCommitted(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): org.apache.spark.sql.DataFrame = {
+    val done = committedBuckets(outDir).toSeq
+    val spans = spark.read.parquet(s"$outDir/spans")
+    if (done.isEmpty) spans.filter(org.apache.spark.sql.functions.lit(false))
+    else spans.filter(col("bucket").isInCollection(done))
+  }
+
   /** Run (or resume) the job. Returns the buckets processed in THIS
     * invocation. `maxWaves` bounds the waves processed (test hook: simulate
     * a kill between waves).

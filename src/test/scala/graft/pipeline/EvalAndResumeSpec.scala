@@ -117,6 +117,12 @@ class EvalAndResumeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(first.length === 2)
     assert(ResumableAlignRunner.committedBuckets(out) === first.toSet)
 
+    // snapshot read mid-flight: only committed buckets are visible, and the
+    // bucket filter prunes at the partition-directory level
+    val snap = ResumableAlignRunner.readCommitted(spark, out)
+    assert(snap.select("bucket").distinct().as[Int].collect().toSet === first.toSet)
+    assert(snap.count() > 0)
+
     // resume: processes exactly the remaining buckets
     val second = ResumableAlignRunner.run(pages, out, nBuckets = 4, bucketsPerWave = 2)
     assert(second.length === 2)
