@@ -23,11 +23,16 @@ object Bench {
 
   /** Best-of-2 per query (VERDICT r3 #1: a single cold pass has no variance
     * guard, so one noisy-neighbor burst becomes the round's committed
-    * record). Both passes are recorded — a max/min ratio > 3 is the
-    * contamination flag BASELINE.md documents. Returns (min, all runs).
+    * record), escalating to a third pass when the first two disagree by
+    * more than 3× — a sustained burst can contaminate BOTH adjacent passes
+    * (observed: q_mei_xml 22.6/28.5 s in-bench vs 3.0 s isolated minutes
+    * later), and one extra pass a few seconds later is the cheapest way to
+    * catch the burst's edge. ALL passes are recorded; min is reported.
     */
   def timeQueryBestOf(fn: => DataFrame, runs: Int = 2): (Double, Seq[Double]) = {
-    val times = (1 to runs).map { _ => timeQuery(fn) }
+    var times = (1 to runs).map { _ => timeQuery(fn) }
+    if (times.min > 0 && times.max / times.min > 3.0)
+      times = times :+ timeQuery(fn)
     (times.min, times)
   }
 

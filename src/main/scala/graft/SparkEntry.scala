@@ -453,6 +453,21 @@ object SparkEntry {
     "q_quality" -> ((s, dir) =>
       TextOps.qualityScores(docs(s, dir))),
 
+    // ---- quality-filter VERDICT (C4/Gopher rule engine): keep/drop + the
+    //      first failing rule, over a corpus with planted degenerate docs
+    //      (truncated, spam-repetitive, digit-heavy) so every rule binds ----
+    "q_quality_filter" -> ((s, dir) => {
+      val mutated = when(col("doc_id") % 13 === 0,
+          array_join(slice(split(col("text"), " "), 1, 5), " "))
+        .when(col("doc_id") % 9 === 0, trim(repeat(lit("spam "), 40)))
+        .when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" "), trim(repeat(lit("0123456789 "), 10))))
+        .otherwise(col("text"))
+      TextOps.qualityFilterVerdict(
+          docs(s, dir).select(col("doc_id"), mutated.as("text")))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- language-ID heuristic (kernel UDF; accuracy asserted in tests) ----
     "q_langid" -> ((s, dir) => {
       Functions.register(s)
@@ -1413,6 +1428,38 @@ object SparkEntry {
          |          FROM pairs GROUP BY term)
          |SELECT d.term, d.df, CASE WHEN d.df <= 400 THEN p.postings END AS postings
          |FROM dfreq d LEFT JOIN posts p ON d.term = p.term""".stripMargin.replace("\n", " ")),
+
+    // ---- quality verdict: the same score formulas as q_quality plus the
+    //      pinned rule chain, over the same planted mutations ----
+    "q_quality_filter" ->
+      ("""WITH m AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 0 THEN array_to_string(string_split(text, ' ')[1:5], ' ')
+         |         WHEN doc_id % 9 = 0 THEN trim(repeat('spam ', 40))
+         |         WHEN doc_id % 7 = 0 THEN text || ' ' || trim(repeat('0123456789 ', 10))
+         |         ELSE text END AS text
+         |  FROM documents),
+         |base AS (SELECT doc_id,
+         |    length(text) AS n_chars_actual,
+         |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+         |    len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_distinct_tokens,
+         |    length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+         |    length(text) - length(replace(text, ' ', '')) AS n_spaces
+         |  FROM m),
+         |sc AS (SELECT doc_id, n_tokens,
+         |    CASE WHEN n_tokens > 0 THEN CAST(n_chars_actual - n_spaces AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_token_len,
+         |    CASE WHEN n_chars_actual > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars_actual ELSE 0.0 END AS alpha_ratio,
+         |    CASE WHEN n_tokens > 0 THEN CAST(n_distinct_tokens AS DOUBLE) / n_tokens ELSE 0.0 END AS type_token_ratio
+         |  FROM base),
+         |v AS (SELECT doc_id,
+         |    CASE WHEN n_tokens < 20 THEN 'too_few_tokens'
+         |         WHEN n_tokens > 100000 THEN 'too_many_tokens'
+         |         WHEN mean_token_len < 2.0 OR mean_token_len > 12.0 THEN 'mean_token_len'
+         |         WHEN type_token_ratio < 0.2 THEN 'repetitive'
+         |         WHEN alpha_ratio < 0.6 THEN 'low_alpha'
+         |         ELSE NULL END AS fail_reason
+         |  FROM sc)
+         |SELECT doc_id, fail_reason, fail_reason IS NULL AS keep
+         |FROM v ORDER BY doc_id""".stripMargin.replace("\n", " ")),
 
     "q_quality" ->
       ("""WITH base AS (

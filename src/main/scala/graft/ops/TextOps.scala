@@ -63,6 +63,32 @@ object TextOps {
           col("n_distinct_tokens").cast("double") / col("n_tokens")).otherwise(lit(0.0)))
   }
 
+  /** Quality-filter VERDICT (the C4/Gopher-style rule engine a pipeline
+    * actually gates on): keep/drop plus the FIRST failing rule in pinned
+    * order, so a dropped doc is attributable — "how much did each rule
+    * cost me" is a groupBy on `fail_reason`, the observability a 100 TB
+    * filter sweep needs. Rules (pinned order, thresholds in the spirit of
+    * Rae et al. §A1.1 / Raffel et al. C4):
+    *   1. too_few_tokens  (< 20)    2. too_many_tokens (> 100000)
+    *   3. mean_token_len  outside [2, 12]
+    *   4. repetitive      (type/token ratio < 0.2)
+    *   5. low_alpha       (alpha ratio < 0.6)
+    * Pure expression work over [[qualityScores]] — per-row, no shuffle.
+    */
+  def qualityFilterVerdict(documents: DataFrame): DataFrame = {
+    val reason =
+      when(col("n_tokens") < 20, "too_few_tokens")
+        .when(col("n_tokens") > 100000, "too_many_tokens")
+        .when(col("mean_token_len") < 2.0 || col("mean_token_len") > 12.0,
+          "mean_token_len")
+        .when(col("type_token_ratio") < 0.2, "repetitive")
+        .when(col("alpha_ratio") < 0.6, "low_alpha")
+        .otherwise(lit(null).cast("string"))
+    qualityScores(documents)
+      .select(col("doc_id"), reason.as("fail_reason"))
+      .withColumn("keep", col("fail_reason").isNull)
+  }
+
   /** Stopword tables for the language-ID heuristic (tiny, compile-time;
     * broadcast not needed).
     */
