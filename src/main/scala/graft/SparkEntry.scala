@@ -453,6 +453,11 @@ object SparkEntry {
     "q_quality" -> ((s, dir) =>
       TextOps.qualityScores(docs(s, dir))),
 
+    // ---- token-rarity scoring (the perplexity-filter role, frequency-
+    //      based and exact): per-doc summed corpus token frequency ----
+    "q_token_rarity" -> ((s, dir) =>
+      TextOps.tokenRarityScores(docs(s, dir)).orderBy(col("doc_id"))),
+
     // ---- quality-filter VERDICT (C4/Gopher rule engine): keep/drop + the
     //      first failing rule, over a corpus with planted degenerate docs
     //      (truncated, spam-repetitive, digit-heavy) so every rule binds ----
@@ -1428,6 +1433,20 @@ object SparkEntry {
          |          FROM pairs GROUP BY term)
          |SELECT d.term, d.df, CASE WHEN d.df <= 400 THEN p.postings END AS postings
          |FROM dfreq d LEFT JOIN posts p ON d.term = p.term""".stripMargin.replace("\n", " ")),
+
+    // ---- token rarity: same explode/count/join/sum in DuckDB; integer
+    //      sums make the compare exact, the mean is one division ----
+    "q_token_rarity" ->
+      ("""WITH tk AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+         |  FROM documents),
+         |c AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok)
+         |SELECT doc_id,
+         |  count(*) AS n_tokens,
+         |  CAST(sum(cnt) AS BIGINT) AS sum_freq,
+         |  CAST(sum(cnt) AS DOUBLE) / count(*) AS mean_freq
+         |FROM tk JOIN c USING (tok)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")),
 
     // ---- quality verdict: the same score formulas as q_quality plus the
     //      pinned rule chain, over the same planted mutations ----

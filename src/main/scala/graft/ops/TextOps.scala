@@ -63,6 +63,31 @@ object TextOps {
           col("n_distinct_tokens").cast("double") / col("n_tokens")).otherwise(lit(0.0)))
   }
 
+  /** Token-rarity scoring — the role the CCNet/KenLM perplexity filter
+    * plays (flag gibberish full of never-seen tokens, and stopword spam at
+    * the other extreme), built from corpus token frequencies instead of an
+    * external LM (zero-egress; and integer sums instead of log-prob sums,
+    * so the score is EXACT and addition-order-independent — a float
+    * log-prob average would hash differently per partition order and per
+    * engine's ln implementation). Emits per doc: token count, summed corpus
+    * frequency (exact BIGINT), and their single-division mean.
+    *
+    * Scale shape: one token-keyed count aggregate (partial map-side), one
+    * shuffle join of tokens against the 1-row-per-token count table (a hot
+    * stopword key probes a single build row — no quadratic blowup), one
+    * per-doc partial-aggregating sum.
+    */
+  def tokenRarityScores(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      explode(filter(split(col("text"), " "), x => x =!= lit(""))).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    toks.join(counts, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("sum_freq"))
+      .withColumn("mean_freq",
+        col("sum_freq").cast("double") / col("n_tokens"))
+  }
+
   /** Quality-filter VERDICT (the C4/Gopher-style rule engine a pipeline
     * actually gates on): keep/drop plus the FIRST failing rule in pinned
     * order, so a dropped doc is attributable — "how much did each rule
