@@ -333,6 +333,20 @@ object SparkEntry {
         nBuckets = 4, sampleMicros = 200000L)
         .orderBy(col("doc_id"))),
 
+    // ---- latest-capture-per-url dedup (the first dedup of any crawl):
+    //      planted recrawls one day later must win; map-side-combining
+    //      max(struct) argmax, no window sort ----
+    "q_latest_capture" -> ((s, dir) => {
+      val base = docsWithUrls(s, dir).select(col("url"),
+        (lit(1700000000000000L) + col("doc_id") * 1000000L).as("ts_us"),
+        col("doc_id"), col("text"))
+      val recrawl = base.filter(col("doc_id") % 5 === 0)
+        .select(col("url"), (col("ts_us") + 86400000000L).as("ts_us"),
+          col("doc_id"), concat(lit("recrawled "), col("text")).as("text"))
+      Dedup.latestCapture(base.unionAll(recrawl))
+        .orderBy(col("url"))
+    }),
+
     // ---- case/punct-insensitive exact dedup: normalization (chained
     //      codegen regexes, no UDF) composed with the digest group op over
     //      planted uppercase/punctuated variants — the oracle recomputes
@@ -979,6 +993,25 @@ object SparkEntry {
     "q_mei_assign" -> golden("q_mei_assign"),
     "q_mei_xml" -> golden("q_mei_xml"),
     "q_eval_gtxml" -> golden("q_eval_gtxml"),
+    // ---- latest capture: an INDEPENDENT formulation (row_number window,
+    //      not argmax) over the same synthesized captures ----
+    "q_latest_capture" ->
+      ("""WITH d AS (SELECT doc_id, text, 'https://' ||
+         |    (CASE WHEN doc_id % 3 = 0 THEN 'www.'
+         |          WHEN doc_id % 3 = 1 THEN 'cdn.' ELSE '' END) ||
+         |    source || '-site.org/p/' || CAST(doc_id AS VARCHAR) AS url
+         |  FROM documents),
+         |caps AS (
+         |  SELECT url, 1700000000000000 + doc_id * 1000000 AS ts_us, doc_id, text FROM d
+         |  UNION ALL
+         |  SELECT url, 1700000000000000 + doc_id * 1000000 + 86400000000 AS ts_us,
+         |         doc_id, 'recrawled ' || text AS text
+         |  FROM d WHERE doc_id % 5 = 0)
+         |SELECT url, ts_us, doc_id, text FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY url ORDER BY ts_us DESC) AS rn
+         |  FROM caps)
+         |WHERE rn = 1 ORDER BY url""".stripMargin.replace("\n", " ")),
+
     // ---- normalized exact dedup: DuckDB recomputes the normalization
     //      with its own regex engine and groups by the normalized TEXT
     //      (doubling as a digest-collision check, like q_dedup_groups) ----

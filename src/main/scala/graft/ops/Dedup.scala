@@ -56,6 +56,27 @@ object Dedup {
       .drop("rn")
   }
 
+  /** Latest-capture-per-url dedup — the FIRST dedup every crawl pipeline
+    * runs: the same url is captured repeatedly across crawls and only the
+    * newest snapshot should enter curation. Implemented as
+    * `max(struct(ts, restOfRow))` — ONE map-side-combining hash aggregate
+    * (each partition reduces to one candidate row per url before the
+    * shuffle), not a `row_number` window, which would shuffle EVERY capture
+    * and then sort inside each url group. The timestamp leads the struct,
+    * so lexicographic max is exactly "newest wins"; remaining fields only
+    * break exact-timestamp ties (deterministically).
+    */
+  def latestCapture(
+      pages: DataFrame,
+      tsCol: String = "ts_us",
+      keyCol: String = "url"): DataFrame = {
+    val rest = pages.columns.filter(c => c != keyCol && c != tsCol).toSeq
+    val packed = struct((tsCol +: rest).map(col): _*)
+    pages.groupBy(col(keyCol))
+      .agg(max(packed).as("__r"))
+      .select(col(keyCol) +: (tsCol +: rest).map(f => col(s"__r.$f").as(f)): _*)
+  }
+
   // ---------------- MinHash + LSH ----------------
 
   /** Word n-gram shingles of a document. */

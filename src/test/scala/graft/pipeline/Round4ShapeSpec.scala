@@ -69,6 +69,14 @@ class Round4ShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_latest_capture is a map-side-combining argmax, not a window sort") {
+    val plan = planOf("q_latest_capture")
+    assert(plan.contains("partial_max"),
+      s"expected partial (map-side) max-struct aggregation:\n${plan.take(3000)}")
+    assert(!plan.contains("Window ["),
+      s"latest-capture must not shuffle+sort every capture through a window:\n${plan.take(3000)}")
+  }
+
   test("q_mei_xml pre-sorts the struct array with sort_array (Tungsten, not UDF-side)") {
     // the executed-plan toString folds the projection into the aggregate's
     // result expressions, so assert on the optimized LOGICAL plan, where
