@@ -13,6 +13,11 @@ object SoakCheck {
     val spark = ScalingBench.makeSession(32)
     ScalingBench.run(spark, sfDir, 1) // warm
     val (docs, sec) = ScalingBench.run(spark, sfDir, k)
+    // measure the LIVE set, not accumulated garbage: without a collection
+    // first the number is just "allocation since the last young GC" and
+    // varies 5x run-to-run at identical behavior
+    System.gc()
+    Thread.sleep(200)
     val rt = Runtime.getRuntime
     println(f"""{"soak":{"docs":$docs,"sec":$sec%.1f,"docs_per_sec":${docs / sec}%.0f,"heap_used_mb":${(rt.totalMemory - rt.freeMemory) / 1048576}}}""")
     spark.stop()
