@@ -333,6 +333,35 @@ object SparkEntry {
         nBuckets = 4, sampleMicros = 200000L)
         .orderBy(col("doc_id"))),
 
+    // ---- END-TO-END CURATION (the composition a reference user actually
+    //      ships): planted recrawls + punct-variant mirror pages →
+    //      latest-capture dedup → quality-rule gate → normalized exact
+    //      dedup → corpus mixing to target proportions. Verifies the
+    //      operators COMPOSE (columns, contracts, determinism), against a
+    //      golden that mirrors every stage independently in Python ----
+    "q_curate" -> ((s, dir) => {
+      val base = docsWithUrls(s, dir).select(col("url"),
+        (lit(1700000000000000L) + col("doc_id") * 1000000L).as("ts_us"),
+        col("doc_id"), col("lang"), col("text"))
+      val alt = base.filter(col("doc_id") % 10 === 3)
+        .select(concat(col("url"), lit("/alt")).as("url"), col("ts_us"),
+          (col("doc_id") + 3000000L).as("doc_id"), col("lang"),
+          concat(col("text"), lit(" !!")).as("text"))
+      val recrawl = base.filter(col("doc_id") % 5 === 0)
+        .select(col("url"), (col("ts_us") + 86400000000L).as("ts_us"),
+          col("doc_id"), col("lang"), concat(lit("recrawled "), col("text")).as("text"))
+      val latest = Dedup.latestCapture(base.unionAll(alt).unionAll(recrawl))
+      val kept = latest.join(
+        TextOps.qualityFilterVerdict(latest.select(col("doc_id"), col("text")))
+          .filter(col("keep")).select(col("doc_id")), Seq("doc_id"))
+      val deduped = Dedup.exactDedup(kept.select(col("doc_id"), col("lang"),
+        TextOps.normalizeForDedup(col("text")).as("text")))
+      graft.ops.Sampling.mixToWeights(
+          deduped.select(col("doc_id"), col("lang")),
+          Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.25))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- latest-capture-per-url dedup (the first dedup of any crawl):
     //      planted recrawls one day later must win; map-side-combining
     //      max(struct) argmax, no window sort ----
@@ -1084,6 +1113,7 @@ object SparkEntry {
     "q_domain_sample" -> golden("q_domain_sample"),
     "q_quantile_bucket" -> golden("q_quantile_bucket"),
     "q_mix_weights" -> golden("q_mix_weights"),
+    "q_curate" -> golden("q_curate"),
     "q_fingerprint" -> golden("q_fingerprint"),
     "q_winnow_dedup" -> golden("q_winnow_dedup"),
     "q_minhash_dedup" -> golden("q_minhash_dedup"),

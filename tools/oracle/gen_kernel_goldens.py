@@ -288,6 +288,71 @@ def main():
           pa.schema([("doc_id", pa.int64()), ("lang", pa.string())]),
           {"doc_id": [x[0] for x in mrows], "lang": [x[1] for x in mrows]})
 
+    # ---- q_curate (end-to-end composition: latest-capture -> quality gate
+    #      -> normalized dedup -> mixing; every stage mirrored here
+    #      independently of the Spark ops) ----
+    import re as _re
+
+    def _curate_norm(t):
+        t = _re.sub('[^a-z0-9 ]', ' ', t.lower())
+        return _re.sub(' {2,}', ' ', t).strip()
+
+    def _curate_keep(t):
+        toks = [x for x in t.split(' ') if x]
+        n = len(toks)
+        nc = len(t)
+        if n == 0 or nc == 0:
+            return False
+        mean_tl = (nc - t.count(' ')) / n
+        alpha = len(_re.sub('[^a-z]', '', t)) / nc
+        ttr = len(set(toks)) / n
+        return not (n < 20 or n > 100000 or mean_tl < 2.0 or mean_tl > 12.0
+                    or ttr < 0.2 or alpha < 0.6)
+
+    csrc = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "lang", "source"]).to_pandas()
+    csrc = csrc.sort_values("doc_id").reset_index(drop=True)
+
+    def _curate_url(i, source):
+        sub = "www." if i % 3 == 0 else ("cdn." if i % 3 == 1 else "")
+        return "https://" + sub + source + "-site.org/p/" + str(i)
+
+    caps = []
+    for i, t, l, srcn in zip(csrc.doc_id.tolist(), csrc.text.tolist(),
+                             csrc.lang.tolist(), csrc.source.tolist()):
+        i = int(i)
+        u = _curate_url(i, srcn)
+        ts = 1700000000000000 + i * 1000000
+        caps.append((u, ts, i, l, t))
+        if i % 10 == 3:
+            caps.append((u + "/alt", ts, i + 3000000, l, t + " !!"))
+        if i % 5 == 0:
+            caps.append((u, ts + 86400000000, i, l, "recrawled " + t))
+    latest = {}
+    for u, ts, i, l, t in caps:
+        if u not in latest or ts > latest[u][0]:
+            latest[u] = (ts, i, l, t)
+    kept = [(i, l, _curate_norm(t)) for ts, i, l, t in latest.values()
+            if _curate_keep(t)]
+    by_norm = {}
+    for i, l, nt in kept:
+        if nt not in by_norm or i < by_norm[nt][0]:
+            by_norm[nt] = (i, l)
+    deduped = sorted(by_norm.values())
+    cweights = {"en": 0.5, "es": 0.25, "de": 0.25}
+    ccounts = {}
+    for i, l in deduped:
+        if l in cweights:
+            ccounts[l] = ccounts.get(l, 0) + 1
+    ct = min(ccounts[s0] / w for s0, w in cweights.items())
+    cthr = {s0: int(math.floor(w * ct / ccounts[s0] * 1e6 + 0.5))
+            for s0, w in cweights.items()}
+    crows = [(i, l) for i, l in deduped
+             if g.mix(i) % 1000000 < cthr.get(l, 0)]
+    write("q_curate",
+          pa.schema([("doc_id", pa.int64()), ("lang", pa.string())]),
+          {"doc_id": [x[0] for x in crows], "lang": [x[1] for x in crows]})
+
     # ---- near-dup corpus: docs ∪ mutated every-10th (SparkEntry.docsWithNearDups) ----
     near = {int(i): t for i, t in doc_items}
     for doc_id, text in doc_items:
