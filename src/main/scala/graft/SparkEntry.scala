@@ -496,6 +496,11 @@ object SparkEntry {
     "q_quality" -> ((s, dir) =>
       TextOps.qualityScores(docs(s, dir))),
 
+    // ---- compression-ratio quality signal (deflate level 6, raw stream;
+    //      boilerplate compresses far below prose) ----
+    "q_compress_ratio" -> ((s, dir) =>
+      TextOps.compressionRatios(docs(s, dir)).orderBy(col("doc_id"))),
+
     // ---- token-rarity scoring (the perplexity-filter role, frequency-
     //      based and exact): per-doc summed corpus token frequency ----
     "q_token_rarity" -> ((s, dir) =>
@@ -1114,6 +1119,7 @@ object SparkEntry {
     "q_quantile_bucket" -> golden("q_quantile_bucket"),
     "q_mix_weights" -> golden("q_mix_weights"),
     "q_curate" -> golden("q_curate"),
+    "q_compress_ratio" -> golden("q_compress_ratio"),
     "q_fingerprint" -> golden("q_fingerprint"),
     "q_winnow_dedup" -> golden("q_winnow_dedup"),
     "q_minhash_dedup" -> golden("q_minhash_dedup"),

@@ -88,6 +88,36 @@ object TextOps {
         col("sum_freq").cast("double") / col("n_tokens"))
   }
 
+  /** Compression-ratio quality signal (Dolma/DataComp-style): deflate the
+    * UTF-8 text at level 6 (raw stream, no zlib header) and report
+    * compressed/raw byte sizes — boilerplate and template spam compress
+    * far below prose, and the signal needs no vocabulary or LM. Integer
+    * byte counts + ONE final division keep the compare exact; byte-length
+    * parity of JDK Deflater(6, nowrap) vs CPython zlib(6, wbits=-15) was
+    * probe-verified (both wrap zlib). Per-row mapPartitions with ONE
+    * Deflater per partition (reset per row — allocation-free hot loop).
+    */
+  def compressionRatios(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(6, true)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, t) =>
+          val in = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          d.reset()
+          d.setInput(in)
+          d.finish()
+          var n = 0L
+          while (!d.finished()) n += d.deflate(buf)
+          (id, in.length.toLong, n,
+            if (in.length > 0) n.toDouble / in.length else 0.0)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_deflate_bytes", "deflate_ratio")
+  }
+
   /** Quality-filter VERDICT (the C4/Gopher-style rule engine a pipeline
     * actually gates on): keep/drop plus the FIRST failing rule in pinned
     * order, so a dropped doc is attributable — "how much did each rule

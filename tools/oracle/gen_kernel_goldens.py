@@ -353,6 +353,25 @@ def main():
           pa.schema([("doc_id", pa.int64()), ("lang", pa.string())]),
           {"doc_id": [x[0] for x in crows], "lang": [x[1] for x in crows]})
 
+    # ---- q_compress_ratio (deflate-6 raw-stream ratio; CPython zlib and
+    #      JDK Deflater both wrap zlib — byte-length parity probe-verified) ----
+    import zlib as _zlib
+
+    def _deflate_len(t):
+        c = _zlib.compressobj(6, _zlib.DEFLATED, -15)
+        return len(c.compress(t.encode("utf-8")) + c.flush())
+
+    zr = [(int(i), len(t.encode("utf-8")), _deflate_len(t))
+          for i, t in doc_items]
+    write("q_compress_ratio",
+          pa.schema([("doc_id", pa.int64()), ("n_bytes", pa.int64()),
+                     ("n_deflate_bytes", pa.int64()),
+                     ("deflate_ratio", pa.float64())]),
+          {"doc_id": [x[0] for x in zr],
+           "n_bytes": [x[1] for x in zr],
+           "n_deflate_bytes": [x[2] for x in zr],
+           "deflate_ratio": [x[2] / x[1] if x[1] else 0.0 for x in zr]})
+
     # ---- near-dup corpus: docs ∪ mutated every-10th (SparkEntry.docsWithNearDups) ----
     near = {int(i): t for i, t in doc_items}
     for doc_id, text in doc_items:
