@@ -153,6 +153,7 @@ object SparkEntry {
     * gen_kernel_goldens.py.
     */
   private[graft] def reflowForRepetition(text: String): String = {
+    if (text == null) return ""
     val toks = text.split(" ").filter(_.nonEmpty)
     val lines0 = toks.grouped(6).map(_.mkString(" ")).toArray
     val lines = lines0.zipWithIndex.map { case (l, i) =>
@@ -350,12 +351,18 @@ object SparkEntry {
       val recrawl = base.filter(col("doc_id") % 5 === 0)
         .select(col("url"), (col("ts_us") + 86400000000L).as("ts_us"),
           col("doc_id"), col("lang"), concat(lit("recrawled "), col("text")).as("text"))
-      val latest = Dedup.latestCapture(base.unionAll(alt).unionAll(recrawl))
+      // persist the two multi-consumer stages: `latest` feeds both the
+      // verdict side and the join probe, and `deduped` is evaluated by
+      // mixToWeights' construction-time count AND the final gate — without
+      // the caches the capture-set argmax re-runs ~4x per evaluation
+      val latest = graft.ops.CacheRegistry.register(
+        Dedup.latestCapture(base.unionAll(alt).unionAll(recrawl)).persist())
       val kept = latest.join(
         TextOps.qualityFilterVerdict(latest.select(col("doc_id"), col("text")))
           .filter(col("keep")).select(col("doc_id")), Seq("doc_id"))
-      val deduped = Dedup.exactDedup(kept.select(col("doc_id"), col("lang"),
-        TextOps.normalizeForDedup(col("text")).as("text")))
+      val deduped = graft.ops.CacheRegistry.register(
+        Dedup.exactDedup(kept.select(col("doc_id"), col("lang"),
+          TextOps.normalizeForDedup(col("text")).as("text"))).persist())
       graft.ops.Sampling.mixToWeights(
           deduped.select(col("doc_id"), col("lang")),
           Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.25))

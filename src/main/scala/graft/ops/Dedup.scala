@@ -405,6 +405,10 @@ object Dedup {
       prevSum = nextSum
       iter += 1
     }
+    // the edge table — the loop's LARGEST pinned dataset — is dead once the
+    // labels converge; only the (pairs-sized) final label table stays
+    // materialized for consumers
+    edges.unpersist()
     labels.select(col("doc_id"), col("label").as("canonical_doc_id"))
   }
 

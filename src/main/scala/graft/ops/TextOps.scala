@@ -103,9 +103,15 @@ object TextOps {
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val d = new java.util.zip.Deflater(6, true)
+        // Deflater holds NATIVE zlib buffers invisible to the heap-driven
+        // GC — release them at task end, not when a finalizer eventually
+        // runs
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => d.end())
         val buf = new Array[Byte](1 << 16)
         it.map { case (id, t) =>
-          val in = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val in = (if (t == null) "" else t)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
           d.reset()
           d.setInput(in)
           d.finish()
@@ -347,7 +353,10 @@ object TextOps {
       n: Int = 8,
       stride: Int = 1): DataFrame = {
     val winUdf = udf((t: String) => {
-      val toks = t.split(" ").filter(_.nonEmpty)
+      // null text contributes no windows — same row-survives contract as
+      // the expression-based siblings, not a task-killing NPE
+      val toks = if (t == null) Array.empty[String]
+        else t.split(" ").filter(_.nonEmpty)
       if (toks.length < n) Array.empty[(Int, Long)]
       else Array.range(0, toks.length - n + 1, stride)
         .map(i => (i, Dedup.stringHash64(toks.slice(i, i + n).mkString(" "))))
@@ -392,10 +401,17 @@ object TextOps {
       .agg(min(col("tok_start")).as("s"), max(col("end")).as("e"))
     val perDoc = islands.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cuts"))
+    // output contract: masked_text is the SINGLE-SPACED surviving token
+    // stream for EVERY row (uncovered docs included) — returning raw text
+    // on the no-cuts branch would make the whitespace normalization depend
+    // on whether a doc happened to be flagged, an inconsistency the oracle
+    // (which token-rebuilds all rows) would surface on any multi-spaced
+    // input
     val cutUdf = udf((text: String, cuts: Seq[Row]) => {
-      val toks = text.split(" ").filter(_.nonEmpty)
+      val toks = if (text == null) Array.empty[String]
+        else text.split(" ").filter(_.nonEmpty)
       val keep = Array.fill(toks.length)(true)
-      cuts.foreach { r =>
+      if (cuts != null) cuts.foreach { r =>
         var i = math.max(0, r.getInt(0))
         val e = math.min(r.getInt(1), toks.length)
         while (i < e) { keep(i) = false; i += 1 }
@@ -404,8 +420,7 @@ object TextOps {
     })
     documents.join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(col("cuts").isNull, col("text"))
-          .otherwise(cutUdf(col("text"), col("cuts"))).as("masked_text"))
+        cutUdf(col("text"), col("cuts")).as("masked_text"))
   }
 
   /** Dedup-key normalization — the canonical pre-hash cleanup (lowercase,

@@ -55,9 +55,23 @@ object ResumableAlignRunner {
   def readCommitted(spark: org.apache.spark.sql.SparkSession,
       outDir: String): org.apache.spark.sql.DataFrame = {
     val done = committedBuckets(outDir).toSeq
-    val spans = spark.read.parquet(s"$outDir/spans")
-    if (done.isEmpty) spans.filter(org.apache.spark.sql.functions.lit(false))
-    else spans.filter(col("bucket").isInCollection(done))
+    // nothing committed yet (or the writer died before its first parquet
+    // job) — the snapshot contract says EMPTY, not AnalysisException from
+    // a missing/unreadable spans dir; the spans schema is static, so the
+    // empty frame is well-typed for downstream selects
+    if (done.isEmpty || !Files.isDirectory(Paths.get(outDir, "spans"))) {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("url", StringType), StructField("seq", IntegerType),
+        StructField("syl", StringType), StructField("ulx", IntegerType),
+        StructField("uly", IntegerType), StructField("lrx", IntegerType),
+        StructField("lry", IntegerType), StructField("bucket", IntegerType)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else {
+      spark.read.parquet(s"$outDir/spans")
+        .filter(col("bucket").isInCollection(done))
+    }
   }
 
   /** Run (or resume) the job. Returns the buckets processed in THIS
