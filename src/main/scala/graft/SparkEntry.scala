@@ -503,6 +503,22 @@ object SparkEntry {
     "q_quality" -> ((s, dir) =>
       TextOps.qualityScores(docs(s, dir))),
 
+    // ---- incremental dedup vs a prior snapshot (rolling-crawl form):
+    //      digest-keyed anti-join; a third of the new batch are exact
+    //      copies of prior docs and must vanish ----
+    "q_incremental_dedup" -> ((s, dir) => {
+      val prior = docs(s, dir).select(col("doc_id"), col("text"))
+      val newer = prior.select((col("doc_id") + 5000000L).as("doc_id"),
+        when(col("doc_id") % 3 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" fresh"))).as("text"))
+      Dedup.incrementalDedup(newer, prior)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // ---- top-K vocabulary (tokenizer-training / index-config input):
+    //      K=20 binds under the corpus's 31-token vocabulary ----
+    "q_vocab" -> ((s, dir) => TextOps.topKVocab(docs(s, dir), 20)),
+
     // ---- compression-ratio quality signal (deflate level 6, raw stream;
     //      boilerplate compresses far below prose) ----
     "q_compress_ratio" -> ((s, dir) =>
@@ -1509,6 +1525,28 @@ object SparkEntry {
          |          FROM pairs GROUP BY term)
          |SELECT d.term, d.df, CASE WHEN d.df <= 400 THEN p.postings END AS postings
          |FROM dfreq d LEFT JOIN posts p ON d.term = p.term""".stripMargin.replace("\n", " ")),
+
+    // ---- incremental dedup: ground truth by TEXT membership (not digest)
+    //      — doubles as the digest-collision check ----
+    "q_incremental_dedup" ->
+      ("""WITH newer AS (
+         |  SELECT doc_id + 5000000 AS doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN text ELSE text || ' fresh' END AS text
+         |  FROM documents)
+         |SELECT doc_id FROM newer
+         |WHERE text NOT IN (SELECT text FROM documents)
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+    // ---- top-K vocab: same count + rank in DuckDB ----
+    "q_vocab" ->
+      ("""WITH tk AS (
+         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+         |  FROM documents),
+         |c AS (SELECT tok, count(*) AS freq FROM tk GROUP BY tok
+         |      ORDER BY freq DESC, tok LIMIT 20)
+         |SELECT CAST(row_number() OVER (ORDER BY freq DESC, tok) AS INTEGER) AS rank,
+         |       tok, CAST(freq AS BIGINT) AS freq
+         |FROM c ORDER BY rank""".stripMargin.replace("\n", " ")),
 
     // ---- token rarity: same explode/count/join/sum in DuckDB; integer
     //      sums make the compare exact, the mean is one division ----

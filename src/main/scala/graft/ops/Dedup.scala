@@ -56,6 +56,30 @@ object Dedup {
       .drop("rn")
   }
 
+  /** Incremental dedup against a PRIOR snapshot — the cross-run form every
+    * rolling crawl needs: drop new documents whose content digest already
+    * exists in the previously-ingested corpus. The prior side is reduced
+    * to its distinct digest pair (16 B/row — at 10^12 prior docs that is a
+    * digest TABLE join, hash-partitioned on the digest, not a broadcast;
+    * Spark picks broadcast automatically when the prior corpus is small).
+    * Exact by construction (two independent 64-bit digests + length, same
+    * contract as [[exactDuplicateGroups]]) — an approximate membership
+    * structure (bloom) would save the shuffle at the cost of false DROPS
+    * of never-seen documents, the wrong trade for training data.
+    */
+  def incrementalDedup(newDocs: DataFrame, priorDocs: DataFrame): DataFrame = {
+    val priorKeys = priorDocs.select(
+      xxhash64(col("text")).as("h1"),
+      xxhash64(col("text"), lit(0x9e3779b97f4a7c15L)).as("h2"),
+      length(col("text")).as("len")).distinct()
+    newDocs
+      .withColumn("h1", xxhash64(col("text")))
+      .withColumn("h2", xxhash64(col("text"), lit(0x9e3779b97f4a7c15L)))
+      .withColumn("len", length(col("text")))
+      .join(priorKeys, Seq("h1", "h2", "len"), "left_anti")
+      .drop("h1", "h2", "len")
+  }
+
   /** Latest-capture-per-url dedup — the FIRST dedup every crawl pipeline
     * runs: the same url is captured repeatedly across crawls and only the
     * newest snapshot should enter curation. Implemented as

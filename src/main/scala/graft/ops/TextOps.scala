@@ -88,6 +88,27 @@ object TextOps {
         col("sum_freq").cast("double") / col("n_tokens"))
   }
 
+  /** Top-K vocabulary builder — the deterministic input to tokenizer
+    * training and df-capped index configuration: corpus token frequencies,
+    * top K by frequency with lexicographic tie-break. One
+    * partial-aggregating token count, then a TakeOrdered top-K (Spark
+    * plans orderBy+limit as a per-partition heap + driver merge of K rows —
+    * no global sort shuffle); the rank window then runs over K rows only
+    * (bounded by construction, so the single-partition window is the cheap
+    * plan, not a scale hazard).
+    */
+  def topKVocab(documents: DataFrame, k: Int): DataFrame = {
+    val counts = documents
+      .select(explode(filter(split(col("text"), " "), x => x =!= lit(""))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok").asc)
+      .limit(k)
+    counts
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("tok").asc)))
+      .select(col("rank"), col("tok"), col("freq"))
+  }
+
   /** Compression-ratio quality signal (Dolma/DataComp-style): deflate the
     * UTF-8 text at level 6 (raw stream, no zlib header) and report
     * compressed/raw byte sizes — boilerplate and template spam compress

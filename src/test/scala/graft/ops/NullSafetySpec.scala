@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Null-robustness contracts (self-review follow-up): a web crawl WILL
+  * contain rows with null text or null ids, and a single such row must
+  * degrade per the op's documented contract — never NPE-kill the task.
+  */
+class NullSafetySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def corpus() = {
+    import spark.implicits._
+    Seq((1L, "a b c d e f g h i j"), (2L, null.asInstanceOf[String]),
+      (3L, "a b c d e f g h i j k"))
+      .toDF("doc_id", "text")
+  }
+
+  test("duplicateSpans: null text contributes no windows, query completes") {
+    val got = TextOps.duplicateSpans(corpus(), n = 8).count()
+    // docs 1 and 3 share the windows at offsets 0,1,2 -> 3 flagged
+    // occurrences in each doc
+    assert(got === 6L)
+  }
+
+  test("maskDuplicateSpans: null text masks to empty, not NPE") {
+    import spark.implicits._
+    val c = corpus()
+    val got = TextOps.maskDuplicateSpans(c, TextOps.duplicateSpans(c, 8), 8)
+      .as[(Long, String)].collect().toMap
+    assert(got(2L) === "")
+  }
+
+  test("compressionRatios: null text is a zero-byte row") {
+    import spark.implicits._
+    val got = TextOps.compressionRatios(corpus())
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(got(2L) === 0L)
+  }
+
+  test("repetition + dup fractions: null text scores zero") {
+    import spark.implicits._
+    val row = TextOps.repetitionScores(corpus()).filter(col("doc_id") === 2)
+      .collect().head
+    (1 until row.length).foreach(i => assert(row.getDouble(i) === 0.0))
+  }
+
+  test("latestCapture: null timestamps lose to any real capture") {
+    import spark.implicits._
+    val caps = Seq(("u", Some(5L), "old"), ("u", None, "nullts"))
+      .map { case (u, ts, t) => (u, ts.map(Long.box).orNull, t) }
+      .toDF("url", "ts_us", "text")
+    val got = Dedup.latestCapture(caps).select("text").as[String].collect()
+    assert(got.toSeq === Seq("old")) // max(struct) ignores the null-ts row
+  }
+
+  test("incrementalDedup: null text on either side never crashes") {
+    import spark.implicits._
+    val prior = Seq((1L, "x"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val newer = Seq((10L, "x"), (11L, null.asInstanceOf[String]), (12L, "y"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(newer, prior)
+      .select("doc_id").as[Long].collect().toSet
+    // "x" is a prior duplicate; null-text digests are null on both sides and
+    // a null join key never matches an anti-join, so null rows SURVIVE
+    // (conservative: never silently drop a row you cannot prove duplicated)
+    assert(got === Set(11L, 12L))
+  }
+}
