@@ -519,6 +519,60 @@ object SparkEntry {
     //      K=20 binds under the corpus's 31-token vocabulary ----
     "q_vocab" -> ((s, dir) => TextOps.topKVocab(docs(s, dir), 20)),
 
+    // ---- C4 line-level cleaning over deterministically line-structured
+    //      text: ' the ' → ' the. ' plants terminal punctuation (literal
+    //      non-overlapping replace, identical in both engines), a portable
+    //      regex cuts 6-word lines; rule = ends in [.!?] AND ≥3 words.
+    //      Both rules bind: mid-doc lines fail on punctuation, the final
+    //      short line fails on word count ----
+    "q_c4_filter" -> ((s, dir) => {
+      val structured = regexp_replace(
+        regexp_replace(col("text"), " the ", " the. "),
+        "((?:\\S+ ){5}\\S+) ", "$1\n")
+      TextOps.c4LineFilter(
+          docs(s, dir).select(col("doc_id"), structured.as("text")),
+          minWords = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- cross-document line dedup (RefinedWeb boilerplate removal):
+    //      3-word lines from the 31-token vocab collide across docs
+    //      naturally, plus planted newsletter/cookie boilerplate on every
+    //      5th/7th doc; any line seen in >1 distinct doc vanishes from ALL
+    //      docs. Oracle groups by line TEXT — doubles as the xxhash64
+    //      collision check ----
+    "q_line_dedup" -> ((s, dir) => {
+      val structured = regexp_replace(col("text"), "((?:\\S+ ){2}\\S+) ", "$1\n")
+      val boiler = when(col("doc_id") % 5 === 0,
+          concat(structured, lit("\nsubscribe to our newsletter today")))
+        .when(col("doc_id") % 7 === 0,
+          concat(lit("accept all cookies to continue\n"), structured))
+        .otherwise(structured)
+      Dedup.crossDocLineDedup(
+          docs(s, dir).select(col("doc_id"), boiler.as("text")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- deterministic training-shard assignment: md5-keyed shard +
+    //      within-shard position, reproducible byte-for-byte by any md5
+    //      implementation; no global-order window anywhere ----
+    "q_shard" -> ((s, dir) =>
+      graft.ops.Sampling.shardAssign(docs(s, dir).select(col("doc_id")), 8)
+        .orderBy(col("doc_id"))),
+
+    // ---- training-chunk index (concatenate-then-cut context windows):
+    //      FORCED through the bucketed two-pass prefix sum (the scaled
+    //      path is oracle-checked, like q_folio_text_scaled) ----
+    "q_pack_index" -> ((s, dir) =>
+      TextOps.packIndex(docs(s, dir), contextLen = 128, forceScaled = true)
+        .orderBy(col("doc_id"))),
+
+    // ---- chunk-major manifest (the loader-facing pivot of the pack
+    //      index): one row per context chunk with its contributor list ----
+    "q_pack_chunks" -> ((s, dir) =>
+      TextOps.packChunks(docs(s, dir), contextLen = 128)
+        .orderBy(col("chunk_id"))),
+
     // ---- compression-ratio quality signal (deflate level 6, raw stream;
     //      boilerplate compresses far below prose) ----
     "q_compress_ratio" -> ((s, dir) =>
@@ -1547,6 +1601,92 @@ object SparkEntry {
          |SELECT CAST(row_number() OVER (ORDER BY freq DESC, tok) AS INTEGER) AS rank,
          |       tok, CAST(freq AS BIGINT) AS freq
          |FROM c ORDER BY rank""".stripMargin.replace("\n", " ")),
+
+    // ---- C4 line filter: the same punctuation-plant + 6-word chunking +
+    //      keep-rule replayed with DuckDB lambdas; array_to_string of an
+    //      empty list is NULL in DuckDB ('' in Spark) → coalesce ----
+    "q_c4_filter" ->
+      ("""WITH p AS (SELECT doc_id,
+         |    regexp_replace(regexp_replace(text, ' the ', ' the. ', 'g'),
+         |      '((?:\S+ ){5}\S+) ', '\1' || chr(10), 'g') AS t
+         |  FROM documents),
+         |k AS (SELECT doc_id, string_split(t, chr(10)) AS ls,
+         |    list_filter(string_split(t, chr(10)),
+         |      l -> regexp_matches(l, '[.!?]$') AND len(string_split(l, ' ')) >= 3) AS kept
+         |  FROM p)
+         |SELECT doc_id,
+         |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+         |  CAST(len(ls) AS INTEGER) AS n_lines,
+         |  CAST(len(kept) AS INTEGER) AS n_kept_lines
+         |FROM k ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+    // ---- cross-doc line dedup: dup set computed by line TEXT (the
+    //      xxhash64 collision check), filter/reassemble with list lambdas ----
+    "q_line_dedup" ->
+      ("""WITH d AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN regexp_replace(text, '((?:\S+ ){2}\S+) ', '\1' || chr(10), 'g') || chr(10) || 'subscribe to our newsletter today'
+         |         WHEN doc_id % 7 = 0 THEN 'accept all cookies to continue' || chr(10) || regexp_replace(text, '((?:\S+ ){2}\S+) ', '\1' || chr(10), 'g')
+         |         ELSE regexp_replace(text, '((?:\S+ ){2}\S+) ', '\1' || chr(10), 'g') END AS t
+         |  FROM documents),
+         |ex AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM d),
+         |hot AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df
+         |        FROM ex WHERE line <> '' GROUP BY line) WHERE df > 1),
+         |hl AS (SELECT coalesce(list(line), CAST([] AS VARCHAR[])) AS hll FROM hot),
+         |f AS (SELECT doc_id,
+         |    list_filter(string_split(t, chr(10)), x -> NOT list_contains(hll, x)) AS kept
+         |  FROM d, hl)
+         |SELECT doc_id,
+         |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+         |  CAST(len(kept) AS INTEGER) AS n_kept_lines
+         |FROM f ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+    // ---- shard assignment: md5 hex is identical across engines; nibble
+    //      arithmetic and the shard-partitioned row_number replayed 1:1 ----
+    "q_shard" ->
+      ("""WITH k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |s AS (SELECT doc_id, m,
+         |    (CASE WHEN ascii(substr(m, 1, 1)) <= 57 THEN ascii(substr(m, 1, 1)) - 48
+         |          ELSE ascii(substr(m, 1, 1)) - 87 END) % 8 AS shard
+         |  FROM k)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY m, doc_id) AS BIGINT) AS shard_pos
+         |FROM s ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+    // ---- pack index: plain single-window prefix sum in DuckDB (the
+    //      Spark side runs the FORCED bucketed two-pass form — agreement
+    //      is the point); integer division/modulo keep it exact ----
+    "q_pack_index" ->
+      ("""WITH t AS (SELECT doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM t)
+         |SELECT doc_id, n_tokens, cum - n_tokens AS global_start,
+         |  CASE WHEN n_tokens > 0 THEN (cum - n_tokens) // 128 END AS chunk_first,
+         |  CASE WHEN n_tokens > 0 THEN (cum - 1) // 128 END AS chunk_last,
+         |  (cum - n_tokens) % 128 AS chunk_offset
+         |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+    // ---- chunk manifest: same cumsum/interval arithmetic, exploded with
+    //      generate_series (inclusive on both ends, like Spark sequence);
+    //      doc lists sort numerically THEN stringify on both sides ----
+    "q_pack_chunks" ->
+      ("""WITH t AS (SELECT doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM t),
+         |e AS (SELECT doc_id,
+         |    unnest(generate_series((cum - n_tokens) // 128, (cum - 1) // 128)) AS chunk_id
+         |  FROM c WHERE n_tokens > 0)
+         |SELECT chunk_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  array_to_string(list_transform(list_sort(list(doc_id)), x -> CAST(x AS VARCHAR)), ' ') AS docs
+         |FROM e GROUP BY chunk_id ORDER BY chunk_id""".stripMargin.replace("\n", " ")),
 
     // ---- token rarity: same explode/count/join/sum in DuckDB; integer
     //      sums make the compare exact, the mean is one division ----

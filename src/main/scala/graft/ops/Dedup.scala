@@ -447,4 +447,58 @@ object Dedup {
       .filter(col("canonical_doc_id").isNull ||
         col("canonical_doc_id") === col("doc_id"))
       .drop("canonical_doc_id")
+
+  /** Cross-document LINE-level exact dedup (the RefinedWeb/CCNet
+    * boilerplate-removal move): any non-empty line that occurs in MORE THAN
+    * ONE distinct document is removed from EVERY document, and each
+    * document is re-assembled from its surviving lines in order. Empty
+    * lines are structure, not content — they are never counted and never
+    * removed.
+    *
+    * Scale shape: the document-frequency aggregate groups on
+    * `xxhash64(line)` — 8-byte keys shuffle for the global count, with
+    * `count_distinct(doc_id)` partial-aggregating map-side; line TEXT
+    * crosses the wire only in the membership join, which is ONE shuffle of
+    * the exploded corpus against the hot-line hash set (a join AQE
+    * broadcast-converts when the hot set is small, the common case — the
+    * hot table is `df>1` lines only, a sliver of the corpus). Collisions:
+    * a 64-bit hash collision would remove an innocent line; at 10^12
+    * distinct lines the expected collision count is ~0.03 — and the DuckDB
+    * oracle groups by line TEXT, so any collision at test scale surfaces as
+    * a hash mismatch (same oracle-as-collision-check pattern as
+    * `q_dedup_groups`).
+    *
+    * Output: (doc_id, clean_text, n_kept_lines) — `clean_text` is the
+    * newline re-join of surviving lines ('' when none survive).
+    */
+  def crossDocLineDedup(documents: DataFrame): DataFrame = {
+    val lines = CacheRegistry.register(documents
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val hot = lines
+      .filter(col("line") =!= "")
+      .groupBy(xxhash64(col("line")).as("line_hash"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") > 1)
+      .select(col("line_hash"))
+    val kept = lines.join(hot,
+      xxhash64(lines("line")) === hot("line_hash"), "left_anti")
+    val reassembled = kept.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("line")))).as("__ls"))
+      .select(
+        col("doc_id"),
+        array_join(transform(col("__ls"), _.getField("line")), "\n")
+          .as("clean_text"),
+        size(col("__ls")).as("n_kept_lines"))
+    // a doc whose EVERY line was removed vanishes from the group-by — it
+    // must still appear in the output as an emptied document (doc_id join,
+    // distinct-key side is the corpus itself: hash join, no skew)
+    lines.select(col("doc_id")).distinct()
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept_lines"), lit(0)).as("n_kept_lines"))
+  }
 }

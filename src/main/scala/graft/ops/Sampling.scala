@@ -123,4 +123,40 @@ object Sampling {
     })
     df.withColumn("bucket", bucketUdf(col(scoreCol).cast("double")))
   }
+
+  /** Deterministic training-shard assignment (the "global shuffle" a
+    * training run wants, without a global sort): every row gets a shard and
+    * a position within that shard, both functions of `md5(idCol)` alone —
+    * so the layout is reproducible by ANY system that can compute md5
+    * (the DuckDB oracle replays it byte-for-byte), independent of
+    * parallelism, partitioning, and input order.
+    *
+    * Scale shape: the shard id is the first hex nibble of the md5 — pure
+    * map-side, no shuffle. The position is a `row_number` under a window
+    * PARTITIONED BY shard (hash exchange into nShards balanced groups, each
+    * sorted independently) — there is deliberately no global-order window
+    * anywhere. `nShards` must divide 16 so nibble→shard folding is exactly
+    * balanced in the hash-uniform limit; for more output shards, compose
+    * with a second nibble (not offered until needed).
+    *
+    * Null ids are rejected up front (an explicit filter in the plan): a
+    * shard layout that silently drops rows is worse than one that
+    * documents it.
+    */
+  def shardAssign(
+      df: DataFrame,
+      nShards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 1 && 16 % nShards == 0,
+      s"nShards must divide 16 for balanced nibble folding: $nShards")
+    val a = ascii(substring(col("__key"), 1, 1))
+    val nibble = when(a <= 57, a - 48).otherwise(a - 87)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__key"), col(idCol))
+    df.filter(col(idCol).isNotNull)
+      .withColumn("__key", md5(col(idCol).cast("string")))
+      .withColumn("shard", pmod(nibble, lit(nShards)))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .drop("__key")
+  }
 }

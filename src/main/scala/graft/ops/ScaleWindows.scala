@@ -152,4 +152,75 @@ object ScaleWindows {
         when(col("__lag").isNull, col("__prev_last")).otherwise(col("__lag.v")))
       .drop("__bkt", "__lag", "__prev_last")
   }
+
+  /** Adds `outCol` = running sum of `valueCol` over (ORDER BY keyCol ROWS
+    * UNBOUNDED PRECEDING), without a single-partition window: the classic
+    * two-pass distributed prefix sum, expressed relationally with the same
+    * bucket machinery as [[withGlobalLag]].
+    *
+    *   1. rows bucket by boundary literals (monotone in `keyCol`);
+    *   2. each bucket computes its LOCAL running sum under a
+    *      bucket-partitioned window (hash exchange, no global sort);
+    *   3. per-bucket totals (≤ nBuckets rows — metadata-scale) turn into
+    *      per-bucket prefix offsets via a broadcast theta-join, added back
+    *      map-side.
+    *
+    * `valueCol` is read as `coalesce(cast(valueCol as long), 0)` — null
+    * values contribute zero in BOTH the fast path and the scaled path (the
+    * plain-window alternative would instead yield leading nulls, a
+    * semantics no caller of a token/byte counter wants and one the bucketed
+    * form cannot reproduce exactly). Exact global semantics whenever
+    * `keyCol` values are distinct, same as [[withGlobalLag]].
+    */
+  def withGlobalCumsum(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      outCol: String,
+      numBuckets: Int = 0,
+      sampleTarget: Int = 10000,
+      persistInput: Boolean = true,
+      smallInputThreshold: Long = 1000000): DataFrame = {
+    val spark = df.sparkSession
+    val n =
+      if (numBuckets > 0) numBuckets
+      else math.max(2, spark.sparkContext.defaultParallelism)
+    val v = coalesce(col(valueCol).cast("long"), lit(0L))
+
+    val input =
+      if (persistInput)
+        CacheRegistry.register(df.persist(StorageLevel.MEMORY_AND_DISK))
+      else df
+
+    val total = input.count()
+    if (total == 0)
+      return input.withColumn(outCol, lit(null).cast("long"))
+
+    if (total <= smallInputThreshold)
+      return input.withColumn(outCol,
+        sum(v).over(Window.orderBy(col(keyCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+    val boundaries = boundariesFor(input, keyCol, n, sampleTarget, total)
+    val bucket = boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(keyCol) > lit(b), 1).otherwise(0)
+    }
+    val bucketed = input.withColumn("__bkt", bucket)
+    val wIn = Window.partitionBy(col("__bkt")).orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = bucketed.withColumn("__local", sum(v).over(wIn))
+
+    // one row per non-empty bucket — metadata-scale; prefix offsets via a
+    // broadcast theta-join over ≤ n² pairs, NOT a global-order window
+    val totals = bucketed.groupBy(col("__bkt")).agg(sum(v).as("__tot"))
+    val offsets = totals.select(col("__bkt"))
+      .join(broadcast(totals.select(col("__bkt").as("__pb"), col("__tot"))),
+        col("__pb") < col("__bkt"))
+      .groupBy(col("__bkt"))
+      .agg(sum(col("__tot")).as("__off"))
+
+    withLocal.join(broadcast(offsets), Seq("__bkt"), "left")
+      .withColumn(outCol, col("__local") + coalesce(col("__off"), lit(0L)))
+      .drop("__bkt", "__local", "__off")
+  }
 }

@@ -569,6 +569,104 @@ object TextOps {
       .select(col("term"), col("df"), col("postings"))
   }
 
+  /** C4-style LINE-level cleaning (Raffel et al. 2020 §2.2, re-expressed
+    * over a newline-structured text column): keep only lines that end in a
+    * terminal-punctuation character AND carry at least `minWords`
+    * space-separated words; the document is re-assembled from the kept
+    * lines in order.
+    *
+    * Pure higher-order Catalyst functions (`filter`/`array_join` over the
+    * split array) — per-row, no explode, no shuffle, no UDF, so the op is
+    * embarrassingly parallel at any corpus size. Regex constructs are
+    * restricted to Java/RE2-identical semantics (explicit `[.!?]$` class)
+    * so the DuckDB oracle replays the rule verbatim.
+    *
+    * Output columns: `clean_text` (empty string when nothing survives —
+    * NOT null, so downstream length/token ops stay total), `n_lines`,
+    * `n_kept_lines`.
+    */
+  def c4LineFilter(documents: DataFrame, minWords: Int = 3): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val kept = filter(lines, l =>
+      l.rlike("[.!?]$") && size(split(l, " ")) >= minWords)
+    documents.select(
+      col("doc_id"),
+      array_join(kept, "\n").as("clean_text"),
+      size(lines).as("n_lines"),
+      size(kept).as("n_kept_lines"))
+  }
+
+  /** Training-chunk index construction (GPT-style "concatenate the corpus,
+    * then cut fixed-length context windows"): for a deterministic document
+    * order (`doc_id`), computes each document's interval in the global
+    * token stream and the context chunks it lands in, WITHOUT materializing
+    * the stream.
+    *
+    * The only global dependency is a prefix sum of per-document token
+    * counts, which runs through [[ScaleWindows.withGlobalCumsum]] — the
+    * two-pass bucketed form, so no single-partition window exists in the
+    * plan at any corpus size (`forceScaled` pins the scaled path even under
+    * the small-input threshold; the result is identical either way). All
+    * arithmetic is exact integer — the DuckDB oracle reproduces every
+    * column bit-for-bit.
+    *
+    * Output: (doc_id, n_tokens, global_start, chunk_first, chunk_last,
+    * chunk_offset); chunk columns are null for empty documents (an empty
+    * doc occupies no interval — it has no chunk).
+    */
+  def packIndex(
+      documents: DataFrame,
+      contextLen: Int,
+      forceScaled: Boolean = false): DataFrame = {
+    require(contextLen > 0, s"contextLen must be positive, got $contextLen")
+    val toks = documents.select(col("doc_id"),
+      tokenCountCol(col("text")).cast("long").as("n_tokens"))
+    val cum = ScaleWindows.withGlobalCumsum(
+      toks, "doc_id", "n_tokens", "__cum",
+      smallInputThreshold = if (forceScaled) 0L else 1000000L)
+    val c = lit(contextLen.toLong)
+    cum
+      .withColumn("global_start", col("__cum") - col("n_tokens"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("global_start"),
+        when(col("n_tokens") > 0, floor(col("global_start") / c))
+          .as("chunk_first"),
+        when(col("n_tokens") > 0, floor((col("__cum") - 1) / c))
+          .as("chunk_last"),
+        pmod(col("global_start"), c).as("chunk_offset"))
+  }
+
+  /** Chunk-major manifest: pivots [[packIndex]] into the table a training
+    * loader actually reads — one row per context chunk, listing the
+    * documents that contribute tokens to it.
+    *
+    * Scale shape: a document emits one row per chunk it touches (explode
+    * of `sequence(chunk_first, chunk_last)` — inherent, every chunk needs
+    * its contributor list, and a doc touches ≈ n_tokens/contextLen chunks
+    * so total exploded rows ≈ corpus_tokens/contextLen + corpus_docs);
+    * chunk rows then group on the 8-byte chunk id. Per-chunk lists are
+    * BOUNDED by construction — a chunk holds at most contextLen
+    * token-bearing documents (each contributes ≥1 token) — so no group can
+    * go hot no matter how the corpus skews. Empty documents occupy no
+    * interval and are excluded.
+    */
+  def packChunks(
+      documents: DataFrame,
+      contextLen: Int,
+      forceScaled: Boolean = false): DataFrame =
+    packIndex(documents, contextLen, forceScaled)
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"),
+        explode(sequence(col("chunk_first"), col("chunk_last"))).as("chunk_id"))
+      .groupBy(col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        array_join(
+          transform(array_sort(collect_list(col("doc_id"))), _.cast("string")),
+          " ").as("docs"))
+
   @inline def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L

@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 second-wave operators: pack-index prefix sum, shard assignment,
+  * C4 line filter, cross-document line dedup — semantics at small scale plus
+  * the plan shapes their 100 TB stories claim (bucketed windows only, no
+  * global-order window over data).
+  */
+class PackShardSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("withGlobalCumsum: forced scaled path == plain window, nulls count 0") {
+    import spark.implicits._
+    // adversarial values: nulls, zeros, duplicates in value space; keys
+    // deterministic but non-contiguous
+    val rows = (0 until 3000).map { i =>
+      val k = (i.toLong * 7919) % 100003
+      val v: java.lang.Long =
+        if (i % 17 == 0) null else java.lang.Long.valueOf((i % 23).toLong)
+      (k, v)
+    }
+    val df = rows.toDF("k", "v")
+    val scaled = graft.ops.ScaleWindows
+      .withGlobalCumsum(df, "k", "v", "c", smallInputThreshold = 0)
+      .select($"k", $"c").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sorted = rows.sortBy(_._1)
+    var acc = 0L
+    sorted.foreach { case (k, v) =>
+      acc += (if (v == null) 0L else v.longValue())
+      assert(scaled(k) == acc, s"cumsum mismatch at key $k")
+    }
+  }
+
+  test("q_pack_index plan: every window is __bkt-partitioned (no global-order window)") {
+    val plan = graft.SparkEntry.queries("q_pack_index")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val windowLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty, s"no Window in plan:\n${plan.take(3000)}")
+    windowLines.foreach { l =>
+      assert(l.contains("__bkt"), s"global-order window in pack index: $l")
+    }
+  }
+
+  test("shardAssign: md5-deterministic, positions contiguous per shard, window shard-partitioned") {
+    val out = graft.ops.Sampling
+      .shardAssign(spark.read.parquet(s"$sfDir/documents.parquet"), 8)
+    val rows = out.select(col("doc_id"), col("shard"), col("shard_pos"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // every shard's positions are exactly 1..count (row_number contract)
+    rows.groupBy(_._2).foreach { case (s, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq,
+        s"shard $s positions not contiguous")
+    }
+    // spot-check one md5 against the JDK (the oracle recomputes in DuckDB)
+    val id = rows.head._1
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val nibble = Integer.parseInt(hex.substring(0, 1), 16)
+    assert(rows.head._2 == nibble % 8)
+    // the position window partitions by shard — never a global sort window
+    val plan = out.queryExecution.executedPlan.toString
+    plan.linesIterator.filter(_.contains("Window [")).foreach { l =>
+      assert(l.contains("shard"), s"window not shard-partitioned: $l")
+    }
+  }
+
+  test("c4LineFilter semantics: punctuation + min-words rules, empty survivor is '' not null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "good line stays here.\nshort one.\nno punctuation at all\nanother keeper right here!"),
+      (2L, "nothing survives this doc"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.c4LineFilter(df, minWords = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) ==
+      "good line stays here.\nanother keeper right here!")
+    assert(out(0).getInt(3) == 2 && out(0).getInt(2) == 4)
+    assert(out(1).getString(1) == "" && out(1).getInt(3) == 0)
+    assert(out(2).getString(1) == "" && out(2).getInt(2) == 1)
+  }
+
+  test("crossDocLineDedup: shared lines vanish everywhere, fully-deduped doc stays as ''") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "unique alpha\nshared boilerplate line\nunique beta"),
+      (2L, "shared boilerplate line\nunique gamma\n\nunique delta"),
+      (3L, "shared boilerplate line"),
+      (4L, "also shared twice\nkept here"),
+      (5L, "also shared twice")).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.crossDocLineDedup(df)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(out == Seq(
+      (1L, "unique alpha\nunique beta", 2),
+      (2L, "unique gamma\n\nunique delta", 3), // empty line is structure: kept
+      (3L, "", 0),
+      (4L, "kept here", 1),
+      (5L, "", 0)))
+  }
+
+  test("q_line_dedup plan: df aggregate shuffles hashes with map-side partial, never line text") {
+    val q = graft.SparkEntry.queries("q_line_dedup")(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"),
+      s"expected map-side partial distinct-doc count:\n${plan.take(3000)}")
+    // every hash exchange keys on doc_id and/or the Long line-hash grouping
+    // expression — no exchange ever keys on (or carries as its key) the
+    // line TEXT; at this scale the hot-side membership join broadcasts, so
+    // no text-bearing shuffle exists anywhere
+    val ex = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.nonEmpty)
+    ex.foreach(l => assert(!l.contains("line#"),
+      s"line text in a shuffle key: $l"))
+    ex.foreach(l => assert(
+      l.contains("doc_id") || l.contains("_groupingexpression"),
+      s"unexpected exchange key: $l"))
+  }
+}
