@@ -573,6 +573,13 @@ object SparkEntry {
       TextOps.packChunks(docs(s, dir), contextLen = 128)
         .orderBy(col("chunk_id"))),
 
+    // ---- greedy sequence packing (first-fit-decreasing within md5
+    //      metadata buckets; capacity 64 BINDS on this corpus — long docs
+    //      come out bin = -1, the split-or-drop contract) ----
+    "q_pack_greedy" -> ((s, dir) =>
+      graft.ops.Packing.greedyPack(docs(s, dir), capacity = 64, nBuckets = 8)
+        .orderBy(col("doc_id"))),
+
     // ---- compression-ratio quality signal (deflate level 6, raw stream;
     //      boilerplate compresses far below prose) ----
     "q_compress_ratio" -> ((s, dir) =>
@@ -1204,6 +1211,7 @@ object SparkEntry {
     "q_media_features" -> golden("q_media_features"),
     "q_ann_lsh" -> golden("q_ann_lsh"),
     "q_ann_ivf" -> golden("q_ann_ivf"),
+    "q_pack_greedy" -> golden("q_pack_greedy"),
     "q_repetition" -> golden("q_repetition"),
     "q_embed_cluster" -> golden("q_embed_cluster"),
     "q_embed_near_dups" -> golden("q_embed_near_dups"),

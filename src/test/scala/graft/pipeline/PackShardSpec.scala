@@ -84,6 +84,25 @@ class PackShardSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("greedyPack: capacity respected, oversized flagged -1, layout parallelism-independent") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Packing.greedyPack(df, capacity = 64, nBuckets = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+        .sortBy(_._1).toSeq
+    val out = run(docs)
+    assert(out.nonEmpty && out.length == docs.count())
+    // oversized ⇔ bin = -1; every real bin's load ≤ capacity
+    out.foreach { case (_, n, _, bin) => assert((n > 64) == (bin == -1)) }
+    out.filter(_._4 >= 0).groupBy(r => (r._3, r._4)).foreach { case (k, rs) =>
+      assert(rs.map(_._2).sum <= 64, s"bin $k over capacity")
+    }
+    assert(out.exists(_._4 == -1), "capacity must bind on this corpus")
+    assert(out.exists(_._4 >= 1), "packing must open multiple bins")
+    // identical layout regardless of input partitioning/order
+    assert(run(docs.repartition(13).sortWithinPartitions(col("text"))) == out)
+  }
+
   test("c4LineFilter semantics: punctuation + min-words rules, empty survivor is '' not null") {
     import spark.implicits._
     val df = Seq(

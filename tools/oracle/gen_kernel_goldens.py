@@ -372,6 +372,43 @@ def main():
            "n_deflate_bytes": [x[2] for x in zr],
            "deflate_ratio": [x[2] / x[1] if x[1] else 0.0 for x in zr]})
 
+    # ---- q_pack_greedy (first-fit-decreasing packing; mirrors
+    #      graft.ops.Packing.greedyPack(capacity=64, nBuckets=8): bucket =
+    #      first 16 md5 bits of the doc_id string mod 8, in-bucket order
+    #      (n_tokens DESC, doc_id ASC), oversized docs bin = -1) ----
+    import hashlib as _hashlib
+    _cap, _nb = 64, 8
+    _pk = []
+    for i, t in doc_items:
+        n = len([x for x in t.split(" ") if x])
+        b = int(_hashlib.md5(str(int(i)).encode()).hexdigest()[:4], 16) % _nb
+        _pk.append((int(i), n, b))
+    _packed = []
+    for b in range(_nb):
+        group = sorted((r for r in _pk if r[2] == b),
+                       key=lambda r: (-r[1], r[0]))
+        loads = []
+        for (i, n, _) in group:
+            if n > _cap:
+                _packed.append((i, n, b, -1))
+                continue
+            j = 0
+            while j < len(loads) and loads[j] + n > _cap:
+                j += 1
+            if j == len(loads):
+                loads.append(n)
+            else:
+                loads[j] += n
+            _packed.append((i, n, b, j))
+    _packed.sort()
+    write("q_pack_greedy",
+          pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                     ("bucket", pa.int32()), ("bin", pa.int32())]),
+          {"doc_id": [r[0] for r in _packed],
+           "n_tokens": [r[1] for r in _packed],
+           "bucket": [r[2] for r in _packed],
+           "bin": [r[3] for r in _packed]})
+
     # ---- near-dup corpus: docs ∪ mutated every-10th (SparkEntry.docsWithNearDups) ----
     near = {int(i): t for i, t in doc_items}
     for doc_id, text in doc_items:
