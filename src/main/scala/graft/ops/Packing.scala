@@ -42,7 +42,10 @@ object Packing {
       .filter(col("doc_id").isNotNull)
       .select(
         col("doc_id").cast("long"),
-        TextOps.tokenCountCol(col("text")).cast("long").as("n_tokens"),
+        // null text = zero tokens — a null here would NPE the primitive
+        // tuple encoder below, killing the job on one bad crawl row
+        coalesce(TextOps.tokenCountCol(col("text")), lit(0))
+          .cast("long").as("n_tokens"),
         pmod(
           conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
             .cast("long"), lit(nBuckets.toLong))

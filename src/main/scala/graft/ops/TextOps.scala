@@ -619,8 +619,10 @@ object TextOps {
       contextLen: Int,
       forceScaled: Boolean = false): DataFrame = {
     require(contextLen > 0, s"contextLen must be positive, got $contextLen")
+    // null text = zero tokens (an accounting op must stay total — a null
+    // n_tokens would poison the prefix sum's downstream arithmetic)
     val toks = documents.select(col("doc_id"),
-      tokenCountCol(col("text")).cast("long").as("n_tokens"))
+      coalesce(tokenCountCol(col("text")), lit(0)).cast("long").as("n_tokens"))
     val cum = ScaleWindows.withGlobalCumsum(
       toks, "doc_id", "n_tokens", "__cum",
       smallInputThreshold = if (forceScaled) 0L else 1000000L)

@@ -80,4 +80,36 @@ class NullSafetySpec extends AnyFunSuite with BeforeAndAfterAll {
     // (conservative: never silently drop a row you cannot prove duplicated)
     assert(got === Set(11L, 12L))
   }
+
+  test("crossDocLineDedup: null text drops the doc (no lines), others intact") {
+    import spark.implicits._
+    val c = Seq((1L, "solo line one"), (2L, null.asInstanceOf[String]),
+      (3L, "solo line three")).toDF("doc_id", "text")
+    val got = Dedup.crossDocLineDedup(c)
+      .as[(Long, String, Int)].collect().map(r => r._1 -> r._2).toMap
+    // posexplode of split(null) yields no rows — a null-text doc has no
+    // lines and so no output row (CONTRACT; it cannot be 'emptied' because
+    // it was never structured)
+    assert(got === Map(1L -> "solo line one", 3L -> "solo line three"))
+  }
+
+  test("c4LineFilter / packIndex / greedyPack: null text behaves as null/zero, never NPE") {
+    import spark.implicits._
+    val c = Seq((1L, "keep this line now."), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // c4: the null propagates visibly (null clean_text, null counts) —
+    // the op does not fabricate an empty document from a null one
+    val c4 = TextOps.c4LineFilter(c).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(c4(2L).isNullAt(1) && c4(2L).isNullAt(2) && c4(2L).isNullAt(3))
+    assert(c4(1L).getString(1) === "keep this line now.")
+    // accounting ops: null text = zero tokens (total functions; a null
+    // n_tokens would poison the prefix sum / NPE the packer's encoder)
+    val pk = TextOps.packIndex(c, 8).select("doc_id", "n_tokens")
+      .as[(Long, Long)].collect().toMap
+    assert(pk(2L) === 0L)
+    val gp = Packing.greedyPack(c, capacity = 8).select("doc_id", "n_tokens")
+      .as[(Long, Long)].collect().toMap
+    assert(gp(2L) === 0L)
+  }
 }
