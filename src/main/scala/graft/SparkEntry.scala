@@ -528,7 +528,7 @@ object SparkEntry {
     "q_c4_filter" -> ((s, dir) => {
       val structured = regexp_replace(
         regexp_replace(col("text"), " the ", " the. "),
-        "((?:\\S+ ){5}\\S+) ", "$1\n")
+        "((?:[^ ]+ ){5}[^ ]+) ", "$1\n")
       TextOps.c4LineFilter(
           docs(s, dir).select(col("doc_id"), structured.as("text")),
           minWords = 3)
@@ -542,7 +542,7 @@ object SparkEntry {
     //      docs. Oracle groups by line TEXT — doubles as the xxhash64
     //      collision check ----
     "q_line_dedup" -> ((s, dir) => {
-      val structured = regexp_replace(col("text"), "((?:\\S+ ){2}\\S+) ", "$1\n")
+      val structured = regexp_replace(col("text"), "((?:[^ ]+ ){2}[^ ]+) ", "$1\n")
       val boiler = when(col("doc_id") % 5 === 0,
           concat(structured, lit("\nsubscribe to our newsletter today")))
         .when(col("doc_id") % 7 === 0,
@@ -1616,26 +1616,27 @@ object SparkEntry {
     "q_c4_filter" ->
       ("""WITH p AS (SELECT doc_id,
          |    regexp_replace(regexp_replace(text, ' the ', ' the. ', 'g'),
-         |      '((?:\S+ ){5}\S+) ', '\1' || chr(10), 'g') AS t
+         |      '((?:[^ ]+ ){5}[^ ]+) ', '\1' || chr(10), 'g') AS t
          |  FROM documents),
          |k AS (SELECT doc_id, string_split(t, chr(10)) AS ls,
          |    list_filter(string_split(t, chr(10)),
-         |      l -> regexp_matches(l, '[.!?]$') AND len(string_split(l, ' ')) >= 3) AS kept
+         |      l -> regexp_matches(l, '[.!?]$') AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3) AS kept
          |  FROM p)
-         |SELECT doc_id,
-         |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+         |SELECT k.doc_id,
+         |  CASE WHEN p.t IS NULL THEN NULL
+         |       ELSE coalesce(array_to_string(kept, chr(10)), '') END AS clean_text,
          |  CAST(len(ls) AS INTEGER) AS n_lines,
          |  CAST(len(kept) AS INTEGER) AS n_kept_lines
-         |FROM k ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+         |FROM k JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " ")),
 
     // ---- cross-doc line dedup: dup set computed by line TEXT (the
     //      xxhash64 collision check), filter/reassemble with list lambdas ----
     "q_line_dedup" ->
       ("""WITH d AS (SELECT doc_id,
-         |    CASE WHEN doc_id % 5 = 0 THEN regexp_replace(text, '((?:\S+ ){2}\S+) ', '\1' || chr(10), 'g') || chr(10) || 'subscribe to our newsletter today'
-         |         WHEN doc_id % 7 = 0 THEN 'accept all cookies to continue' || chr(10) || regexp_replace(text, '((?:\S+ ){2}\S+) ', '\1' || chr(10), 'g')
-         |         ELSE regexp_replace(text, '((?:\S+ ){2}\S+) ', '\1' || chr(10), 'g') END AS t
-         |  FROM documents),
+         |    CASE WHEN doc_id % 5 = 0 THEN regexp_replace(text, '((?:[^ ]+ ){2}[^ ]+) ', '\1' || chr(10), 'g') || chr(10) || 'subscribe to our newsletter today'
+         |         WHEN doc_id % 7 = 0 THEN 'accept all cookies to continue' || chr(10) || regexp_replace(text, '((?:[^ ]+ ){2}[^ ]+) ', '\1' || chr(10), 'g')
+         |         ELSE regexp_replace(text, '((?:[^ ]+ ){2}[^ ]+) ', '\1' || chr(10), 'g') END AS t
+         |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
          |ex AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM d),
          |hot AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df
          |        FROM ex WHERE line <> '' GROUP BY line) WHERE df > 1),
@@ -1666,8 +1667,8 @@ object SparkEntry {
     //      is the point); integer division/modulo keep it exact ----
     "q_pack_index" ->
       ("""WITH t AS (SELECT doc_id,
-         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
-         |  FROM documents),
+         |    CAST(coalesce(len(list_filter(string_split(text, ' '), x -> x <> '')), 0) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE doc_id IS NOT NULL),
          |c AS (SELECT doc_id, n_tokens,
          |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
@@ -1683,8 +1684,8 @@ object SparkEntry {
     //      doc lists sort numerically THEN stringify on both sides ----
     "q_pack_chunks" ->
       ("""WITH t AS (SELECT doc_id,
-         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
-         |  FROM documents),
+         |    CAST(coalesce(len(list_filter(string_split(text, ' '), x -> x <> '')), 0) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE doc_id IS NOT NULL),
          |c AS (SELECT doc_id, n_tokens,
          |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum

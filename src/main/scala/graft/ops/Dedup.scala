@@ -469,10 +469,16 @@ object Dedup {
     * `q_dedup_groups`).
     *
     * Output: (doc_id, clean_text, n_kept_lines) — `clean_text` is the
-    * newline re-join of surviving lines ('' when none survive).
+    * newline re-join of surviving lines ('' when none survive). Null-text
+    * docs have no lines and produce no output row (they were never
+    * structured, so there is nothing to empty); null doc_ids are rejected
+    * by an explicit filter — the emptied-doc restoration join below cannot
+    * match a null key, so without the filter a null-id doc's content would
+    * be SILENTLY replaced by ''.
     */
   def crossDocLineDedup(documents: DataFrame): DataFrame = {
     val lines = CacheRegistry.register(documents
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"),
         posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))

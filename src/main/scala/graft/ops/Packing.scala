@@ -29,6 +29,43 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** "Leftmost bin with remaining capacity ≥ n" in O(log B): a max-segment
+    * tree over bin remaining capacities, descending into the leftmost child
+    * whose max admits n — which IS the first-fit bin. Unopened bins carry
+    * remaining = capacity, so the leftmost admitting leaf is never past the
+    * first unopened bin: the result is bit-identical to a linear first-fit
+    * scan over an open-bin list, without its O(docs × bins) worst case (an
+    * all-large-docs bucket where no two documents share a bin would
+    * otherwise cost ~docs²/2 comparisons in ONE task). Transient state:
+    * 2 longs per potential bin (≤ 32 B/doc for the pathological
+    * one-doc-per-bin bucket) — still metadata-scale.
+    */
+  private final class FirstFitTree(maxBins: Int, capacity: Long) {
+    private val size = {
+      var s = 1
+      while (s < maxBins) s <<= 1
+      s
+    }
+    private val rem = Array.fill(2 * size)(capacity)
+
+    /** Place weight n (requires n ≤ capacity); returns the bin index. */
+    def place(n: Long): Int = {
+      var i = 1
+      while (i < size) {
+        i <<= 1
+        if (rem(i) < n) i += 1
+      }
+      val leaf = i - size
+      rem(i) -= n
+      i >>= 1
+      while (i >= 1) {
+        rem(i) = math.max(rem(2 * i), rem(2 * i + 1))
+        i >>= 1
+      }
+      leaf
+    }
+  }
+
   def greedyPack(
       documents: DataFrame,
       capacity: Int,
@@ -53,17 +90,14 @@ object Packing {
     meta.as[(Long, Long, Int)]
       .groupByKey(_._3)
       .flatMapGroups { (bucket: Int, it: Iterator[(Long, Long, Int)]) =>
-        // metadata-scale per task: 16 B/doc; sort once, pack in one pass
+        // metadata-scale per task: sort once, then each placement is an
+        // O(log bins) first-fit descent (see FirstFitTree — identical
+        // layout to a linear scan, minus its quadratic worst case)
         val docs = it.toArray.sortBy(d => (-d._2, d._1))
-        val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val tree = new FirstFitTree(math.max(1, docs.length), capacity.toLong)
         docs.iterator.map { case (id, n, _) =>
           if (n > capacity) (id, n, bucket, -1)
-          else {
-            var i = 0
-            while (i < loads.length && loads(i) + n > capacity) i += 1
-            if (i == loads.length) loads += n else loads(i) += n
-            (id, n, bucket, i)
-          }
+          else (id, n, bucket, tree.place(n))
         }
       }
       .toDF("doc_id", "n_tokens", "bucket", "bin")

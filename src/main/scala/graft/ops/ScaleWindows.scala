@@ -76,6 +76,41 @@ object ScaleWindows {
       .distinct
   }
 
+  /** Shared scaffold of the bucketed global-window forms (lag, cumsum):
+    * persist+register the input, count it, and either hand the input back
+    * for the op's own empty/small fast path (`Left(input, total)`) or
+    * return the `__bkt`-bucketed frame for the scaled path (`Right`). Kept
+    * in ONE place so a boundary/bucketing fix (sampling fallback, monotone
+    * bucket fold, null-key behavior) can never apply to one form and
+    * silently miss the other.
+    */
+  private def bucketedOrSmall(
+      df: DataFrame,
+      keyCol: String,
+      numBuckets: Int,
+      sampleTarget: Int,
+      persistInput: Boolean,
+      smallInputThreshold: Long): Either[(DataFrame, Long), DataFrame] = {
+    val spark = df.sparkSession
+    val n =
+      if (numBuckets > 0) numBuckets
+      else math.max(2, spark.sparkContext.defaultParallelism)
+    val input =
+      if (persistInput)
+        CacheRegistry.register(df.persist(StorageLevel.MEMORY_AND_DISK))
+      else df
+    val total = input.count()
+    if (total == 0 || total <= smallInputThreshold) Left((input, total))
+    else {
+      val boundaries = boundariesFor(input, keyCol, n, sampleTarget, total)
+      // monotone bucket id: #boundaries strictly below the key
+      val bucket = boundaries.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col(keyCol) > lit(b), 1).otherwise(0)
+      }
+      Right(input.withColumn("__bkt", bucket))
+    }
+  }
+
   /** Adds `outCol` = global lag(valueCol, 1) over (ORDER BY keyCol), without
     * a single-partition window over data-scale rows. The global first row
     * gets null (standard lag semantics). Null `valueCol` values are handled
@@ -97,35 +132,20 @@ object ScaleWindows {
       sampleTarget: Int = 10000,
       persistInput: Boolean = true,
       smallInputThreshold: Long = 1000000): DataFrame = {
-    val spark = df.sparkSession
-    val n =
-      if (numBuckets > 0) numBuckets
-      else math.max(2, spark.sparkContext.defaultParallelism)
-
-    val input =
-      if (persistInput)
-        CacheRegistry.register(df.persist(StorageLevel.MEMORY_AND_DISK))
-      else df
-
-    val total = input.count()
-    if (total == 0)
-      return input.withColumn(outCol, lit(null).cast(input.schema(valueCol).dataType))
-
-    // small-table fast path: below the threshold a one-partition window IS
-    // the cheap plan (the table fits one task by measurement, not hope),
-    // and the sampling/bucketing jobs would cost more than they save
-    if (total <= smallInputThreshold)
-      return input.withColumn(outCol,
-        lag(col(valueCol), 1).over(Window.orderBy(col(keyCol))))
-
-    val boundaries = boundariesFor(input, keyCol, n, sampleTarget, total)
-
-    // monotone bucket id: #boundaries strictly below the key
-    val bucket = boundaries.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col(keyCol) > lit(b), 1).otherwise(0)
+    val bucketed = bucketedOrSmall(df, keyCol, numBuckets, sampleTarget,
+        persistInput, smallInputThreshold) match {
+      case Left((input, 0L)) =>
+        return input.withColumn(outCol,
+          lit(null).cast(input.schema(valueCol).dataType))
+      case Left((input, _)) =>
+        // small-table fast path: below the threshold a one-partition window
+        // IS the cheap plan (the table fits one task by measurement, not
+        // hope), and the sampling/bucketing jobs would cost more than they
+        // save
+        return input.withColumn(outCol,
+          lag(col(valueCol), 1).over(Window.orderBy(col(keyCol))))
+      case Right(b) => b
     }
-
-    val bucketed = input.withColumn("__bkt", bucket)
     val wIn = Window.partitionBy(col("__bkt")).orderBy(col(keyCol))
     // lag over a struct wrapper: the lag is null ONLY on the first row of a
     // bucket (where the boundary fill applies); a genuine null value
@@ -181,31 +201,17 @@ object ScaleWindows {
       sampleTarget: Int = 10000,
       persistInput: Boolean = true,
       smallInputThreshold: Long = 1000000): DataFrame = {
-    val spark = df.sparkSession
-    val n =
-      if (numBuckets > 0) numBuckets
-      else math.max(2, spark.sparkContext.defaultParallelism)
     val v = coalesce(col(valueCol).cast("long"), lit(0L))
-
-    val input =
-      if (persistInput)
-        CacheRegistry.register(df.persist(StorageLevel.MEMORY_AND_DISK))
-      else df
-
-    val total = input.count()
-    if (total == 0)
-      return input.withColumn(outCol, lit(null).cast("long"))
-
-    if (total <= smallInputThreshold)
-      return input.withColumn(outCol,
-        sum(v).over(Window.orderBy(col(keyCol))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-
-    val boundaries = boundariesFor(input, keyCol, n, sampleTarget, total)
-    val bucket = boundaries.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col(keyCol) > lit(b), 1).otherwise(0)
+    val bucketed = bucketedOrSmall(df, keyCol, numBuckets, sampleTarget,
+        persistInput, smallInputThreshold) match {
+      case Left((input, 0L)) =>
+        return input.withColumn(outCol, lit(null).cast("long"))
+      case Left((input, _)) =>
+        return input.withColumn(outCol,
+          sum(v).over(Window.orderBy(col(keyCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      case Right(b) => b
     }
-    val bucketed = input.withColumn("__bkt", bucket)
     val wIn = Window.partitionBy(col("__bkt")).orderBy(col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withLocal = bucketed.withColumn("__local", sum(v).over(wIn))

@@ -578,17 +578,21 @@ object TextOps {
     * Pure higher-order Catalyst functions (`filter`/`array_join` over the
     * split array) — per-row, no explode, no shuffle, no UDF, so the op is
     * embarrassingly parallel at any corpus size. Regex constructs are
-    * restricted to Java/RE2-identical semantics (explicit `[.!?]$` class)
-    * so the DuckDB oracle replays the rule verbatim.
+    * restricted to Java/RE2-identical semantics: the terminal-punctuation
+    * anchor is `\z` (true end of text — Java's default `$` would also
+    * match before a trailing `\r`, RE2's would not), and words are counted
+    * as NON-EMPTY space tokens (a run of spaces must not inflate the word
+    * count past minWords), same contract as [[tokenCountCol]].
     *
     * Output columns: `clean_text` (empty string when nothing survives —
-    * NOT null, so downstream length/token ops stay total), `n_lines`,
-    * `n_kept_lines`.
+    * NOT null, so downstream length/token ops stay total; a null input
+    * text propagates as null, visibly), `n_lines`, `n_kept_lines`.
     */
   def c4LineFilter(documents: DataFrame, minWords: Int = 3): DataFrame = {
     val lines = split(col("text"), "\n")
     val kept = filter(lines, l =>
-      l.rlike("[.!?]$") && size(split(l, " ")) >= minWords)
+      l.rlike("[.!?]\\z") &&
+        size(filter(split(l, " "), w => w =!= lit(""))) >= minWords)
     documents.select(
       col("doc_id"),
       array_join(kept, "\n").as("clean_text"),
@@ -620,23 +624,32 @@ object TextOps {
       forceScaled: Boolean = false): DataFrame = {
     require(contextLen > 0, s"contextLen must be positive, got $contextLen")
     // null text = zero tokens (an accounting op must stay total — a null
-    // n_tokens would poison the prefix sum's downstream arithmetic)
-    val toks = documents.select(col("doc_id"),
-      coalesce(tokenCountCol(col("text")), lit(0)).cast("long").as("n_tokens"))
+    // n_tokens would poison the prefix sum's downstream arithmetic); null
+    // ids are rejected up front — the document ORDER is the contract, and
+    // engines disagree on where null keys sort (Spark nulls-first, DuckDB
+    // nulls-last), so "a null id's position in the stream" has no
+    // portable meaning
+    val toks = documents
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        coalesce(tokenCountCol(col("text")), lit(0)).cast("long").as("n_tokens"))
     val cum = ScaleWindows.withGlobalCumsum(
       toks, "doc_id", "n_tokens", "__cum",
       smallInputThreshold = if (forceScaled) 0L else 1000000L)
     val c = lit(contextLen.toLong)
+    // `div`, not floor(a/b): double division is exact only to 2^53, and a
+    // 10^15-token corpus crosses it — the chunk arithmetic must stay
+    // integer end to end (the oracle's // is)
     cum
       .withColumn("global_start", col("__cum") - col("n_tokens"))
       .select(
         col("doc_id"),
         col("n_tokens"),
         col("global_start"),
-        when(col("n_tokens") > 0, floor(col("global_start") / c))
-          .as("chunk_first"),
-        when(col("n_tokens") > 0, floor((col("__cum") - 1) / c))
-          .as("chunk_last"),
+        when(col("n_tokens") > 0,
+          expr(s"global_start div ${contextLen}L")).as("chunk_first"),
+        when(col("n_tokens") > 0,
+          expr(s"(__cum - 1) div ${contextLen}L")).as("chunk_last"),
         pmod(col("global_start"), c).as("chunk_offset"))
   }
 

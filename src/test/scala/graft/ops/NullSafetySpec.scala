@@ -93,6 +93,18 @@ class NullSafetySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Map(1L -> "solo line one", 3L -> "solo line three"))
   }
 
+  test("crossDocLineDedup: null doc_id rejected, never silently emptied") {
+    import spark.implicits._
+    val c = Seq((Some(1L), "kept content"), (None, "null id content"))
+      .map { case (id, t) => (id.map(Long.box).orNull, t) }
+      .toDF("doc_id", "text")
+    val got = Dedup.crossDocLineDedup(c).as[(Long, String, Int)].collect()
+    // without the explicit isNotNull filter the restoration join would
+    // emit (null, '', 0) — the null-id doc's content silently destroyed;
+    // the contract is an up-front drop, visible in the plan
+    assert(got.toSeq === Seq((1L, "kept content", 1)))
+  }
+
   test("c4LineFilter / packIndex / greedyPack: null text behaves as null/zero, never NPE") {
     import spark.implicits._
     val c = Seq((1L, "keep this line now."), (2L, null.asInstanceOf[String]))
