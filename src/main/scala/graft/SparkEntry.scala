@@ -580,6 +580,23 @@ object SparkEntry {
       graft.ops.Packing.greedyPack(docs(s, dir), capacity = 64, nBuckets = 8)
         .orderBy(col("doc_id"))),
 
+    // ---- Unicode-NFC dedup keys: composed (U+00E9) vs decomposed
+    //      (e+U+0301) suffixes planted on paired docs group together ONLY
+    //      under NFC — JDK Normalizer vs DuckDB's own nfc_normalize, two
+    //      independent Unicode implementations checking each other ----
+    "q_nfc_dedup" -> ((s, dir) => {
+      Functions.register(s)
+      val base = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" caf\u00e9 touch\u00e9")).as("text"))
+      val deco = docs(s, dir).filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" cafe\u0301 touche\u0301")).as("text"))
+      Dedup.exactDuplicateGroups(
+          base.unionAll(deco).select(col("doc_id"),
+            expr("nfc_normalize(text)").as("text")))
+        .orderBy(col("canonical_doc_id"))
+    }),
+
     // ---- compression-ratio quality signal (deflate level 6, raw stream;
     //      boilerplate compresses far below prose) ----
     "q_compress_ratio" -> ((s, dir) =>
@@ -1143,6 +1160,18 @@ object SparkEntry {
          |        trim(regexp_replace(regexp_replace(lower(text),
          |          '[^a-z0-9 ]', ' ', 'g'), ' {2,}', ' ', 'g')) AS text
          |      FROM u)
+         |SELECT min(doc_id) AS canonical_doc_id, count(*) AS dup_count
+         |FROM n GROUP BY text HAVING count(*) > 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+
+    // ---- NFC dedup: DuckDB's OWN nfc_normalize (an independent Unicode
+    //      implementation) replays the canonicalization; chr() keeps the
+    //      SQL ASCII-pure so no tool in the pipeline can re-normalize it ----
+    "q_nfc_dedup" ->
+      ("""WITH c AS (
+         |  SELECT doc_id, text || ' caf' || chr(233) || ' touch' || chr(233) AS text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 3000000 AS doc_id, text || ' cafe' || chr(769) || ' touche' || chr(769) AS text FROM documents WHERE doc_id % 3 = 0),
+         |n AS (SELECT doc_id, nfc_normalize(text) AS text FROM c)
          |SELECT min(doc_id) AS canonical_doc_id, count(*) AS dup_count
          |FROM n GROUP BY text HAVING count(*) > 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
 

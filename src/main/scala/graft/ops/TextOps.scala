@@ -682,6 +682,22 @@ object TextOps {
           transform(array_sort(collect_list(col("doc_id"))), _.cast("string")),
           " ").as("docs"))
 
+  /** Unicode NFC normalization (JDK `java.text.Normalizer`), the standard
+    * pre-dedup canonicalization: composed (U+00E9) and decomposed
+    * (e + U+0301) encodings of the same glyph must digest identically or
+    * exact dedup silently misses real duplicates across crawls that
+    * normalize differently. Registered as the `nfc_normalize` SQL function;
+    * the DuckDB oracle calls ITS independent `nfc_normalize` — two separate
+    * implementations of Unicode canonical composition checking each other.
+    * Null-safe (null → null, like the engine built-ins). Per-row, no
+    * shuffle; NFKC (compatibility forms, ligatures) is deliberately not
+    * offered — it is lossy and belongs in a quality policy, not a dedup
+    * key.
+    */
+  def nfcOf(s: String): String =
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+
   @inline def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L

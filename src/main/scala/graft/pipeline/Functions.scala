@@ -36,6 +36,7 @@ object Functions {
         Syllabify.syllabifyText(if (s == null) "" else s, cache)
     })
     spark.udf.register("lang_id", (s: String) => TextOps.langIdOf(s))
+    spark.udf.register("nfc_normalize", (s: String) => TextOps.nfcOf(s))
     spark.udf.register("doc_fingerprint", (s: String) => TextOps.fingerprintOf(if (s == null) "" else s))
     spark.udf.register("simhash64", (s: String) => Dedup.simhashOf(if (s == null) "" else s))
     spark.udf.register("ngram_jaccard",
