@@ -580,6 +580,21 @@ object SparkEntry {
       graft.ops.Packing.greedyPack(docs(s, dir), capacity = 64, nBuckets = 8)
         .orderBy(col("doc_id"))),
 
+    // ---- snapshot diff between two crawls: every 7th doc removed, every
+    //      5th surviving doc mutated, every 11th re-added under a new id —
+    //      all four statuses bind; the oracle compares TEXT (the digest
+    //      collision check) while the op joins 16-byte digests ----
+    "q_snapshot_diff" -> ((s, dir) => {
+      val prior = docs(s, dir).select(col("doc_id"), col("text"))
+      val current = prior.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(prior.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 7000000L).as("doc_id"), col("text")))
+      Dedup.snapshotDiff(current, prior).orderBy(col("doc_id"))
+    }),
+
     // ---- Unicode-NFC dedup keys: composed (U+00E9) vs decomposed
     //      (e+U+0301) suffixes planted on paired docs group together ONLY
     //      under NFC — JDK Normalizer vs DuckDB's own nfc_normalize, two
@@ -1162,6 +1177,22 @@ object SparkEntry {
          |      FROM u)
          |SELECT min(doc_id) AS canonical_doc_id, count(*) AS dup_count
          |FROM n GROUP BY text HAVING count(*) > 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+
+    // ---- snapshot diff: same synthesis, classified by TEXT equality
+    //      (doubles as the digest-collision check) ----
+    "q_snapshot_diff" ->
+      ("""WITH p AS (SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL),
+         |c AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+         |        FROM p WHERE doc_id % 7 <> 0
+         |      UNION ALL
+         |      SELECT doc_id + 7000000 AS doc_id, text FROM p WHERE doc_id % 11 = 0),
+         |j AS (SELECT coalesce(c.doc_id, p.doc_id) AS doc_id, c.text AS ct, p.text AS pt,
+         |        c.doc_id IS NOT NULL AS inc, p.doc_id IS NOT NULL AS inp
+         |      FROM c FULL OUTER JOIN p ON c.doc_id = p.doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN NOT inp THEN 'added' WHEN NOT inc THEN 'removed'
+         |       WHEN ct = pt THEN 'unchanged' ELSE 'changed' END AS status
+         |FROM j ORDER BY doc_id""".stripMargin.replace("\n", " ")),
 
     // ---- NFC dedup: DuckDB's OWN nfc_normalize (an independent Unicode
     //      implementation) replays the canonicalization; chr() keeps the

@@ -80,6 +80,38 @@ object Dedup {
       .drop("h1", "h2", "len")
   }
 
+  /** Snapshot diff between two crawls of the same id space — the
+    * change-audit table a rolling curation pipeline reports on: every
+    * doc_id classified as `added` (only in current), `removed` (only in
+    * prior), `changed` (both, different text) or `unchanged`. The compare
+    * joins 16-byte digest pairs + length per side, hash-partitioned on
+    * doc_id — document TEXT never crosses the wire, so the diff costs two
+    * metadata shuffles at any corpus size. Same two-independent-digest
+    * construction as [[incrementalDedup]] (false "unchanged" < 2^-90 per
+    * pair); null text digests to null, which compares UNEQUAL to anything
+    * including another null — a doc whose text went null (or came from
+    * null) reads `changed`, the conservative audit answer. Null doc_ids
+    * are rejected up front (a full-outer join cannot match them; they
+    * would double-report as added+removed).
+    */
+  def snapshotDiff(current: DataFrame, prior: DataFrame): DataFrame = {
+    def keyed(df: DataFrame, side: String): DataFrame = df
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        xxhash64(col("text")).as(s"__h1_$side"),
+        xxhash64(col("text"), lit(0x9e3779b97f4a7c15L)).as(s"__h2_$side"),
+        length(col("text")).as(s"__len_$side"),
+        lit(true).as(s"__in_$side"))
+    keyed(current, "c").join(keyed(prior, "p"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("__in_p").isNull, lit("added"))
+          .when(col("__in_c").isNull, lit("removed"))
+          .when(col("__h1_c") === col("__h1_p") &&
+                col("__h2_c") === col("__h2_p") &&
+                col("__len_c") === col("__len_p"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Latest-capture-per-url dedup — the FIRST dedup every crawl pipeline
     * runs: the same url is captured repeatedly across crawls and only the
     * newest snapshot should enter curation. Implemented as

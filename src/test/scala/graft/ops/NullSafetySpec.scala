@@ -93,6 +93,23 @@ class NullSafetySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Map(1L -> "solo line one", 3L -> "solo line three"))
   }
 
+  test("snapshotDiff: null text reads changed (conservative), null ids rejected") {
+    import spark.implicits._
+    def df(rows: Seq[(Any, String)]) = rows
+      .map { case (id, t) => (id.asInstanceOf[java.lang.Long], t) }
+      .toDF("doc_id", "text")
+    val prior = df(Seq((1L, "same"), (2L, null), (4L, null),
+      (null, "null id"), (5L, "gone")))
+    val current = df(Seq((1L, "same"), (2L, "now real"), (4L, null),
+      (3L, "new")))
+    val got = Dedup.snapshotDiff(current, prior)
+      .as[(Long, String)].collect().toMap
+    // 4: null-vs-null digests compare UNEQUAL -> 'changed' — the
+    // conservative audit answer (we cannot prove the content unchanged)
+    assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "added",
+      4L -> "changed", 5L -> "removed"))
+  }
+
   test("crossDocLineDedup: null doc_id rejected, never silently emptied") {
     import spark.implicits._
     val c = Seq((Some(1L), "kept content"), (None, "null id content"))
