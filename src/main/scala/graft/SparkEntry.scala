@@ -580,6 +580,11 @@ object SparkEntry {
       graft.ops.Packing.greedyPack(docs(s, dir), capacity = 64, nBuckets = 8)
         .orderBy(col("doc_id"))),
 
+    // ---- BPE first-merge pair counts (tokenizer-training input): K=30
+    //      binds under the corpus's pair inventory ----
+    "q_bpe_pairs" -> ((s, dir) =>
+      TextOps.bpePairCounts(docs(s, dir), k = 30)),
+
     // ---- snapshot diff between two crawls: every 7th doc removed, every
     //      5th surviving doc mutated, every 11th re-added under a new id —
     //      all four statuses bind; the oracle compares TEXT (the digest
@@ -1177,6 +1182,24 @@ object SparkEntry {
          |      FROM u)
          |SELECT min(doc_id) AS canonical_doc_id, count(*) AS dup_count
          |FROM n GROUP BY text HAVING count(*) > 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+
+    // ---- BPE pair counts: same two-stage word-freq -> pair-explode in
+    //      DuckDB (list_transform + generate_series mirrors Spark's
+    //      transform + sequence; both substr forms are 1-based) ----
+    "q_bpe_pairs" ->
+      ("""WITH w AS (
+         |  SELECT word, count(*) AS freq FROM (
+         |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+         |    FROM documents) GROUP BY word),
+         |pr AS (
+         |  SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+         |           i -> substr(word, CAST(i AS INTEGER), 2))) AS pair, freq
+         |  FROM w WHERE length(word) >= 2),
+         |c AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count FROM pr GROUP BY pair
+         |      ORDER BY pair_count DESC, pair LIMIT 30)
+         |SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS INTEGER) AS rank,
+         |       pair, pair_count
+         |FROM c ORDER BY rank""".stripMargin.replace("\n", " ")),
 
     // ---- snapshot diff: same synthesis, classified by TEXT equality
     //      (doubles as the digest-collision check) ----

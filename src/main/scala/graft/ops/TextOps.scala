@@ -109,6 +109,38 @@ object TextOps {
       .select(col("rank"), col("tok"), col("freq"))
   }
 
+  /** First-merge-step statistics of BPE tokenizer training (Sennrich et
+    * al. 2016 §3): corpus-wide counts of ADJACENT CHARACTER PAIRS weighted
+    * by word frequency — the table whose argmax is the first merge. Full
+    * BPE iterates merge→recount; one exact iteration is the distributed
+    * primitive (the loop is orchestration, each round re-invokes this
+    * shape on the re-segmented vocab).
+    *
+    * Scale shape — two-stage aggregation: words DEDUP-COUNT first (the
+    * word-frequency table is orders smaller than the token stream:
+    * Heaps' law vocab vs corpus size), then pairs explode from the word
+    * TABLE — the explode runs per DISTINCT word, not per occurrence, and
+    * both aggregates partial-combine map-side. Top-K plans as TakeOrdered
+    * (bounded driver result), same contract as [[topKVocab]].
+    */
+  def bpePairCounts(documents: DataFrame, k: Int): DataFrame = {
+    val words = documents
+      .select(explode(filter(split(col("text"), " "), w => w =!= lit(""))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val pairs = words
+      .filter(length(col("word")) >= 2)
+      .select(col("freq"), explode(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair").asc)
+      .limit(k)
+    pairs
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pair_count").desc, col("pair").asc)))
+      .select(col("rank"), col("pair"), col("pair_count"))
+  }
+
   /** Compression-ratio quality signal (Dolma/DataComp-style): deflate the
     * UTF-8 text at level 6 (raw stream, no zlib header) and report
     * compressed/raw byte sizes — boilerplate and template spam compress
