@@ -585,6 +585,14 @@ object SparkEntry {
     "q_bpe_pairs" -> ((s, dir) =>
       TextOps.bpePairCounts(docs(s, dir), k = 30)),
 
+    // ---- iterated BPE training (10 merges): one partial-combining
+    //      shuffle + a TakeOrdered(1) argmax per round, state
+    //      checkpointed per round (the nearDupClusters lineage
+    //      discipline); golden mirrors the whole loop ----
+    "q_bpe_train" -> ((s, dir) =>
+      graft.ops.Bpe.train(docs(s, dir), numMerges = 10)
+        .orderBy(col("merge_rank"))),
+
     // ---- snapshot diff between two crawls: every 7th doc removed, every
     //      5th surviving doc mutated, every 11th re-added under a new id —
     //      all four statuses bind; the oracle compares TEXT (the digest
@@ -1295,6 +1303,7 @@ object SparkEntry {
     "q_ann_lsh" -> golden("q_ann_lsh"),
     "q_ann_ivf" -> golden("q_ann_ivf"),
     "q_pack_greedy" -> golden("q_pack_greedy"),
+    "q_bpe_train" -> golden("q_bpe_train"),
     "q_repetition" -> golden("q_repetition"),
     "q_embed_cluster" -> golden("q_embed_cluster"),
     "q_embed_near_dups" -> golden("q_embed_near_dups"),

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Iterated BPE tokenizer training (Sennrich et al. 2016 §3): K rounds of
+  * "count adjacent symbol pairs over the word-frequency table, merge the
+  * argmax everywhere", producing the ordered merge table a tokenizer ships
+  * with. [[TextOps.bpePairCounts]] is one round's COUNT half; this runs the
+  * whole loop.
+  *
+  * Scale shape per round: ONE shuffle (the pair-count aggregate, weighted
+  * by word freq, partial-combining map-side) + a TakeOrdered(1) argmax —
+  * driver traffic is a single row per round, never a table. The state
+  * (distinct words as symbol arrays × freq) is Heaps'-law small relative
+  * to the corpus and is re-segmented map-side by the merge UDF. Each
+  * round's state is EAGERLY localCheckpoint'ed/checkpoint'ed (same lineage
+  * discipline as [[Dedup.nearDupClusters]]): without truncation, round k's
+  * count job would recompute all k-1 prior merge UDFs from the raw corpus
+  * — O(K²) total work — and the plan would grow without bound.
+  *
+  * Determinism: argmax ties break (count DESC, left ASC, right ASC) —
+  * binary string order, identical in the Python golden for ASCII and
+  * pinned by test. Merge application is the standard left-to-right
+  * non-overlapping scan ("aaa" under (a,a) → ["aa","a"]).
+  *
+  * Output: (merge_rank, left, right, merged, pair_count) — one row per
+  * merge, in training order. Stops early if no pair remains.
+  */
+object Bpe {
+
+  /** Left-to-right non-overlapping application of one merge. */
+  private[graft] def applyMerge(
+      syms: Seq[String], l: String, r: String): Seq[String] = {
+    if (syms == null) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += l + r
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  def train(documents: DataFrame, numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be positive: $numMerges")
+    val spark = documents.sparkSession
+
+    def truncate(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+
+    var syms = truncate(documents
+      .select(explode(
+        filter(split(col("text"), " "), w => w =!= lit(""))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        filter(split(col("word"), ""), c => c =!= lit("")).as("syms")))
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var k = 1
+    var exhausted = false
+    while (k <= numMerges && !exhausted) {
+      // one partial-combining shuffle; argmax is TakeOrdered(1) — the only
+      // driver traffic of the round is this single row
+      val top = syms.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "i -> struct(syms[i] AS l, syms[i + 1] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Row(k, l, r, l + r, cnt)
+        val mergeUdf = udf((s: Seq[String]) => applyMerge(s, l, r))
+        val superseded = syms
+        syms = truncate(syms.select(col("freq"), mergeUdf(col("syms")).as("syms")))
+        superseded.unpersist()
+        k += 1
+      }
+    }
+    syms.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.toSeq, 1),
+      StructType(Seq(
+        StructField("merge_rank", IntegerType, nullable = false),
+        StructField("left", StringType, nullable = false),
+        StructField("right", StringType, nullable = false),
+        StructField("merged", StringType, nullable = false),
+        StructField("pair_count", LongType, nullable = false))))
+  }
+}

@@ -116,6 +116,21 @@ class PackShardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(docs.repartition(13).sortWithinPartitions(col("text"))) == out)
   }
 
+  test("Bpe.applyMerge: left-to-right non-overlapping; train stops when exhausted") {
+    import spark.implicits._
+    assert(graft.ops.Bpe.applyMerge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(graft.ops.Bpe.applyMerge(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    assert(graft.ops.Bpe.applyMerge(Seq("x"), "a", "b") == Seq("x"))
+    // two distinct words, 'ab' (freq 2) and 'cd' (freq 1): merges exhaust
+    // after 2 rounds no matter how many are requested, in count-then-lex
+    // order
+    val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val merges = graft.ops.Bpe.train(docs, numMerges = 10)
+      .orderBy("merge_rank")
+      .collect().map(r => (r.getInt(0), r.getString(3), r.getLong(4))).toSeq
+    assert(merges == Seq((1, "ab", 2L), (2, "cd", 1L)))
+  }
+
   test("c4LineFilter semantics: punctuation + min-words rules, empty survivor is '' not null") {
     import spark.implicits._
     val df = Seq(

@@ -409,6 +409,50 @@ def main():
            "bucket": [r[2] for r in _packed],
            "bin": [r[3] for r in _packed]})
 
+    # ---- q_bpe_train (iterated BPE merges; mirrors graft.ops.Bpe.train
+    #      with numMerges=10: argmax ties (count DESC, left ASC, right ASC),
+    #      left-to-right non-overlapping merge application) ----
+    from collections import Counter as _Counter
+    _wf = _Counter()
+    for _, t in doc_items:
+        for w in t.split(" "):
+            if w:
+                _wf[w] += 1
+    _vocab = {w: list(w) for w in _wf}
+    _bpe = []
+    for _k in range(1, 11):
+        _pc = _Counter()
+        for w, f in _wf.items():
+            s = _vocab[w]
+            for a, b in zip(s, s[1:]):
+                _pc[(a, b)] += f
+        if not _pc:
+            break
+        (_l, _r), _cnt = min(_pc.items(),
+                             key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+
+        def _merge(s, l=_l, r=_r):
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            return out
+        _vocab = {w: _merge(s) for w, s in _vocab.items()}
+        _bpe.append((_k, _l, _r, _l + _r, _cnt))
+    write("q_bpe_train",
+          pa.schema([("merge_rank", pa.int32()), ("left", pa.string()),
+                     ("right", pa.string()), ("merged", pa.string()),
+                     ("pair_count", pa.int64())]),
+          {"merge_rank": [x[0] for x in _bpe],
+           "left": [x[1] for x in _bpe],
+           "right": [x[2] for x in _bpe],
+           "merged": [x[3] for x in _bpe],
+           "pair_count": [x[4] for x in _bpe]})
+
     # ---- near-dup corpus: docs ∪ mutated every-10th (SparkEntry.docsWithNearDups) ----
     near = {int(i): t for i, t in doc_items}
     for doc_id, text in doc_items:
