@@ -57,12 +57,24 @@ object Bpe {
         df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
 
-    var syms = truncate(documents
+    val wordFreq = documents
       .select(explode(
         filter(split(col("text"), " "), w => w =!= lit(""))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(col("freq"),
-        filter(split(col("word"), ""), c => c =!= lit("")).as("syms")))
+        filter(split(col("word"), ""), c => c =!= lit("")).as("syms"))
+    // size the loop state's partitioning to the VOCAB, not the session
+    // default: the state is Heaps'-law small (often thousands of rows under
+    // a 32+-partition session default), and every one of the K rounds pays
+    // per-partition job overhead on it — ~100k words/partition, capped at
+    // the session parallelism for genuinely huge vocabularies
+    var syms = truncate(wordFreq)
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      syms.count() / 100000L + 1L)).toInt
+    val superseded0 = syms
+    syms = truncate(syms.repartition(parts))
+    superseded0.unpersist()
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
     var k = 1
