@@ -593,6 +593,17 @@ object SparkEntry {
       graft.ops.Bpe.train(docs(s, dir), numMerges = 10)
         .orderBy(col("merge_rank"))),
 
+    // ---- BPE encode with the trained merges (train -> encode round
+    //      trip): per-doc piece counts; the golden computes them from its
+    //      OWN independently trained merge list ----
+    "q_bpe_encode" -> ((s, dir) => {
+      val merges = graft.ops.Bpe.train(docs(s, dir), numMerges = 10)
+        .orderBy(col("merge_rank"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.ops.Bpe.encodeCounts(docs(s, dir), merges)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- snapshot diff between two crawls: every 7th doc removed, every
     //      5th surviving doc mutated, every 11th re-added under a new id —
     //      all four statuses bind; the oracle compares TEXT (the digest
@@ -1304,6 +1315,7 @@ object SparkEntry {
     "q_ann_ivf" -> golden("q_ann_ivf"),
     "q_pack_greedy" -> golden("q_pack_greedy"),
     "q_bpe_train" -> golden("q_bpe_train"),
+    "q_bpe_encode" -> golden("q_bpe_encode"),
     "q_repetition" -> golden("q_repetition"),
     "q_embed_cluster" -> golden("q_embed_cluster"),
     "q_embed_near_dups" -> golden("q_embed_near_dups"),

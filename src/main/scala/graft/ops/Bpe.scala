@@ -48,6 +48,45 @@ object Bpe {
     out.toSeq
   }
 
+  /** BPE ENCODE — the consumer half of [[train]]: segment every document
+    * with a trained merge list and report per-document piece counts (the
+    * number that sizes training batches once a tokenizer exists).
+    *
+    * Semantics PINNED to training: merges apply sequentially in rank
+    * order, each fully (left-to-right non-overlapping) — so encoding a
+    * training word reproduces the trainer's final segmentation exactly
+    * (internal consistency the Python golden asserts). This is the
+    * reference algorithm, O(K·len) per word; a production encoder for
+    * K≈50k merges would use the rank-priority formulation with a pair
+    * index — same output for the merge lists train() produces, different
+    * constant factor. The merge list is a broadcast (K rows — tiny);
+    * encoding is pure map-side, no shuffle.
+    */
+  def encodeCounts(
+      documents: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val bc = documents.sparkSession.sparkContext.broadcast(merges.toArray)
+    val enc = udf((text: String) => {
+      if (text == null) 0L
+      else {
+        var total = 0L
+        text.split(" ").foreach { w =>
+          if (w.nonEmpty) {
+            var syms: Seq[String] = w.map(_.toString)
+            var i = 0
+            val ms = bc.value
+            while (i < ms.length) {
+              syms = applyMerge(syms, ms(i)._1, ms(i)._2)
+              i += 1
+            }
+            total += syms.length
+          }
+        }
+        total
+      }
+    })
+    documents.select(col("doc_id"), enc(col("text")).as("n_pieces"))
+  }
+
   def train(documents: DataFrame, numMerges: Int): DataFrame = {
     require(numMerges >= 1, s"numMerges must be positive: $numMerges")
     val spark = documents.sparkSession

@@ -443,6 +443,21 @@ def main():
             return out
         _vocab = {w: _merge(s) for w, s in _vocab.items()}
         _bpe.append((_k, _l, _r, _l + _r, _cnt))
+    # ---- q_bpe_encode (train->encode round trip: per-doc piece counts
+    #      under the independently trained merge list; a training word's
+    #      encode == its final trainer segmentation, so sum vocab lengths) ----
+    _enc_rows = []
+    for i, t in doc_items:
+        total = 0
+        for w in t.split(" "):
+            if w:
+                total += len(_vocab[w])
+        _enc_rows.append((int(i), total))
+    write("q_bpe_encode",
+          pa.schema([("doc_id", pa.int64()), ("n_pieces", pa.int64())]),
+          {"doc_id": [x[0] for x in _enc_rows],
+           "n_pieces": [x[1] for x in _enc_rows]})
+
     write("q_bpe_train",
           pa.schema([("merge_rank", pa.int32()), ("left", pa.string()),
                      ("right", pa.string()), ("merged", pa.string()),
