@@ -71,7 +71,12 @@ object Bpe {
         var total = 0L
         text.split(" ").foreach { w =>
           if (w.nonEmpty) {
-            var syms: Seq[String] = w.map(_.toString)
+            // split by CODE POINT, not UTF-16 code unit: train()'s regex
+            // split("") is code-point aware, so a supplementary-plane char
+            // is one trainable symbol — `w.map(_.toString)` would shear it
+            // into surrogate halves no merge can ever match
+            var syms: Seq[String] = w.codePoints().toArray
+              .map(cp => new String(Character.toChars(cp))).toSeq
             var i = 0
             val ms = bc.value
             while (i < ms.length) {
@@ -96,10 +101,7 @@ object Bpe {
         df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
 
-    val wordFreq = documents
-      .select(explode(
-        filter(split(col("text"), " "), w => w =!= lit(""))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val wordFreq = TextOps.wordFreq(documents)
       .select(col("freq"),
         filter(split(col("word"), ""), c => c =!= lit("")).as("syms"))
     // size the loop state's partitioning to the VOCAB, not the session
@@ -134,10 +136,14 @@ object Bpe {
       else {
         val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Row(k, l, r, l + r, cnt)
-        val mergeUdf = udf((s: Seq[String]) => applyMerge(s, l, r))
-        val superseded = syms
-        syms = truncate(syms.select(col("freq"), mergeUdf(col("syms")).as("syms")))
-        superseded.unpersist()
+        // the final round's state has no consumer — skip the re-segment +
+        // checkpoint job (1/K of the loop's state work) when k == numMerges
+        if (k < numMerges) {
+          val mergeUdf = udf((s: Seq[String]) => applyMerge(s, l, r))
+          val superseded = syms
+          syms = truncate(syms.select(col("freq"), mergeUdf(col("syms")).as("syms")))
+          superseded.unpersist()
+        }
         k += 1
       }
     }

@@ -88,9 +88,11 @@ object Dedup {
     * doc_id — document TEXT never crosses the wire, so the diff costs two
     * metadata shuffles at any corpus size. Same two-independent-digest
     * construction as [[incrementalDedup]] (false "unchanged" < 2^-90 per
-    * pair); null text digests to null, which compares UNEQUAL to anything
-    * including another null — a doc whose text went null (or came from
-    * null) reads `changed`, the conservative audit answer. Null doc_ids
+    * pair). Null text: `unchanged` additionally requires BOTH texts
+    * non-null via an explicit flag — structural, not an accident of null
+    * comparison semantics, because Spark's xxhash64 null-SKIPS to the
+    * seed (two null texts digest EQUAL); with the flag, any null side
+    * reads `changed`, the conservative audit answer. Null doc_ids
     * are rejected up front (a full-outer join cannot match them; they
     * would double-report as added+removed).
     */
@@ -101,12 +103,14 @@ object Dedup {
         xxhash64(col("text")).as(s"__h1_$side"),
         xxhash64(col("text"), lit(0x9e3779b97f4a7c15L)).as(s"__h2_$side"),
         length(col("text")).as(s"__len_$side"),
+        col("text").isNotNull.as(s"__real_$side"),
         lit(true).as(s"__in_$side"))
     keyed(current, "c").join(keyed(prior, "p"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(col("__in_p").isNull, lit("added"))
           .when(col("__in_c").isNull, lit("removed"))
-          .when(col("__h1_c") === col("__h1_p") &&
+          .when(col("__real_c") && col("__real_p") &&
+                col("__h1_c") === col("__h1_p") &&
                 col("__h2_c") === col("__h2_p") &&
                 col("__len_c") === col("__len_p"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))

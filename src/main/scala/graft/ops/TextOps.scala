@@ -97,10 +97,19 @@ object TextOps {
     * (bounded by construction, so the single-partition window is the cheap
     * plan, not a scale hazard).
     */
+  /** Corpus word-frequency table — the shared tokenize-and-count stage of
+    * [[topKVocab]], [[bpePairCounts]] and [[graft.ops.Bpe.train]]: one
+    * definition so the word-splitting contract (non-empty space tokens)
+    * can never desynchronize between the vocab/tokenizer ops and their
+    * oracles. Output: (word, freq).
+    */
+  def wordFreq(documents: DataFrame): DataFrame = documents
+    .select(explode(filter(split(col("text"), " "), x => x =!= lit(""))).as("word"))
+    .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
   def topKVocab(documents: DataFrame, k: Int): DataFrame = {
-    val counts = documents
-      .select(explode(filter(split(col("text"), " "), x => x =!= lit(""))).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val counts = wordFreq(documents)
+      .select(col("word").as("tok"), col("freq"))
       .orderBy(col("freq").desc, col("tok").asc)
       .limit(k)
     counts
@@ -124,10 +133,7 @@ object TextOps {
     * (bounded driver result), same contract as [[topKVocab]].
     */
   def bpePairCounts(documents: DataFrame, k: Int): DataFrame = {
-    val words = documents
-      .select(explode(filter(split(col("text"), " "), w => w =!= lit(""))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-    val pairs = words
+    val pairs = wordFreq(documents)
       .filter(length(col("word")) >= 2)
       .select(col("freq"), explode(transform(
         sequence(lit(1), length(col("word")) - 1),
