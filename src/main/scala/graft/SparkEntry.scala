@@ -604,6 +604,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- tokenizer-aware packing pipeline (composition row): train BPE
+    //      -> encode the corpus -> chunk-index by PIECES (not whitespace
+    //      tokens) through the forced scaled prefix sum; the golden
+    //      mirrors all three stages independently ----
+    "q_tokenizer_pipeline" -> ((s, dir) => {
+      val merges = graft.ops.Bpe.train(docs(s, dir), numMerges = 10)
+        .orderBy(col("merge_rank"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.packIndexFromCounts(
+          graft.ops.Bpe.encodeCounts(docs(s, dir), merges),
+          contextLen = 256, forceScaled = true, nCol = "n_pieces")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- snapshot diff between two crawls: every 7th doc removed, every
     //      5th surviving doc mutated, every 11th re-added under a new id —
     //      all four statuses bind; the oracle compares TEXT (the digest
@@ -1316,6 +1330,7 @@ object SparkEntry {
     "q_pack_greedy" -> golden("q_pack_greedy"),
     "q_bpe_train" -> golden("q_bpe_train"),
     "q_bpe_encode" -> golden("q_bpe_encode"),
+    "q_tokenizer_pipeline" -> golden("q_tokenizer_pipeline"),
     "q_repetition" -> golden("q_repetition"),
     "q_embed_cluster" -> golden("q_embed_cluster"),
     "q_embed_near_dups" -> golden("q_embed_near_dups"),

@@ -671,22 +671,36 @@ object TextOps {
       .filter(col("doc_id").isNotNull)
       .select(col("doc_id"),
         coalesce(tokenCountCol(col("text")), lit(0)).cast("long").as("n_tokens"))
+    packIndexFromCounts(toks, contextLen, forceScaled)
+  }
+
+  /** [[packIndex]] over a PRECOMPUTED per-document count column — the form
+    * a tokenizer-aware pipeline uses (counts from BPE pieces instead of
+    * whitespace tokens). Input: (doc_id, `nCol`) with non-null ids; same
+    * contract and plan shape as [[packIndex]].
+    */
+  def packIndexFromCounts(
+      counts: DataFrame,
+      contextLen: Int,
+      forceScaled: Boolean = false,
+      nCol: String = "n_tokens"): DataFrame = {
+    require(contextLen > 0, s"contextLen must be positive, got $contextLen")
     val cum = ScaleWindows.withGlobalCumsum(
-      toks, "doc_id", "n_tokens", "__cum",
+      counts, "doc_id", nCol, "__cum",
       smallInputThreshold = if (forceScaled) 0L else 1000000L)
     val c = lit(contextLen.toLong)
     // `div`, not floor(a/b): double division is exact only to 2^53, and a
     // 10^15-token corpus crosses it — the chunk arithmetic must stay
     // integer end to end (the oracle's // is)
     cum
-      .withColumn("global_start", col("__cum") - col("n_tokens"))
+      .withColumn("global_start", col("__cum") - col(nCol))
       .select(
         col("doc_id"),
-        col("n_tokens"),
+        col(nCol),
         col("global_start"),
-        when(col("n_tokens") > 0,
+        when(col(nCol) > 0,
           expr(s"global_start div ${contextLen}L")).as("chunk_first"),
-        when(col("n_tokens") > 0,
+        when(col(nCol) > 0,
           expr(s"(__cum - 1) div ${contextLen}L")).as("chunk_last"),
         pmod(col("global_start"), c).as("chunk_offset"))
   }

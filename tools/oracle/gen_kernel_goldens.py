@@ -458,6 +458,30 @@ def main():
           {"doc_id": [x[0] for x in _enc_rows],
            "n_pieces": [x[1] for x in _enc_rows]})
 
+    # ---- q_tokenizer_pipeline (composition: train -> encode -> chunk
+    #      index by PIECES at C=256; doc_items is doc_id-sorted so the
+    #      running sum is the document-order prefix sum) ----
+    _C = 256
+    _cum = 0
+    _tp_rows = []
+    for doc_id, n in _enc_rows:
+        start = _cum
+        _cum += n
+        _tp_rows.append((doc_id, n, start,
+                         start // _C if n > 0 else None,
+                         (_cum - 1) // _C if n > 0 else None,
+                         start % _C))
+    write("q_tokenizer_pipeline",
+          pa.schema([("doc_id", pa.int64()), ("n_pieces", pa.int64()),
+                     ("global_start", pa.int64()), ("chunk_first", pa.int64()),
+                     ("chunk_last", pa.int64()), ("chunk_offset", pa.int64())]),
+          {"doc_id": [x[0] for x in _tp_rows],
+           "n_pieces": [x[1] for x in _tp_rows],
+           "global_start": [x[2] for x in _tp_rows],
+           "chunk_first": [x[3] for x in _tp_rows],
+           "chunk_last": [x[4] for x in _tp_rows],
+           "chunk_offset": [x[5] for x in _tp_rows]})
+
     write("q_bpe_train",
           pa.schema([("merge_rank", pa.int32()), ("left", pa.string()),
                      ("right", pa.string()), ("merged", pa.string()),
