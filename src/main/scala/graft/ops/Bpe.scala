@@ -65,28 +65,43 @@ object Bpe {
   def encodeCounts(
       documents: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val bc = documents.sparkSession.sparkContext.broadcast(merges.toArray)
-    val enc = udf((text: String) => {
-      if (text == null) 0L
-      else {
-        var total = 0L
-        text.split(" ").foreach { w =>
-          if (w.nonEmpty) {
-            // split by CODE POINT, not UTF-16 code unit: train()'s regex
-            // split("") is code-point aware, so a supplementary-plane char
-            // is one trainable symbol — `w.map(_.toString)` would shear it
-            // into surrogate halves no merge can ever match
-            var syms: Seq[String] = w.codePoints().toArray
-              .map(cp => new String(Character.toChars(cp))).toSeq
-            var i = 0
-            val ms = bc.value
-            while (i < ms.length) {
-              syms = applyMerge(syms, ms(i)._1, ms(i)._2)
-              i += 1
-            }
-            total += syms.length
-          }
+    val enc = udf(new (String => Long) with Serializable {
+      // per-deserialization (≈ per-task) LRU memo, word → piece count:
+      // encode is a pure function of the word and web text is Zipf —
+      // the hot vocabulary hits the memo, the long tail is bounded by
+      // the eviction cap (same discipline as the syllabify memo; an
+      // unbounded map would be an adversarial-vocab OOM)
+      @transient private lazy val memo =
+        new java.util.LinkedHashMap[String, java.lang.Long](1024, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, java.lang.Long]): Boolean = size > 65536
         }
-        total
+      private def pieces(w: String): Long = {
+        val hit = memo.get(w)
+        if (hit != null) return hit.longValue()
+        // split by CODE POINT, not UTF-16 code unit: train()'s regex
+        // split("") is code-point aware, so a supplementary-plane char
+        // is one trainable symbol — `w.map(_.toString)` would shear it
+        // into surrogate halves no merge can ever match
+        var syms: Seq[String] = w.codePoints().toArray
+          .map(cp => new String(Character.toChars(cp))).toSeq
+        var i = 0
+        val ms = bc.value
+        while (i < ms.length) {
+          syms = applyMerge(syms, ms(i)._1, ms(i)._2)
+          i += 1
+        }
+        val n = syms.length.toLong
+        memo.put(w, n)
+        n
+      }
+      def apply(text: String): Long = {
+        if (text == null) 0L
+        else {
+          var total = 0L
+          text.split(" ").foreach { w => if (w.nonEmpty) total += pieces(w) }
+          total
+        }
       }
     })
     documents.select(col("doc_id"), enc(col("text")).as("n_pieces"))
