@@ -60,7 +60,10 @@ object Bpe {
     * K≈50k merges would use the rank-priority formulation with a pair
     * index — same output for the merge lists train() produces, different
     * constant factor. The merge list is a broadcast (K rows — tiny);
-    * encoding is pure map-side, no shuffle.
+    * encoding is pure map-side, no shuffle. Null doc_ids are rejected up
+    * front (same convention as shardAssign/greedyPack/packIndex): the
+    * counts feed accounting pipelines — packIndexFromCounts downstream —
+    * where a null key's position has no portable meaning.
     */
   def encodeCounts(
       documents: DataFrame, merges: Seq[(String, String)]): DataFrame = {
@@ -104,7 +107,8 @@ object Bpe {
         }
       }
     })
-    documents.select(col("doc_id"), enc(col("text")).as("n_pieces"))
+    documents.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), enc(col("text")).as("n_pieces"))
   }
 
   def train(documents: DataFrame, numMerges: Int): DataFrame = {
@@ -123,14 +127,17 @@ object Bpe {
     // default: the state is Heaps'-law small (often thousands of rows under
     // a 32+-partition session default), and every one of the K rounds pays
     // per-partition job overhead on it — ~100k words/partition, capped at
-    // the session parallelism for genuinely huge vocabularies
-    var syms = truncate(wordFreq)
+    // the session parallelism for genuinely huge vocabularies. ONE
+    // materialization: persist feeds the count AND the repartition that is
+    // then checkpointed (an initial checkpoint just to count would
+    // materialize the same table twice)
+    val wf = CacheRegistry.register(wordFreq
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val parts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong,
-      syms.count() / 100000L + 1L)).toInt
-    val superseded0 = syms
-    syms = truncate(syms.repartition(parts))
-    superseded0.unpersist()
+      wf.count() / 100000L + 1L)).toInt
+    var syms = truncate(wf.repartition(parts))
+    wf.unpersist()
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
     var k = 1

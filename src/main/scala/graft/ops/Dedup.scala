@@ -94,7 +94,11 @@ object Dedup {
     * seed (two null texts digest EQUAL); with the flag, any null side
     * reads `changed`, the conservative audit answer. Null doc_ids
     * are rejected up front (a full-outer join cannot match them; they
-    * would double-report as added+removed).
+    * would double-report as added+removed). PRECONDITION: doc_id is
+    * unique within each snapshot — this is a diff BY id, and duplicate
+    * ids fan out m×n in the join, multiplying audit rows; raw crawls
+    * with repeated captures must run [[latestCapture]] first (that op
+    * exists for exactly this).
     */
   def snapshotDiff(current: DataFrame, prior: DataFrame): DataFrame = {
     def keyed(df: DataFrame, side: String): DataFrame = df

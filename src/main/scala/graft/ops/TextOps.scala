@@ -685,8 +685,11 @@ object TextOps {
       forceScaled: Boolean = false,
       nCol: String = "n_tokens"): DataFrame = {
     require(contextLen > 0, s"contextLen must be positive, got $contextLen")
+    // enforce the non-null-id precondition HERE, not just in callers: a
+    // null key's stream position differs between engines (nulls-first vs
+    // nulls-last), so one leaked null row would shift every chunk index
     val cum = ScaleWindows.withGlobalCumsum(
-      counts, "doc_id", nCol, "__cum",
+      counts.filter(col("doc_id").isNotNull), "doc_id", nCol, "__cum",
       smallInputThreshold = if (forceScaled) 0L else 1000000L)
     val c = lit(contextLen.toLong)
     // `div`, not floor(a/b): double division is exact only to 2^53, and a
