@@ -625,6 +625,24 @@ object SparkEntry {
           contextLen = 256, forceScaled = true, nCol = "n_pieces")
         .orderBy(col("doc_id"))),
 
+    // ---- cross-corpus MinHash join (document-level fuzzy
+    //      decontamination): the eval set is every 17th doc, lightly
+    //      mutated (drop every 41st token) and re-identified — each must
+    //      fuzzy-match its source document across the two tables ----
+    "q_minhash_join" -> ((s, dir) => {
+      import s.implicits._
+      val leftC = docs(s, dir).select(col("doc_id"), col("text"))
+      val rightC = leftC.filter(col("doc_id") % 17 === 0).as[(Long, String)]
+        .map { case (id, text) =>
+          val toks = text.split(" ")
+          val kept = toks.iterator.zipWithIndex
+            .filter { case (_, i) => (i + id) % 41 != 0 }.map(_._1)
+          (id + 9000000L, kept.mkString(" "))
+        }.toDF("doc_id", "text")
+      Dedup.minhashJoin(leftC, rightC, threshold = 0.5)
+        .orderBy(col("left_id"), col("right_id"))
+    }),
+
     // ---- snapshot diff between two crawls: every 7th doc removed, every
     //      5th surviving doc mutated, every 11th re-added under a new id —
     //      all four statuses bind; the oracle compares TEXT (the digest
@@ -1338,6 +1356,7 @@ object SparkEntry {
     "q_bpe_train" -> golden("q_bpe_train"),
     "q_bpe_encode" -> golden("q_bpe_encode"),
     "q_tokenizer_pipeline" -> golden("q_tokenizer_pipeline"),
+    "q_minhash_join" -> golden("q_minhash_join"),
     "q_repetition" -> golden("q_repetition"),
     "q_embed_cluster" -> golden("q_embed_cluster"),
     "q_embed_near_dups" -> golden("q_embed_near_dups"),

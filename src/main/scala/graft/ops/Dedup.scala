@@ -194,6 +194,84 @@ object Dedup {
     * candidates; candidates are verified with exact Jaccard ≥ threshold.
     * Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
     */
+  /** Per-document banded MinHash keys, persisted through the bounded
+    * registry — the shared signature stage of [[minhashNearDups]] (self)
+    * and [[minhashJoin]] (cross). One text pass; ~140 B/row cached.
+    */
+  private def bandedSigs(
+      documents: DataFrame,
+      numPerm: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      shingleN: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    CacheRegistry.register(documents
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val sig = minhashSignature(text, numPerm, shingleN)
+        val bandKeys = Array.tabulate(bands) { b =>
+          var h = 1125899906842597L ^ b
+          var r = 0
+          while (r < rowsPerBand) { h = TextOps.mix(h ^ sig(b * rowsPerBand + r)); r += 1 }
+          h
+        }
+        (id, bandKeys)
+      })
+      .toDF("doc_id", "band_keys")
+      .persist())
+  }
+
+  /** Cross-corpus MinHash join — document-level fuzzy matching between TWO
+    * tables: the fuzzy-DECONTAMINATION form ("which training documents
+    * near-match an eval-set document") and the cross-crawl matcher when
+    * exact ids are absent. Same banding + exact-Jaccard verification as
+    * [[minhashNearDups]]; the candidate join is LEFT × RIGHT within each
+    * (band, key) bucket, with count-first caps applied PER SIDE — a
+    * boilerplate key carried by millions of docs on either side is dropped
+    * before the bucket product can go quadratic, and only keys present on
+    * BOTH sides survive the cap join at all.
+    *
+    * Output: (left_id, right_id, jaccard) with jaccard ≥ threshold.
+    */
+  def minhashJoin(
+      left: DataFrame,
+      right: DataFrame,
+      threshold: Double = 0.7,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      shingleN: Int = 3,
+      maxBucketSide: Int = 1000): DataFrame = {
+    val numPerm = bands * rowsPerBand
+    def explodedOf(df: DataFrame, idOut: String): DataFrame =
+      bandedSigs(df, numPerm, bands, rowsPerBand, shingleN)
+        .select(col("doc_id").as(idOut),
+          posexplode(col("band_keys")).as(Seq("band", "key")))
+    val el = explodedOf(left, "left_id")
+    val er = explodedOf(right, "right_id")
+    // count per (band, key) per side — partial-aggregating, no id lists;
+    // the inner count join keeps only keys both sides carry, under cap
+    val keep = el.groupBy(col("band"), col("key")).agg(count(lit(1)).as("szl"))
+      .join(er.groupBy(col("band"), col("key")).agg(count(lit(1)).as("szr")),
+        Seq("band", "key"))
+      .filter(col("szl") <= maxBucketSide && col("szr") <= maxBucketSide)
+      .select(col("band"), col("key"))
+    val candidates = el.join(keep, Seq("band", "key"))
+      .join(er.join(keep, Seq("band", "key")), Seq("band", "key"))
+      .select(col("left_id"), col("right_id"))
+      .distinct()
+    val jac = udf((a: String, b: String) => jaccard(a, b, shingleN))
+    candidates
+      .join(left.select(col("doc_id").cast("long").as("left_id"),
+        col("text").as("__tl")), "left_id")
+      .join(right.select(col("doc_id").cast("long").as("right_id"),
+        col("text").as("__tr")), "right_id")
+      .withColumn("jaccard", jac(col("__tl"), col("__tr")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("left_id"), col("right_id"), col("jaccard"))
+  }
+
   def minhashNearDups(
       documents: DataFrame,
       threshold: Double = 0.7,
@@ -210,21 +288,7 @@ object Dedup {
     // the exploded key table feeds the bucket-count aggregate AND both sides
     // of the candidate self-join — without the cache each consumer would
     // re-run the full MinHash pass over the text
-    val sigs = CacheRegistry.register(documents
-      .select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        val sig = minhashSignature(text, numPerm, shingleN)
-        val bandKeys = Array.tabulate(bands) { b =>
-          var h = 1125899906842597L ^ b
-          var r = 0
-          while (r < rowsPerBand) { h = TextOps.mix(h ^ sig(b * rowsPerBand + r)); r += 1 }
-          h
-        }
-        (id, bandKeys)
-      })
-      .toDF("doc_id", "band_keys")
-      .persist())
+    val sigs = bandedSigs(documents, numPerm, bands, rowsPerBand, shingleN)
 
     // count per bucket FIRST (partial-aggregating counts — no id list is
     // ever materialized for a pathological bucket, so a 10M-document

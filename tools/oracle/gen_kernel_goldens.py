@@ -532,6 +532,44 @@ def main():
           {"doc_a": [x[0] for x in mrows], "doc_b": [x[1] for x in mrows],
            "jaccard": [x[2] for x in mrows]})
 
+    # ---- q_minhash_join (cross-corpus fuzzy decontamination; bands=16,
+    #      rpb=4, shingleN=3, cap=1000/side, th=0.5; eval = every 17th doc
+    #      with every 41st token dropped, re-identified +9000000) ----
+    _evalset = {}
+    for did, text in doc_items:
+        if did % 17 == 0:
+            toks = text.split(" ")
+            kept = [t for i, t in enumerate(toks) if (i + did) % 41 != 0]
+            _evalset[int(did) + 9000000] = " ".join(kept)
+    _lmap = {int(d): t for d, t in doc_items}
+    _lb, _rb = {}, {}
+    for did, text in _lmap.items():
+        sig = g.minhash_signature(text, 64, 3)
+        for b, key in enumerate(g.minhash_band_keys(sig, 16, 4)):
+            _lb.setdefault((b, key), []).append(did)
+    for rid, text in _evalset.items():
+        sig = g.minhash_signature(text, 64, 3)
+        for b, key in enumerate(g.minhash_band_keys(sig, 16, 4)):
+            _rb.setdefault((b, key), []).append(rid)
+    _candx = set()
+    for bk, lids in _lb.items():
+        rids = _rb.get(bk)
+        if rids and len(lids) <= 1000 and len(rids) <= 1000:
+            for a in lids:
+                for b in rids:
+                    _candx.add((a, b))
+    _jrows = []
+    for a, b in sorted(_candx):
+        j = g.jaccard(_lmap[a], _evalset[b], 3)
+        if j >= 0.5:
+            _jrows.append((a, b, j))
+    write("q_minhash_join",
+          pa.schema([("left_id", pa.int64()), ("right_id", pa.int64()),
+                     ("jaccard", pa.float64())]),
+          {"left_id": [x[0] for x in _jrows],
+           "right_id": [x[1] for x in _jrows],
+           "jaccard": [x[2] for x in _jrows]})
+
     # ---- q_simhash_dedup (chunks=8, keyChunks=2 Manku combos, maxHamming=7,
     #      median-adaptive cap — mirrors Dedup.simhashNearDups) ----
     from itertools import combinations
