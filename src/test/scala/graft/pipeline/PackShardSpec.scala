@@ -116,6 +116,21 @@ class PackShardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(docs.repartition(13).sortWithinPartitions(col("text"))) == out)
   }
 
+  test("minhashJoin recall: every mutated eval doc fuzzy-matches its source (second size)") {
+    // same synthesis as q_minhash_join but at sf0.001 — the multi-size
+    // recall assertion the ANN family also carries
+    val out = graft.SparkEntry.queries("q_minhash_join")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sources = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 17 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(sources.nonEmpty)
+    sources.foreach { id =>
+      assert(out.contains((id, id + 9000000L)),
+        s"eval doc ${id + 9000000L} failed to match its source $id")
+    }
+  }
+
   test("Bpe.applyMerge: left-to-right non-overlapping; train stops when exhausted") {
     import spark.implicits._
     assert(graft.ops.Bpe.applyMerge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
