@@ -1129,6 +1129,28 @@ object SparkEntry {
           col("session_end_us"), col("n_events"))
     }),
 
+    // stream-static incremental dedup (the rolling-crawl ingest form):
+    // the new batch STREAMS against the static prior-snapshot digest
+    // table; stateless (no watermark state — the prior is fixed); same
+    // corpus synthesis and SQL oracle shape as the batch
+    // q_incremental_dedup
+    "q_incremental_stream" -> ((s, dir) => {
+      val tmp = scratchDir(s, "incr_stream")
+      val prior = docs(s, dir).select(col("doc_id"), col("text"))
+      prior.select((col("doc_id") + 5000000L).as("doc_id"),
+          when(col("doc_id") % 3 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" fresh"))).as("text"))
+        .write.parquet(s"$tmp/newer")
+      graft.streaming.StreamingJobs.withShufflePartitions(s, 4) {
+        graft.streaming.StreamingJobs.runAvailableNow(
+          graft.streaming.StreamingJobs.incrementalDedupStream(
+            s, s"$tmp/newer", prior),
+          s"$tmp/out")
+      }
+      s.read.parquet(s"$tmp/out/data").select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // streaming exact dedup (dropDuplicatesWithinWatermark) over the
     // planted-duplicate corpus; emits the surviving text (deterministic —
     // duplicates share their text)
@@ -1735,6 +1757,17 @@ object SparkEntry {
 
     // ---- incremental dedup: ground truth by TEXT membership (not digest)
     //      — doubles as the digest-collision check ----
+    // ---- stream-static incremental dedup: identical semantics to the
+    //      batch form, so the identical oracle ----
+    "q_incremental_stream" ->
+      ("""WITH newer AS (
+         |  SELECT doc_id + 5000000 AS doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN text ELSE text || ' fresh' END AS text
+         |  FROM documents)
+         |SELECT doc_id FROM newer
+         |WHERE text NOT IN (SELECT text FROM documents)
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
     "q_incremental_dedup" ->
       ("""WITH newer AS (
          |  SELECT doc_id + 5000000 AS doc_id,

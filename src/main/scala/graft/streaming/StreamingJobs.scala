@@ -175,6 +175,38 @@ object StreamingJobs {
       .dropDuplicatesWithinWatermark("h1", "h2", "len")
       .select(col("text"))
 
+  /** Streaming incremental dedup against a STATIC prior snapshot — the
+    * rolling-crawl ingest shape: new documents stream in, and any whose
+    * content digest already exists in the prior corpus is dropped
+    * mid-flight. The prior side is a static digest table (16 B + length
+    * per row, same two-independent-digest key as
+    * [[graft.ops.Dedup.incrementalDedup]]); the join is stream-static and
+    * STATELESS — the prior is fixed, so unlike [[dedupDocsStream]] no
+    * watermark state accumulates. Expressed as left_outer + null-marker
+    * filter (the most widely supported stream-static shape, identical
+    * result to an anti join). New-vs-new duplicates inside the stream are
+    * deliberately NOT deduped here — compose with [[dedupDocsStream]] for
+    * the full rolling dedup.
+    */
+  def incrementalDedupStream(
+      spark: SparkSession, newDocsDir: String, prior: DataFrame): DataFrame = {
+    val priorKeys = prior.select(
+        xxhash64(col("text")).as("h1"),
+        xxhash64(col("text"), lit(0x9e3779b97f4a7c15L)).as("h2"),
+        length(col("text")).as("len"))
+      .distinct()
+      .withColumn("__seen", lit(1))
+    spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(newDocsDir)
+      .withColumn("h1", xxhash64(col("text")))
+      .withColumn("h2", xxhash64(col("text"), lit(0x9e3779b97f4a7c15L)))
+      .withColumn("len", length(col("text")))
+      .join(priorKeys, Seq("h1", "h2", "len"), "left_outer")
+      .filter(col("__seen").isNull)
+      .select(col("doc_id"), col("text"))
+  }
+
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily overridden
     * — the state-store sizing knob for the STATEFUL equivalence harnesses
     * (VERDICT r3 wrong #2): a stateful stream instantiates one state store
