@@ -523,10 +523,7 @@ object SparkEntry {
     //      copies of prior docs and must vanish ----
     "q_incremental_dedup" -> ((s, dir) => {
       val prior = docs(s, dir).select(col("doc_id"), col("text"))
-      val newer = prior.select((col("doc_id") + 5000000L).as("doc_id"),
-        when(col("doc_id") % 3 === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" fresh"))).as("text"))
-      Dedup.incrementalDedup(newer, prior)
+      Dedup.incrementalDedup(newerCrawl(prior), prior)
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
@@ -1137,10 +1134,7 @@ object SparkEntry {
     "q_incremental_stream" -> ((s, dir) => {
       val tmp = scratchDir(s, "incr_stream")
       val prior = docs(s, dir).select(col("doc_id"), col("text"))
-      prior.select((col("doc_id") + 5000000L).as("doc_id"),
-          when(col("doc_id") % 3 === 0, col("text"))
-            .otherwise(concat(col("text"), lit(" fresh"))).as("text"))
-        .write.parquet(s"$tmp/newer")
+      newerCrawl(prior).write.parquet(s"$tmp/newer")
       graft.streaming.StreamingJobs.withShufflePartitions(s, 4) {
         graft.streaming.StreamingJobs.runAvailableNow(
           graft.streaming.StreamingJobs.incrementalDedupStream(
@@ -1210,6 +1204,29 @@ object SparkEntry {
   private val ExactDupsCte: String =
     "WITH u AS (SELECT doc_id, text FROM documents UNION ALL " +
       "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0) "
+
+  /** Shared oracle of the batch AND stream-static incremental-dedup rows
+    * (identical semantics is the claim, so one definition — the
+    * ExactDupsCte anti-drift rule); the Spark-side corpus synthesis is the
+    * single [[newerCrawl]] below for the same reason.
+    */
+  private val IncrementalDedupSql: String =
+    """WITH newer AS (
+      |  SELECT doc_id + 5000000 AS doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN text ELSE text || ' fresh' END AS text
+      |  FROM documents)
+      |SELECT doc_id FROM newer
+      |WHERE text NOT IN (SELECT text FROM documents)
+      |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+  /** The simulated new crawl of the incremental-dedup rows: every prior doc
+    * re-ids +5000000; every 3rd keeps its text (a true duplicate), the rest
+    * gain a suffix. Mirrored verbatim in [[IncrementalDedupSql]].
+    */
+  private def newerCrawl(prior: DataFrame): DataFrame =
+    prior.select((col("doc_id") + 5000000L).as("doc_id"),
+      when(col("doc_id") % 3 === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" fresh"))).as("text"))
 
   def oracleSql: Map[String, String] = Map(
     // ---- golden-parquet oracles (reference-derived) ----
@@ -1757,25 +1774,11 @@ object SparkEntry {
 
     // ---- incremental dedup: ground truth by TEXT membership (not digest)
     //      — doubles as the digest-collision check ----
-    // ---- stream-static incremental dedup: identical semantics to the
-    //      batch form, so the identical oracle ----
-    "q_incremental_stream" ->
-      ("""WITH newer AS (
-         |  SELECT doc_id + 5000000 AS doc_id,
-         |    CASE WHEN doc_id % 3 = 0 THEN text ELSE text || ' fresh' END AS text
-         |  FROM documents)
-         |SELECT doc_id FROM newer
-         |WHERE text NOT IN (SELECT text FROM documents)
-         |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    "q_incremental_dedup" -> IncrementalDedupSql,
 
-    "q_incremental_dedup" ->
-      ("""WITH newer AS (
-         |  SELECT doc_id + 5000000 AS doc_id,
-         |    CASE WHEN doc_id % 3 = 0 THEN text ELSE text || ' fresh' END AS text
-         |  FROM documents)
-         |SELECT doc_id FROM newer
-         |WHERE text NOT IN (SELECT text FROM documents)
-         |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    // ---- stream-static incremental dedup: identical semantics to the
+    //      batch form, so the identical (shared) oracle ----
+    "q_incremental_stream" -> IncrementalDedupSql,
 
     // ---- top-K vocab: same count + rank in DuckDB ----
     "q_vocab" ->

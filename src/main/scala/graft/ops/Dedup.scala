@@ -188,15 +188,13 @@ object Dedup {
     }
   }
 
-  /** MinHash-LSH near-duplicate pairs.
-    *
-    * numPerm = bands * rowsPerBand. Pairs sharing ≥1 band bucket are
-    * candidates; candidates are verified with exact Jaccard ≥ threshold.
-    * Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
-    */
   /** Per-document banded MinHash keys, persisted through the bounded
     * registry — the shared signature stage of [[minhashNearDups]] (self)
     * and [[minhashJoin]] (cross). One text pass; ~140 B/row cached.
+    * Rows with a null doc_id or null text are EXCLUDED up front (contract:
+    * a null text has no shingles to sign, and the primitive tuple encoder
+    * below would otherwise NPE-kill the task on one bad crawl row — the
+    * NullSafetySpec rule).
     */
   private def bandedSigs(
       documents: DataFrame,
@@ -207,6 +205,7 @@ object Dedup {
     val spark = documents.sparkSession
     import spark.implicits._
     CacheRegistry.register(documents
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
@@ -257,8 +256,10 @@ object Dedup {
         Seq("band", "key"))
       .filter(col("szl") <= maxBucketSide && col("szr") <= maxBucketSide)
       .select(col("band"), col("key"))
+    // restricting ONE side to the surviving keys suffices: the inner join
+    // on (band, key) already drops er rows whose key el (post-keep) lacks
     val candidates = el.join(keep, Seq("band", "key"))
-      .join(er.join(keep, Seq("band", "key")), Seq("band", "key"))
+      .join(er, Seq("band", "key"))
       .select(col("left_id"), col("right_id"))
       .distinct()
     val jac = udf((a: String, b: String) => jaccard(a, b, shingleN))
@@ -272,6 +273,12 @@ object Dedup {
       .select(col("left_id"), col("right_id"), col("jaccard"))
   }
 
+  /** MinHash-LSH near-duplicate pairs.
+    *
+    * numPerm = bands * rowsPerBand. Pairs sharing ≥1 band bucket are
+    * candidates; candidates are verified with exact Jaccard ≥ threshold.
+    * Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+    */
   def minhashNearDups(
       documents: DataFrame,
       threshold: Double = 0.7,

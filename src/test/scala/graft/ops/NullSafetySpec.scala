@@ -110,6 +110,20 @@ class NullSafetySpec extends AnyFunSuite with BeforeAndAfterAll {
       4L -> "changed", 5L -> "removed"))
   }
 
+  test("minhashJoin: null text/id rows excluded, never NPE") {
+    import spark.implicits._
+    def df(rows: Seq[(Any, String)]) = rows
+      .map { case (id, t) => (id.asInstanceOf[java.lang.Long], t) }
+      .toDF("doc_id", "text")
+    val left = df(Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, null), (null, "orphan text here")))
+    val right = df(Seq((10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, null)))
+    val got = Dedup.minhashJoin(left, right, threshold = 0.5)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L))) // null rows signed-out up front, job survives
+  }
+
   test("crossDocLineDedup: null doc_id rejected, never silently emptied") {
     import spark.implicits._
     val c = Seq((Some(1L), "kept content"), (None, "null id content"))
