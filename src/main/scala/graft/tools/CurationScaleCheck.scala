@@ -1,0 +1,94 @@
+package graft.tools
+
+import graft.ops.{Dedup, Packing, Sampling, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Two-parallelism scaling evidence for the CURATION/TRAINING op families
+  * (the north rule's two-cluster-size criterion applied beyond the flagship
+  * align job): replicate the sf0.1 documents table to a ~120k-doc corpus
+  * (the measured floor where fixed job overhead amortizes below the noise —
+  * BASELINE.md) and time each major new operator once warm. Run the SAME
+  * command at SPARK_GRAFT_CPUS=8 and =32 and compare docs/sec.
+  *
+  * Usage: SPARK_GRAFT_CPUS=8|32 runMain graft.tools.CurationScaleCheck [k=24] [sfDir]
+  * Prints one JSON line: {"bench":"curation_scale","docs":N,"cpus":C,
+  * "ops":{"<op>_docs_per_sec":...}}
+  */
+object CurationScaleCheck {
+
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val k = if (args.nonEmpty) args(0).toInt else 24
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ~120k distinct documents: each replica re-ids and gets a replica
+    // marker token so exact-dup ops see a real (not degenerate) corpus.
+    // REPARTITION before persisting: the source is one small parquet file
+    // (one input split), and the explode inherits its partitioning — every
+    // op would otherwise run on ~1 partition at any core count, measuring
+    // the harness, not the operators (a real corpus arrives in many
+    // splits; this reproduces that).
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lit(k - 1))).as("r"))
+      .select((col("doc_id") + col("r") * 10000000L).as("doc_id"),
+        concat(col("text"), lit(" rep"), col("r")).as("text"))
+      .repartition(cpus.toInt * 4, col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = corpus.count()
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    // one warm pass per op (JIT + codegen), then the timed pass — the same
+    // two-pass discipline as ScalingBench
+    def timedWarm(body: => Unit): Double = { body; time(body) }
+
+    val structured = corpus.select(col("doc_id"),
+      regexp_replace(col("text"), "((?:[^ ]+ ){2}[^ ]+) ", "$1\n").as("text"))
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    results("line_dedup") = timedWarm {
+      force(Dedup.crossDocLineDedup(structured))
+    }
+    results("pack_index") = timedWarm {
+      force(TextOps.packIndex(corpus, contextLen = 128, forceScaled = true))
+    }
+    results("shard_assign") = timedWarm {
+      force(Sampling.shardAssign(corpus, 8))
+    }
+    results("greedy_pack") = timedWarm {
+      force(Packing.greedyPack(corpus, capacity = 64, nBuckets = 16))
+    }
+    results("bpe_pairs") = timedWarm {
+      force(TextOps.bpePairCounts(corpus, k = 100))
+    }
+    // the replica corpus is adversarially near-duplicate BY CONSTRUCTION
+    // (k variants per base doc differ by one token), so minhash candidate
+    // volume grows ~k× per eval doc — at large k the run measures that
+    // quadratic structure, not the operator; skip it there
+    if (k <= 500) results("minhash_join") = timedWarm {
+      val right = corpus.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id") + 900000000L as "doc_id", col("text"))
+      force(Dedup.minhashJoin(corpus, right, threshold = 0.5))
+    }
+
+    val ops = results.map { case (name, sec) =>
+      f""""${name}_docs_per_sec":${n / sec}%.1f"""
+    }.mkString(",")
+    println(s"""{"bench":"curation_scale","docs":$n,"cpus":$cpus,"ops":{$ops}}""")
+    spark.stop()
+  }
+}
