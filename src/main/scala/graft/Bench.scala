@@ -124,7 +124,30 @@ object Bench {
       "\"" + k + "\":" + all.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_runs":$qruns,"sf":"$sfDir","align_docs_per_sec":$docsPerSec,"align_docs":$nDocs,"align_runs_sec":$runsJson,"cpus":"$cpus"}""")
+    val record = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_runs":$qruns,"sf":"$sfDir","align_docs_per_sec":$docsPerSec,"align_docs":$nDocs,"align_runs_sec":$runsJson,"cpus":"$cpus"}"""
+    println(record)
+    // ALSO write the record to a file (VERDICT r4 #1: the driver captures
+    // only the tail of the sbt log, and an 86-query JSON line overflows it
+    // — BENCH_r04.json lost its own total that way; the committed record
+    // must never depend on a log-tail buffer). Overwritten per run; the
+    // per-round snapshot is a copy of this file.
+    writeRecord("last_run.json", record)
     spark.stop()
+  }
+
+  /** Write one bench JSON record under BENCH/ (best-effort: a read-only
+    * checkout must not fail the bench itself).
+    */
+  private[graft] def writeRecord(fileName: String, record: String): Unit = {
+    try {
+      val dir = java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_REPO_DIR", "/root/repo"), "BENCH")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve(fileName),
+        (record + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] could not write $fileName: ${e.getMessage}")
+    }
   }
 }

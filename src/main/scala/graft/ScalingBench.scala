@@ -69,6 +69,11 @@ object ScalingBench {
     val thrN = docs / secN
     val thr4N = docs / sec4N
     val eff = (thr4N / thrN) / 4.0
-    println(s"""{"bench":"scaling","docs":$docs,"n_cores":$nCores,"thr_N":$thrN,"thr_4N":$thr4N,"sec_N":$secN,"sec_4N":$sec4N,"eff":$eff,"sf":"$sfDir"}""")
+    val record = s"""{"bench":"scaling","docs":$docs,"n_cores":$nCores,"thr_N":$thrN,"thr_4N":$thr4N,"sec_N":$secN,"sec_4N":$sec4N,"eff":$eff,"sf":"$sfDir"}"""
+    println(record)
+    // file copy of the record, same rationale as Bench (VERDICT r4 #1:
+    // never depend on a log-tail buffer); appended, not overwritten — the
+    // scaling protocol is run-several-times-and-report-all
+    Bench.writeRecord(s"scaling_${nCores}x${k}_${System.currentTimeMillis()}.json", record)
   }
 }

@@ -760,7 +760,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- winnowing similarity over the planted near-dup pairs ----
+    // ---- winnowing similarity over the planted near-dup pairs.
+    //      FIXTURE-SHAPED PAIRING (not a general operator): candidates come
+    //      from the planted `doc_id + 1000000` convention, because the row
+    //      under test is the winnow KERNEL — general candidate generation
+    //      is the LSH ops' job (q_minhash_dedup/q_simhash_dedup) ----
     "q_winnow_dedup" -> ((s, dir) => {
       Functions.register(s)
       val d = docsWithNearDups(s, dir)
@@ -771,7 +775,9 @@ object SparkEntry {
         .orderBy(col("doc_a"))
     }),
 
-    // ---- n-gram Jaccard verification of planted pairs ----
+    // ---- n-gram Jaccard verification of planted pairs. Same
+    //      fixture-shaped pairing as q_winnow_dedup: the kernel is the row
+    //      under test, the LSH ops own general pairing ----
     "q_ngram_jaccard" -> ((s, dir) => {
       Functions.register(s)
       val d = docsWithNearDups(s, dir)
@@ -1372,7 +1378,7 @@ object SparkEntry {
          |h AS (SELECT *, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host FROM d)
          |SELECT regexp_extract(host, '[^.]+\.[^.]+$', 0) AS domain,
          |  count(*) AS n_docs,
-         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |  CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens,
          |  CAST(sum(length(text)) AS BIGINT) AS n_chars
          |FROM h GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
 

@@ -115,11 +115,6 @@ object Bpe {
     require(numMerges >= 1, s"numMerges must be positive: $numMerges")
     val spark = documents.sparkSession
 
-    def truncate(df: DataFrame): DataFrame =
-      if (spark.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
-
     val wordFreq = TextOps.wordFreq(documents)
       .select(col("freq"),
         filter(split(col("word"), ""), c => c =!= lit("")).as("syms"))
@@ -136,7 +131,10 @@ object Bpe {
     val parts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong,
       wf.count() / 100000L + 1L)).toInt
-    var syms = truncate(wf.repartition(parts))
+    // tracked truncation: each round deletes the superseded round's
+    // reliable-checkpoint files once its successor materializes (Lineage
+    // scaladoc) — K rounds of dead state must not accumulate on disk
+    var (syms, symsFiles) = Lineage.truncateTracked(wf.repartition(parts))
     wf.unpersist()
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
@@ -163,13 +161,19 @@ object Bpe {
         if (k < numMerges) {
           val mergeUdf = udf((s: Seq[String]) => applyMerge(s, l, r))
           val superseded = syms
-          syms = truncate(syms.select(col("freq"), mergeUdf(col("syms")).as("syms")))
+          val supersededFiles = symsFiles
+          val (next, nextFiles) =
+            Lineage.truncateTracked(syms.select(col("freq"), mergeUdf(col("syms")).as("syms")))
+          syms = next
+          symsFiles = nextFiles
           superseded.unpersist()
+          Lineage.deleteCheckpointFiles(superseded, supersededFiles)
         }
         k += 1
       }
     }
     syms.unpersist()
+    Lineage.deleteCheckpointFiles(syms, symsFiles)
     spark.createDataFrame(
       spark.sparkContext.parallelize(merges.toSeq, 1),
       StructType(Seq(

@@ -33,7 +33,10 @@ object Domains {
     substring_index(host(url), ".", -2)
 
   /** Per-registered-domain corpus statistics: document count, whitespace
-    * token count, char count. The mixing-policy input table.
+    * token count, char count. The mixing-policy input table. `n_tokens`
+    * uses [[TextOps.tokenCountCol]] — the ONE token definition every other
+    * token-counting op (packIndex, quality scores) uses, so a mixing policy
+    * quota-ing on n_tokens and a packer budgeting on n_tokens agree.
     */
   def domainStats(documents: DataFrame, urlCol: String = "url"): DataFrame =
     documents
@@ -41,7 +44,7 @@ object Domains {
       .groupBy(col("domain"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " ", -1))).as("n_tokens"),
+        sum(TextOps.tokenCountCol(col("text")).cast("long")).as("n_tokens"),
         sum(length(col("text"))).as("n_chars"))
 
   /** URL canonicalization — the crawl-dedup pre-step that makes

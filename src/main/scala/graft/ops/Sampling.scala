@@ -103,14 +103,25 @@ object Sampling {
       nBuckets: Int,
       sampleMicros: Long,
       scoreCol: String = "score",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      maxSampleRows: Int = 4000000): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
     val gate = udf((id: Long) =>
       java.lang.Long.remainderUnsigned(TextOps.mix(id), 1000000L) < sampleMicros)
+    // the driver-side collect is HARD-bounded, not just documented: limit
+    // maxSampleRows+1 (a no-op when the gate admits fewer — determinism
+    // unaffected) and fail loudly on overflow, so a caller pairing a large
+    // corpus with a too-high sampleMicros gets an actionable error instead
+    // of a driver OOM
     val sample = df
       .filter(col(idCol).isNotNull && gate(col(idCol)) && col(scoreCol).isNotNull)
       .select(col(scoreCol).cast("double"))
+      .limit(maxSampleRows + 1)
       .collect().map(_.getDouble(0)).sorted
+    require(sample.length <= maxSampleRows,
+      s"quantile sample exceeds maxSampleRows=$maxSampleRows — lower " +
+        s"sampleMicros (=$sampleMicros) to target ~1e6 sampled rows, or " +
+        "raise maxSampleRows explicitly")
     require(sample.nonEmpty,
       s"quantile sample is empty — raise sampleMicros (=$sampleMicros)")
     val n = sample.length

@@ -78,8 +78,12 @@ object TextOps {
     * per-doc partial-aggregating sum.
     */
   def tokenRarityScores(documents: DataFrame): DataFrame = {
-    val toks = documents.select(col("doc_id"),
+    // the exploded token table feeds BOTH the count aggregate and the join
+    // probe — persist it once (bounded CacheRegistry discipline) so the
+    // tokenize/explode pass over the corpus doesn't execute twice
+    val toks = CacheRegistry.register(documents.select(col("doc_id"),
       explode(filter(split(col("text"), " "), x => x =!= lit(""))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     toks.join(counts, Seq("tok"))
       .groupBy(col("doc_id"))
@@ -159,7 +163,11 @@ object TextOps {
   def compressionRatios(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    // null doc_id rejected up front (the repo-wide null-id convention —
+    // shardAssign/greedyPack/packIndex): the primitive (Long, String)
+    // encoder below would otherwise NPE the whole job on one null id
+    documents.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val d = new java.util.zip.Deflater(6, true)
         // Deflater holds NATIVE zlib buffers invisible to the heap-driven
