@@ -70,17 +70,47 @@ class PackShardSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq,
         s"shard $s positions not contiguous")
     }
-    // spot-check one md5 against the JDK (the oracle recomputes in DuckDB)
+    // spot-check one md5 fold against the JDK (the oracle recomputes in
+    // DuckDB): shard = leading 32 bits of the md5, pmod nShards
     val id = rows.head._1
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(id.toString.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    val nibble = Integer.parseInt(hex.substring(0, 1), 16)
-    assert(rows.head._2 == nibble % 8)
+    val fold = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    assert(rows.head._2 == (fold % 8).toInt)
     // the position window partitions by shard — never a global sort window
     val plan = out.queryExecution.executedPlan.toString
     plan.linesIterator.filter(_.contains("Window [")).foreach { l =>
       assert(l.contains("shard"), s"window not shard-partitioned: $l")
+    }
+  }
+
+  test("shardAssign scaled path: identical layout, no shard-only window, any fan-out") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"))
+    // nShards=256 (the q_shard configuration) and a non-power-of-two
+    // fan-out: the two-pass bucketed positions must equal the per-shard
+    // window form row for row
+    for (n <- Seq(256, 5)) {
+      val small = graft.ops.Sampling.shardAssign(docs, n)
+        .select(col("doc_id"), col("shard"), col("shard_pos"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+      val scaled = graft.ops.Sampling.shardAssign(docs, n, forceScaled = true)
+        .select(col("doc_id"), col("shard"), col("shard_pos"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+      assert(small.toSeq == scaled.toSeq, s"scaled != window form at nShards=$n")
+    }
+    // plan shape: in the scaled plan, NO window over data is partitioned by
+    // shard alone — the data-scale row_number runs per (shard, __bkt) and
+    // the only shard-partitioned window is the metadata-scale offsets table
+    // (its child aggregates on (shard, __bkt) — identifiable by __cnt)
+    val plan = graft.ops.Sampling.shardAssign(docs, 256, forceScaled = true)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("__bkt"), s"scaled path missing bucket machinery:\n${plan.take(2000)}")
+    val windowLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty)
+    windowLines.foreach { l =>
+      assert(l.contains("__bkt") || l.contains("__cnt"),
+        s"data-scale window bounded by shard count alone: $l")
     }
   }
 
