@@ -132,10 +132,11 @@ object SparkEntry {
       })
 
   /** Session-memoized trained BPE merge list (shared by q_bpe_encode and
-    * q_tokenizer_pipeline): `Bpe.train` is a 10-round driver-looped job
-    * whose result is 10 immutable rows — without this memo each consumer
-    * re-runs the whole loop (q_bpe_train itself still calls the op
-    * directly: it IS the row under test). Keyed by (applicationId, sfDir).
+    * q_tokenizer_pipeline): `Bpe.train` dispatches small vocabs to the
+    * exact incremental local path (one word-frequency job + collect) whose
+    * result is 10 immutable rows — without this memo each consumer re-runs
+    * the training (q_bpe_train itself still calls the op directly: it IS
+    * the row under test). Keyed by (applicationId, sfDir).
     */
   private val bpeMergeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
