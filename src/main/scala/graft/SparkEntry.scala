@@ -160,6 +160,26 @@ object SparkEntry {
           .otherwise(lit("")),
         col("source"), lit("-site.org/p/"), col("doc_id").cast("string")))
 
+  /** International variant for the domain ops: the TLD rotates across a
+    * single-label TLD and three multi-label public suffixes (.co.uk,
+    * .com.au, .ac.jp) so the PSL-aware registered-domain path is BOUND by
+    * the oracle rows (VERDICT r4 missing #1) — a naive last-two-labels
+    * extraction collapses 3/4 of this fixture to the bare suffix. Mirrored
+    * in the SQL oracles and gen_kernel_goldens.py.
+    */
+  private def docsWithIntlUrls(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("url",
+      concat(lit("https://"),
+        when(col("doc_id") % 3 === 0, lit("www."))
+          .when(col("doc_id") % 3 === 1, lit("cdn."))
+          .otherwise(lit("")),
+        col("source"), lit("-site"),
+        when(col("doc_id") % 4 === 0, lit(".org"))
+          .when(col("doc_id") % 4 === 1, lit(".co.uk"))
+          .when(col("doc_id") % 4 === 2, lit(".com.au"))
+          .otherwise(lit(".ac.jp")),
+        lit("/p/"), col("doc_id").cast("string")))
+
   /** Deterministic line/paragraph structure for the repetition fixture: the
     * synthetic corpus has no newlines, so reflow each doc into 6-token
     * lines and 3-line paragraphs, then PLANT duplicates (every 4th line
@@ -434,34 +454,39 @@ object SparkEntry {
         graft.ops.Domains.canonicalizeUrl(messy).as("canon_url"))
     }),
 
-    // ---- domain blocklist scrub: broadcast left-anti on the registered
-    //      domain — map-side, no corpus shuffle ----
+    // ---- domain blocklist scrub: broadcast left-anti on the PSL-aware
+    //      registered domain — map-side, no corpus shuffle. The block list
+    //      carries all three fixture suffix shapes so a naive last-2-label
+    //      extraction would block the wrong rows ----
     "q_domain_filter" -> ((s, dir) => {
       import s.implicits._
-      val block = Seq("src3-site.org", "src7-site.org", "src11-site.org")
+      val block = Seq("src3-site.org", "src7-site.co.uk", "src11-site.com.au",
+          "src5-site.ac.jp")
         .toDF("domain")
-      graft.ops.Domains.filterByDomain(docsWithUrls(s, dir), block)
+      graft.ops.Domains.filterByDomain(docsWithIntlUrls(s, dir), block)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
 
     // ---- per-registered-domain corpus statistics (the mixing-policy
-    //      input table): pure-Catalyst host/domain extraction + one
-    //      partial-combining hash aggregate ----
+    //      input table): pure-Catalyst host/domain extraction (PSL-aware,
+    //      one regexp_extract + fallback) + one partial-combining hash
+    //      aggregate ----
     "q_domain_stats" -> ((s, dir) =>
-      graft.ops.Domains.domainStats(docsWithUrls(s, dir))
+      graft.ops.Domains.domainStats(docsWithIntlUrls(s, dir))
         .orderBy(col("domain"))),
 
     // ---- domain-keyed stratified sampling: the same map-side hash gate as
-    //      q_stratified_sample, strata = registered domain (per-domain
-    //      mixing quotas — VERDICT r3 missing #3) ----
+    //      q_stratified_sample, strata = PSL-aware registered domain
+    //      (per-domain mixing quotas — VERDICT r3 missing #3) ----
     "q_domain_sample" -> ((s, dir) =>
       graft.ops.Sampling.stratifiedSample(
-        docsWithUrls(s, dir)
+        docsWithIntlUrls(s, dir)
           .withColumn("domain", graft.ops.Domains.registeredDomain(col("url")))
           .select(col("doc_id"), col("domain")),
-        Map("src0-site.org" -> 0.5, "src7-site.org" -> 1.0,
-          "src13-site.org" -> 0.25, "src19-site.org" -> 0.125),
+        Map("src0-site.org" -> 0.5, "src7-site.co.uk" -> 1.0,
+          "src13-site.co.uk" -> 0.25, "src19-site.ac.jp" -> 0.125,
+          "src2-site.com.au" -> 0.5),
         strataCol = "domain")
         .orderBy(col("doc_id"))),
 
@@ -1239,6 +1264,13 @@ object SparkEntry {
       when(col("doc_id") % 3 === 0, col("text"))
         .otherwise(concat(col("text"), lit(" fresh"))).as("text"))
 
+  /** The PSL suffix alternation the domain oracles splice into their SQL —
+    * the SAME RE2-portable pattern [[graft.ops.Domains.registeredDomain]]
+    * compiles (pinned convention: shared patterns, independent engines).
+    */
+  private val pslPattern: String =
+    graft.ops.Domains.suffixPattern(graft.ops.Domains.DefaultMultiLabelSuffixes)
+
   def oracleSql: Map[String, String] = Map(
     // ---- golden-parquet oracles (reference-derived) ----
     "q_align_spans" -> golden("q_align_spans"),
@@ -1357,31 +1389,48 @@ object SparkEntry {
          |SELECT doc_id, regexp_replace(u, '([^/])/$', '\1', 'g') AS canon_url
          |FROM s7 ORDER BY doc_id""".stripMargin.replace("\n", " ")),
 
-    // ---- domain blocklist: same url/domain synthesis as q_domain_stats,
-    //      NOT IN the blocked set ----
+    // ---- domain blocklist: same intl url/domain synthesis as
+    //      q_domain_stats, NOT IN the blocked set (all three multi-label
+    //      suffix shapes present) ----
     "q_domain_filter" ->
-      ("""WITH d AS (SELECT *, 'https://' ||
+      (s"""WITH d AS (SELECT *, 'https://' ||
          |    (CASE WHEN doc_id % 3 = 0 THEN 'www.'
          |          WHEN doc_id % 3 = 1 THEN 'cdn.' ELSE '' END) ||
-         |    source || '-site.org/p/' || CAST(doc_id AS VARCHAR) AS url
+         |    source || '-site' ||
+         |    (CASE WHEN doc_id % 4 = 0 THEN '.org'
+         |          WHEN doc_id % 4 = 1 THEN '.co.uk'
+         |          WHEN doc_id % 4 = 2 THEN '.com.au' ELSE '.ac.jp' END) ||
+         |    '/p/' || CAST(doc_id AS VARCHAR) AS url
          |  FROM documents),
-         |h AS (SELECT *, regexp_extract(
-         |        regexp_extract(url, '^[a-z]+://([^/]+)', 1),
-         |        '[^.]+\.[^.]+$', 0) AS domain FROM d)
-         |SELECT doc_id FROM h
-         |WHERE domain NOT IN ('src3-site.org', 'src7-site.org', 'src11-site.org')
+         |h AS (SELECT *, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host FROM d),
+         |rd AS (SELECT *, CASE
+         |    WHEN regexp_extract(host, '$pslPattern', 1) <> ''
+         |    THEN regexp_extract(host, '$pslPattern', 1)
+         |    ELSE regexp_extract(host, '[^.]+\\.[^.]+$$', 0) END AS domain FROM h)
+         |SELECT doc_id FROM rd
+         |WHERE domain NOT IN ('src3-site.org', 'src7-site.co.uk',
+         |  'src11-site.com.au', 'src5-site.ac.jp')
          |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
 
-    // ---- per-domain stats: url synthesis + host/registered-domain
-    //      extraction reimplemented with DuckDB regexes (not parse_url) ----
+    // ---- per-domain stats: intl url synthesis + PSL-aware
+    //      registered-domain extraction reimplemented with DuckDB regexes
+    //      (not parse_url); the suffix alternation is the SAME pinned
+    //      RE2-portable pattern the Spark side compiles ----
     "q_domain_stats" ->
-      ("""WITH d AS (SELECT *, 'https://' ||
+      (s"""WITH d AS (SELECT *, 'https://' ||
          |    (CASE WHEN doc_id % 3 = 0 THEN 'www.'
          |          WHEN doc_id % 3 = 1 THEN 'cdn.' ELSE '' END) ||
-         |    source || '-site.org/p/' || CAST(doc_id AS VARCHAR) AS url
+         |    source || '-site' ||
+         |    (CASE WHEN doc_id % 4 = 0 THEN '.org'
+         |          WHEN doc_id % 4 = 1 THEN '.co.uk'
+         |          WHEN doc_id % 4 = 2 THEN '.com.au' ELSE '.ac.jp' END) ||
+         |    '/p/' || CAST(doc_id AS VARCHAR) AS url
          |  FROM documents),
          |h AS (SELECT *, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host FROM d)
-         |SELECT regexp_extract(host, '[^.]+\.[^.]+$', 0) AS domain,
+         |SELECT CASE
+         |    WHEN regexp_extract(host, '$pslPattern', 1) <> ''
+         |    THEN regexp_extract(host, '$pslPattern', 1)
+         |    ELSE regexp_extract(host, '[^.]+\\.[^.]+$$', 0) END AS domain,
          |  count(*) AS n_docs,
          |  CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens,
          |  CAST(sum(length(text)) AS BIGINT) AS n_chars

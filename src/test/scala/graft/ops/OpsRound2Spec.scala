@@ -269,6 +269,33 @@ class OpsRound2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon("https://x.org/a#frag") === "https://x.org/a")
   }
 
+  test("registeredDomain: multi-label public suffixes bind eTLD+1, longest wins") {
+    import spark.implicits._
+    def rd(u: String): String =
+      Seq(Tuple1(u)).toDF("u")
+        .select(Domains.registeredDomain(col("u"))).as[String].collect().head
+    // multi-label suffixes keep the registrable label
+    assert(rd("https://www.example.co.uk/p") === "example.co.uk")
+    assert(rd("https://a.b.example.com.au/p") === "example.com.au")
+    assert(rd("https://cdn.shop.ac.jp/x?q=1") === "shop.ac.jp")
+    // single-label TLD: plain last-2 fallback
+    assert(rd("https://www.example.org/p") === "example.org")
+    assert(rd("https://deep.sub.example.com/p") === "example.com")
+    // NOT a listed suffix: co.uk-lookalike must not over-collapse
+    assert(rd("https://www.example.co.zz/p") === "co.zz")
+    // a bare public suffix has no registrable label: degenerate fallback
+    assert(rd("https://co.uk/") === "co.uk")
+    // injectable table: an empty table IS the naive rule
+    assert(Seq(Tuple1("https://www.example.co.uk/p")).toDF("u")
+      .select(Domains.registeredDomain(col("u"), Nil)).as[String]
+      .collect().head === "co.uk")
+    // custom 3-label suffix outranks a 2-label one on the same host
+    assert(Seq(Tuple1("https://x.school.act.edu.au/p")).toDF("u")
+      .select(Domains.registeredDomain(col("u"),
+        Seq("edu.au", "act.edu.au"))).as[String]
+      .collect().head === "school.act.edu.au")
+  }
+
   test("domain filter: block keeps null-domain rows, allow drops them") {
     import spark.implicits._
     val docs = Seq(

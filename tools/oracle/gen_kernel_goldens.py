@@ -236,14 +236,32 @@ def main():
           {"doc_id": [x[0] for x in strows], "lang": [x[1] for x in strows]})
 
     # ---- q_domain_sample (domain-keyed hash-gate quota sampling; mirrors
-    #      SparkEntry.docsWithUrls + Domains.registeredDomain + the same
-    #      Sampling gate keyed on registered domain) ----
+    #      SparkEntry.docsWithIntlUrls + the PSL-aware
+    #      Domains.registeredDomain + the same Sampling gate keyed on
+    #      registered domain). The suffix matching here is an INDEPENDENT
+    #      implementation (longest endswith over the suffix table, not the
+    #      Spark side's regexp) — only the suffix DATA is shared. The list
+    #      holds the fixture-relevant subset plus decoys that must NOT match.
+    psl_multi = ["co.uk", "org.uk", "ac.uk", "com.au", "net.au", "edu.au",
+                 "ac.jp", "co.jp", "or.jp", "com.br", "co.in", "co.za"]
     def registered_domain(doc_id, source):
         sub = "www." if doc_id % 3 == 0 else ("cdn." if doc_id % 3 == 1 else "")
-        host = sub + source + "-site.org"
-        return ".".join(host.split(".")[-2:])
-    dquotas = {"src0-site.org": 0.5, "src7-site.org": 1.0,
-               "src13-site.org": 0.25, "src19-site.org": 0.125}
+        tld = [".org", ".co.uk", ".com.au", ".ac.jp"][doc_id % 4]
+        host = sub + source + "-site" + tld
+        labels = host.split(".")
+        best = None
+        for s in psl_multi:
+            sl = s.split(".")
+            if len(labels) > len(sl) and labels[-len(sl):] == sl:
+                if best is None or len(sl) > len(best.split(".")):
+                    best = s
+        if best is not None:
+            n = len(best.split(".")) + 1
+            return ".".join(labels[-n:])
+        return ".".join(labels[-2:])
+    dquotas = {"src0-site.org": 0.5, "src7-site.co.uk": 1.0,
+               "src13-site.co.uk": 0.25, "src19-site.ac.jp": 0.125,
+               "src2-site.com.au": 0.5}
     dthresholds = {k: int(math.floor(q * 1e6 + 0.5)) for k, q in dquotas.items()}
     dsrc = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "source"]).to_pandas()
