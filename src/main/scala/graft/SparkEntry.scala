@@ -670,6 +670,25 @@ object SparkEntry {
         .orderBy(col("left_id"), col("right_id"))
     }),
 
+    // ---- fuzzy-decontamination CONSUMER (join -> anti-join): the cleaned
+    //      training corpus after dropping every doc fuzzy-matching the
+    //      eval set — the same fixtures as q_minhash_join, so the golden
+    //      mirrors join + drop independently ----
+    "q_decontam_drop" -> ((s, dir) => {
+      import s.implicits._
+      val leftC = docs(s, dir).select(col("doc_id"), col("text"))
+      val rightC = leftC.filter(col("doc_id") % 17 === 0).as[(Long, String)]
+        .map { case (id, text) =>
+          val toks = text.split(" ")
+          val kept = toks.iterator.zipWithIndex
+            .filter { case (_, i) => (i + id) % 41 != 0 }.map(_._1)
+          (id + 9000000L, kept.mkString(" "))
+        }.toDF("doc_id", "text")
+      Dedup.decontaminate(leftC, rightC, threshold = 0.5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- snapshot diff between two crawls: every 7th doc removed, every
     //      5th surviving doc mutated, every 11th re-added under a new id —
     //      all four statuses bind; the oracle compares TEXT (the digest
@@ -1456,6 +1475,7 @@ object SparkEntry {
     "q_bpe_encode" -> golden("q_bpe_encode"),
     "q_tokenizer_pipeline" -> golden("q_tokenizer_pipeline"),
     "q_minhash_join" -> golden("q_minhash_join"),
+    "q_decontam_drop" -> golden("q_decontam_drop"),
     "q_repetition" -> golden("q_repetition"),
     "q_embed_cluster" -> golden("q_embed_cluster"),
     "q_embed_near_dups" -> golden("q_embed_near_dups"),

@@ -273,6 +273,49 @@ object Dedup {
       .select(col("left_id"), col("right_id"), col("jaccard"))
   }
 
+  /** Fuzzy-decontamination CONSUMER (VERDICT r4 next #5) — the step a
+    * pipeline actually runs before training: [[minhashJoin]] emits the
+    * (training, eval) match pairs; this resolves them into either the
+    * cleaned corpus or the audit table.
+    *
+    *  - mode "drop": training rows with NO eval match ≥ threshold — the
+    *    pair table anti-joins the corpus on doc_id (all original columns
+    *    survive).
+    *  - mode "flag": one row per CONTAMINATED training doc with its best
+    *    eval match: (doc_id, best_eval_id, best_jaccard), best = argmax by
+    *    (jaccard, eval_id) — the deterministic max(struct) tie-break (equal
+    *    jaccard → larger eval id), a map-side-combining aggregate, no
+    *    window sort.
+    *
+    * Scale shape: the pair table is match-sized (decontamination hit rates
+    * are small fractions of the corpus), so the argmax shuffles pairs only
+    * and the anti-join shuffles (doc_id, digest-less) keys — document text
+    * never moves beyond minhashJoin's own verified-candidate join. Null
+    * doc_ids are rejected by bandedSigs upstream (repo null-id convention).
+    */
+  def decontaminate(
+      training: DataFrame,
+      evalSet: DataFrame,
+      threshold: Double = 0.7,
+      mode: String = "drop",
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      shingleN: Int = 3,
+      maxBucketSide: Int = 1000): DataFrame = {
+    require(mode == "drop" || mode == "flag", s"mode must be drop|flag: $mode")
+    val pairs = minhashJoin(training, evalSet, threshold, bands, rowsPerBand,
+      shingleN, maxBucketSide)
+    if (mode == "flag")
+      pairs.groupBy(col("left_id").as("doc_id"))
+        .agg(max(struct(col("jaccard"), col("right_id"))).as("m"))
+        .select(col("doc_id"), col("m.right_id").as("best_eval_id"),
+          col("m.jaccard").as("best_jaccard"))
+    else
+      training.join(
+        pairs.select(col("left_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+  }
+
   /** MinHash-LSH near-duplicate pairs.
     *
     * numPerm = bands * rowsPerBand. Pairs sharing ≥1 band bucket are

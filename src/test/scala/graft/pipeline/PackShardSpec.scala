@@ -161,6 +161,32 @@ class PackShardSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decontaminate: drop removes exactly the matched docs; flag argmaxes " +
+      "by (jaccard, eval_id) with deterministic ties") {
+    import spark.implicits._
+    // t1 matches e1 strongly and e2 weakly; t2 matches nothing; t3 matches
+    // e2 and e3 with IDENTICAL text (tied jaccard 1.0 -> larger id wins)
+    val common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val training = Seq(
+      (1L, common + " one more"),
+      (2L, "совершенно unrelated текст без каких-либо совпадений вообще"),
+      (3L, common)).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (101L, common + " one extra"),
+      (102L, common),
+      (103L, common)).toDF("doc_id", "text")
+    val dropped = graft.ops.Dedup.decontaminate(training, evalSet, threshold = 0.5)
+    assert(dropped.columns.toSeq == Seq("doc_id", "text"))
+    assert(dropped.select("doc_id").as[Long].collect().toSet == Set(2L))
+    val flagged = graft.ops.Dedup
+      .decontaminate(training, evalSet, threshold = 0.5, mode = "flag")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(flagged.map(f => (f._1, f._2)) == Seq((1L, 101L), (3L, 103L)),
+      s"argmax mismatch: $flagged")
+    assert(flagged(1)._3 == 1.0)
+  }
+
   test("Bpe.applyMerge: left-to-right non-overlapping; train stops when exhausted") {
     import spark.implicits._
     assert(graft.ops.Bpe.applyMerge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))

@@ -588,6 +588,14 @@ def main():
            "right_id": [x[1] for x in _jrows],
            "jaccard": [x[2] for x in _jrows]})
 
+    # ---- q_decontam_drop (decontamination consumer: training docs with NO
+    #      eval match >= threshold — mirrors join + drop independently) ----
+    _contaminated = {a for a, _, _ in _jrows}
+    _survivors = sorted(d for d in _lmap if d not in _contaminated)
+    write("q_decontam_drop",
+          pa.schema([("doc_id", pa.int64())]),
+          {"doc_id": _survivors})
+
     # ---- q_simhash_dedup (chunks=8, keyChunks=2 Manku combos, maxHamming=7,
     #      median-adaptive cap — mirrors Dedup.simhashNearDups) ----
     from itertools import combinations
