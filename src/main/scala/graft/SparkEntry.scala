@@ -790,6 +790,26 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // ---- FULL training-data pipeline composition (VERDICT r4 next #6):
+    //      near-dup survivors (minhash ∪ simhash pairs → clusters →
+    //      canonical-only corpus) → quality gate → BPE encode → pack
+    //      index at C=256 through the forced scaled prefix sum. The
+    //      deepest composition row: four operator families chained on
+    //      their real column contracts, each stage mirrored independently
+    //      in the Python golden ----
+    "q_pipeline" -> ((s, dir) => {
+      val survivors = graft.ops.CacheRegistry.register(
+        Dedup.dedupSurvivors(docsWithNearDups(s, dir), nearDupClustersFor(s, dir))
+          .persist())
+      val quality = survivors.join(
+        TextOps.qualityFilterVerdict(survivors.select(col("doc_id"), col("text")))
+          .filter(col("keep")).select(col("doc_id")), Seq("doc_id"))
+      TextOps.packIndexFromCounts(
+          graft.ops.Bpe.encodeCounts(quality, trainedMergesFor(s, dir)),
+          contextLen = 256, forceScaled = true, nCol = "n_pieces")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- cross-document duplicate SPANS (substring-dedup signal): token
     //      offsets of 8-token windows that also occur in another document —
     //      the masking input for span-level dedup; shuffle carries
@@ -1476,6 +1496,7 @@ object SparkEntry {
     "q_tokenizer_pipeline" -> golden("q_tokenizer_pipeline"),
     "q_minhash_join" -> golden("q_minhash_join"),
     "q_decontam_drop" -> golden("q_decontam_drop"),
+    "q_pipeline" -> golden("q_pipeline"),
     "q_repetition" -> golden("q_repetition"),
     "q_embed_cluster" -> golden("q_embed_cluster"),
     "q_embed_near_dups" -> golden("q_embed_near_dups"),

@@ -626,6 +626,59 @@ def main():
           {"doc_a": [x[0] for x in hrows], "doc_b": [x[1] for x in hrows],
            "hamming": [x[2] for x in hrows]})
 
+    # ---- q_pipeline (full training-data composition: near-dup survivors
+    #      over minhash ∪ simhash clusters -> quality gate -> BPE encode
+    #      under the independently trained vocab -> chunk index at C=256;
+    #      every stage mirrored here, none via Spark) ----
+    _parent = {}
+    def _find(x):
+        while _parent.get(x, x) != x:
+            _parent[x] = _parent.get(_parent[x], _parent[x])
+            x = _parent[x]
+        return x
+    def _union(a, b):
+        ra, rb = _find(a), _find(b)
+        if ra != rb:
+            if ra < rb:
+                _parent[rb] = ra
+            else:
+                _parent[ra] = rb
+    for a, b, _ in mrows:
+        _union(a, b)
+    for a, b, _ in hrows:
+        _union(a, b)
+    _members = set(_parent.keys())
+    _pl_survivors = sorted(d for d in near
+                           if d not in _members or _find(d) == d)
+    _pl_quality = [d for d in _pl_survivors if _curate_keep(near[d])]
+    _pl_counts = []
+    for d in _pl_quality:
+        total = 0
+        for w in near[d].split(" "):
+            if w:
+                total += len(_vocab[w])
+        _pl_counts.append((d, total))
+    _plC = 256
+    _pl_cum = 0
+    _pl_rows = []
+    for doc_id, n in _pl_counts:
+        start = _pl_cum
+        _pl_cum += n
+        _pl_rows.append((doc_id, n, start,
+                         start // _plC if n > 0 else None,
+                         (_pl_cum - 1) // _plC if n > 0 else None,
+                         start % _plC))
+    write("q_pipeline",
+          pa.schema([("doc_id", pa.int64()), ("n_pieces", pa.int64()),
+                     ("global_start", pa.int64()), ("chunk_first", pa.int64()),
+                     ("chunk_last", pa.int64()), ("chunk_offset", pa.int64())]),
+          {"doc_id": [x[0] for x in _pl_rows],
+           "n_pieces": [x[1] for x in _pl_rows],
+           "global_start": [x[2] for x in _pl_rows],
+           "chunk_first": [x[3] for x in _pl_rows],
+           "chunk_last": [x[4] for x in _pl_rows],
+           "chunk_offset": [x[5] for x in _pl_rows]})
+
     # ---- q_media_features ----
     write("q_media_features",
           pa.schema([("media_id", pa.int64()), ("kind", pa.string()),
