@@ -536,6 +536,23 @@ object SparkEntry {
               lit(" now")))
             .otherwise(col("text"))).as("redacted"))),
 
+    // ---- wide-recall PII redaction (opt-in): international variable
+    //      grouping and boundary-guarded unseparated 10-digit runs redact;
+    //      long numeric ids survive; the conservative default formats keep
+    //      redacting. Every 5th doc plants a rotating wide-mode format ----
+    "q_redact_wide" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.redactPii(
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" ring "),
+              when(col("doc_id") % 4 === 0, lit("+44 20 7946 0958"))
+                .when(col("doc_id") % 4 === 1, lit("+49 30 901820"))
+                .when(col("doc_id") % 4 === 2, lit("5551234567"))
+                .otherwise(lit("id 20240506112233 or 555-123-4567")),
+              lit(" soon")))
+            .otherwise(col("text")),
+          wide = true).as("redacted"))),
+
     // ---- embedding clustering (per-cluster corpus organization) ----
     "q_embed_cluster" -> ((s, dir) =>
       Similarity.clusterAssign(tbl(s, dir, "embeddings"))),
@@ -1841,6 +1858,22 @@ object SparkEntry {
          |         ELSE text END,
          |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
          |    '(?:\+?[0-9]{1,2}[- ])?(?:\([0-9]{3}\) ?|[0-9]{3}[- ])[0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g') AS redacted
+         |FROM documents""".stripMargin.replace("\n", " ")),
+
+    "q_redact_wide" ->
+      ("""SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    CASE WHEN doc_id % 5 = 0
+         |         THEN text || ' ring ' ||
+         |              (CASE WHEN doc_id % 4 = 0 THEN '+44 20 7946 0958'
+         |                    WHEN doc_id % 4 = 1 THEN '+49 30 901820'
+         |                    WHEN doc_id % 4 = 2 THEN '5551234567'
+         |                    ELSE 'id 20240506112233 or 555-123-4567' END) || ' soon'
+         |         ELSE text END,
+         |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+         |    '(?:\+?[0-9]{1,2}[- ])?(?:\([0-9]{3}\) ?|[0-9]{3}[- ])[0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g'),
+         |    '\+[0-9]{1,3}(?:[- ][0-9]{2,4}){1,3}[- ][0-9]{2,6}', '<PHONE>', 'g'),
+         |    '(^|[^0-9])([0-9]{10})($|[^0-9])', '\1<PHONE>\3', 'g') AS redacted
          |FROM documents""".stripMargin.replace("\n", " ")),
 
     "q_jsonl_scan" ->

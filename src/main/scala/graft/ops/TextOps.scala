@@ -570,14 +570,47 @@ object TextOps {
     * parenthesized or separator-delimited area code, then the 3-4 local
     * groups — so '+1-555-123-4567', '555-123-4567', '(555) 123-4567' and
     * '555 123 4567' all redact. UNSEPARATED 10-digit runs are deliberately
-    * NOT matched: any numeric id/timestamp would collide, and a scrub that
-    * eats arbitrary long numbers destroys non-PII data (documented recall
-    * bound, not an oversight).
+    * NOT matched by DEFAULT: any numeric id/timestamp would collide, and a
+    * scrub that eats arbitrary long numbers destroys non-PII data
+    * (documented recall bound, not an oversight).
+    *
+    * `wide = true` (VERDICT r4 next #8) opt-in widens recall at a
+    * documented precision cost, adding two passes AFTER the conservative
+    * ones:
+    *  - international variable grouping: '+CC' then 2-4 separator-split
+    *    digit groups ('+44 20 7946 0958', '+49 30 901820');
+    *  - unseparated 10-digit runs bounded by non-digits on BOTH sides
+    *    ('5551234567'; longer digit runs — ids, timestamps — stay, and of
+    *    two ADJACENT space-separated runs only the first redacts: the
+    *    boundary char is consumed by the first match in both engines).
+    *
+    * Recall/precision by format:
+    * {{{
+    *   format                                   default   wide
+    *   user@host.tld                            redact    redact
+    *   +1-555-123-4567 / 555-123-4567           redact    redact
+    *   (555) 123-4567 / 555 123 4567            redact    redact
+    *   +44 20 7946 0958 (intl grouping)         keep      redact
+    *   +49 30 901820 (intl, long tail group)    keep      redact
+    *   5551234567 (unseparated 10-digit)        keep      redact
+    *   2024050611223344 (long numeric id)       keep      keep
+    *   "+12 34 56" (score-like, phone-shaped)   keep      REDACT (FP class)
+    * }}}
     */
-  def redactPii(text: Column): Column = {
+  def redactPii(text: Column, wide: Boolean = false): Column = {
     val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
     val phone = "(?:\\+?[0-9]{1,2}[- ])?(?:\\([0-9]{3}\\) ?|[0-9]{3}[- ])[0-9]{3}[- ][0-9]{4}"
-    regexp_replace(regexp_replace(text, email, "<EMAIL>"), phone, "<PHONE>")
+    val base = regexp_replace(regexp_replace(text, email, "<EMAIL>"), phone, "<PHONE>")
+    if (!wide) base
+    else {
+      // explicit classes only (Java/RE2-portable); the bare-run guard uses
+      // capture groups instead of lookaround (RE2 has none)
+      val intl = "\\+[0-9]{1,3}(?:[- ][0-9]{2,4}){1,3}[- ][0-9]{2,6}"
+      val bare = "(^|[^0-9])([0-9]{10})($|[^0-9])"
+      regexp_replace(
+        regexp_replace(base, intl, "<PHONE>"),
+        bare, "$1<PHONE>$3")
+    }
   }
 
   /** Inverted-index build (term → document-frequency + posting list) with

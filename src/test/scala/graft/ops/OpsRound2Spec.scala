@@ -269,6 +269,27 @@ class OpsRound2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon("https://x.org/a#frag") === "https://x.org/a")
   }
 
+  test("redactPii wide mode: intl + bare-10 redact, long ids and 2nd adjacent run kept") {
+    import spark.implicits._
+    def w(t: String): String =
+      Seq(Tuple1(t)).toDF("t")
+        .select(TextOps.redactPii(col("t"), wide = true)).as[String].collect().head
+    def narrow(t: String): String =
+      Seq(Tuple1(t)).toDF("t")
+        .select(TextOps.redactPii(col("t"))).as[String].collect().head
+    assert(w("call +44 20 7946 0958 now") === "call <PHONE> now")
+    assert(w("call +49 30 901820 now") === "call <PHONE> now")
+    assert(w("call 5551234567 now") === "call <PHONE> now")
+    assert(w("id 20240506112233 stays") === "id 20240506112233 stays")
+    // adjacent unseparated runs: the boundary space is consumed by the
+    // first match, so the second run survives (documented engine-parity
+    // behavior, identical in Java regex and RE2)
+    assert(w("5551234567 5551234567") === "<PHONE> 5551234567")
+    // default mode keeps all wide-only formats
+    assert(narrow("call +44 20 7946 0958 or 5551234567") ===
+      "call +44 20 7946 0958 or 5551234567")
+  }
+
   test("registeredDomain: multi-label public suffixes bind eTLD+1, longest wins") {
     import spark.implicits._
     def rd(u: String): String =
