@@ -23,6 +23,9 @@ object CurationScaleCheck {
   def main(args: Array[String]): Unit = {
     val k = if (args.nonEmpty) args(0).toInt else 24
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    // replica count for the realistic minhash-join corpus (args(2));
+    // kReal=400 on sf0.1 ≈ 2M docs
+    val kReal = if (args.length > 2) args(2).toInt else k
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -85,10 +88,50 @@ object CurationScaleCheck {
       force(Dedup.minhashJoin(corpus, right, threshold = 0.5))
     }
 
+    // REALISTIC-dup-rate minhash join (VERDICT r4 next #7): replicas are
+    // made genuinely DISTINCT — every third token (by (i + r) mod 3) gets
+    // a replica-suffixed variant, so every 3-shingle of one replica
+    // contains a token another replica does not and cross-replica jaccard
+    // is ~0 — and the eval side is a ~5% mutated sample (drop every 41st
+    // token), each matching exactly its source: the candidate volume and
+    // hit rate of a real decontamination run, so the two-parallelism
+    // number measures the OPERATOR. Sized independently of k (kReal
+    // replicas; kReal=400 on sf0.1 ≈ 2M docs).
+    val realistic = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lit(kReal - 1))).as("r"))
+      .select((col("doc_id") + col("r") * 10000000L).as("doc_id"),
+        array_join(
+          zip_with(
+            split(col("text"), " "),
+            sequence(lit(0), size(split(col("text"), " ")) - 1),
+            (x, i) => when((i + col("r")) % 3 === 0,
+              concat(x, lit("_"), col("r"))).otherwise(x)),
+          " ").as("text"))
+      .repartition(cpus.toInt * 4, col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nReal = realistic.count()
+    val evalSide = realistic.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id") + 900000000L as "doc_id",
+        array_join(
+          filter(
+            zip_with(
+              split(col("text"), " "),
+              sequence(lit(0), size(split(col("text"), " ")) - 1),
+              (x, i) => when((i + col("doc_id")) % 41 === 0, lit(null))
+                .otherwise(x)),
+            _.isNotNull),
+          " ").as("text"))
+    val realisticSec = timedWarm {
+      force(Dedup.minhashJoin(realistic, evalSide, threshold = 0.5))
+    }
+    realistic.unpersist()
+
     val ops = results.map { case (name, sec) =>
       f""""${name}_docs_per_sec":${n / sec}%.1f"""
-    }.mkString(",")
-    println(s"""{"bench":"curation_scale","docs":$n,"cpus":$cpus,"ops":{$ops}}""")
+    }.mkString(",") +
+      f""","minhash_join_realistic_docs_per_sec":${nReal / realisticSec}%.1f"""
+    println(s"""{"bench":"curation_scale","docs":$n,"docs_realistic":$nReal,"cpus":$cpus,"ops":{$ops}}""")
     spark.stop()
   }
 }
