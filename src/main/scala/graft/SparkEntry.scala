@@ -1237,6 +1237,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // streaming FUZZY decontamination against a static broadcast eval
+    // index (stateless, zero shuffle — the crawl-past-a-benchmark-suite
+    // shape): same corpus synthesis as the batch q_decontam_drop, and the
+    // SAME golden verbatim (anti-drift, like q_incremental_stream)
+    "q_decontam_stream" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = scratchDir(s, "decontam_stream")
+      val leftC = docs(s, dir).select(col("doc_id"), col("text"))
+      leftC.write.parquet(s"$tmp/training")
+      val rightC = leftC.filter(col("doc_id") % 17 === 0).as[(Long, String)]
+        .map { case (id, text) =>
+          val toks = text.split(" ")
+          val kept = toks.iterator.zipWithIndex
+            .filter { case (_, i) => (i + id) % 41 != 0 }.map(_._1)
+          (id + 9000000L, kept.mkString(" "))
+        }.toDF("doc_id", "text")
+      graft.streaming.StreamingJobs.withShufflePartitions(s, 4) {
+        graft.streaming.StreamingJobs.runAvailableNow(
+          graft.streaming.StreamingJobs.decontaminateStream(
+            s, s"$tmp/training", rightC, threshold = 0.5),
+          s"$tmp/out")
+      }
+      s.read.parquet(s"$tmp/out/data").select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // streaming exact dedup (dropDuplicatesWithinWatermark) over the
     // planted-duplicate corpus; emits the surviving text (deterministic —
     // duplicates share their text)
@@ -1513,6 +1539,9 @@ object SparkEntry {
     "q_tokenizer_pipeline" -> golden("q_tokenizer_pipeline"),
     "q_minhash_join" -> golden("q_minhash_join"),
     "q_decontam_drop" -> golden("q_decontam_drop"),
+    // the streaming form shares the BATCH row's golden verbatim — the two
+    // implementations can never drift apart silently
+    "q_decontam_stream" -> golden("q_decontam_drop"),
     "q_pipeline" -> golden("q_pipeline"),
     "q_repetition" -> golden("q_repetition"),
     "q_embed_cluster" -> golden("q_embed_cluster"),

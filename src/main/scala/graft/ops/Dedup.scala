@@ -188,6 +188,24 @@ object Dedup {
     }
   }
 
+  /** The banded key fold over a document's minhash signature — the ONE
+    * definition both the distributed signature stage ([[bandedSigs]]) and
+    * the stream-side map probe
+    * ([[graft.streaming.StreamingJobs.decontaminateStream]]) compile, so
+    * the two paths can never drift.
+    */
+  private[graft] def bandKeysOf(
+      text: String, numPerm: Int, bands: Int, rowsPerBand: Int,
+      shingleN: Int): Array[Long] = {
+    val sig = minhashSignature(text, numPerm, shingleN)
+    Array.tabulate(bands) { b =>
+      var h = 1125899906842597L ^ b
+      var r = 0
+      while (r < rowsPerBand) { h = TextOps.mix(h ^ sig(b * rowsPerBand + r)); r += 1 }
+      h
+    }
+  }
+
   /** Per-document banded MinHash keys, persisted through the bounded
     * registry — the shared signature stage of [[minhashNearDups]] (self)
     * and [[minhashJoin]] (cross). One text pass; ~140 B/row cached.
@@ -209,14 +227,7 @@ object Dedup {
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val sig = minhashSignature(text, numPerm, shingleN)
-        val bandKeys = Array.tabulate(bands) { b =>
-          var h = 1125899906842597L ^ b
-          var r = 0
-          while (r < rowsPerBand) { h = TextOps.mix(h ^ sig(b * rowsPerBand + r)); r += 1 }
-          h
-        }
-        (id, bandKeys)
+        (id, bandKeysOf(text, numPerm, bands, rowsPerBand, shingleN))
       })
       .toDF("doc_id", "band_keys")
       .persist())

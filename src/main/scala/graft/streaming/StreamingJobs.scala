@@ -207,6 +207,104 @@ object StreamingJobs {
       .select(col("doc_id"), col("text"))
   }
 
+  /** Streaming FUZZY decontamination against a STATIC eval set — the
+    * production shape for a 10^12-doc crawl streaming past a fixed
+    * benchmark suite: benchmarks are small by definition, so the eval
+    * side's banded minhash signatures AND texts are collected into a
+    * driver index (the explicit `maxEvalDocs` bound IS the driver-collect
+    * contract, same convention as `Bpe.localVocabLimit` /
+    * `bucketByScore.maxSampleRows` — over it, fail loudly) and BROADCAST;
+    * each streaming document computes its own band keys map-side with the
+    * SAME compiled fold as the batch signature stage
+    * ([[graft.ops.Dedup.bandKeysOf]]), probes the index, and survives only
+    * if no candidate verifies at exact jaccard ≥ threshold. STATELESS —
+    * zero shuffle, zero watermark state, arbitrarily parallel.
+    *
+    * Semantics vs the batch [[graft.ops.Dedup.decontaminate]] drop mode:
+    * identical at any scale where the batch's per-side bucket caps do not
+    * bind (the eval-side cap IS applied here at index build; the
+    * training-side cap is a batch-only skew guard with no stateless
+    * analogue — a hot band key costs this form per-row probe time, not a
+    * quadratic bucket product). The driver row shares the batch row's
+    * GOLDEN verbatim (anti-drift, like q_incremental_stream's shared SQL).
+    */
+  def decontaminateStream(
+      spark: SparkSession,
+      newDocsDir: String,
+      evalSet: DataFrame,
+      threshold: Double = 0.7,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      shingleN: Int = 3,
+      maxEvalDocs: Long = 1000000L,
+      maxBucketSide: Int = 1000): DataFrame = {
+    import graft.ops.Dedup
+    val numPerm = bands * rowsPerBand
+    val evalRows = evalSet
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("text"))
+      .limit((maxEvalDocs + 1).toInt)
+      .collect().map(_.getString(0))
+    require(evalRows.length <= maxEvalDocs,
+      s"eval set exceeds maxEvalDocs=$maxEvalDocs — decontaminateStream " +
+        "broadcasts the eval side; use the batch Dedup.decontaminate for " +
+        "corpus-sized eval tables")
+    val index = new java.util.HashMap[Long, Array[Int]]()
+    locally {
+      val tmp = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
+      var i = 0
+      while (i < evalRows.length) {
+        val keys = Dedup.bandKeysOf(evalRows(i), numPerm, bands, rowsPerBand, shingleN)
+        var b = 0
+        while (b < keys.length) {
+          // key space is already band-salted (the fold xors the band id),
+          // so a flat Long key suffices
+          tmp.computeIfAbsent(keys(b),
+            _ => scala.collection.mutable.ArrayBuffer.empty) += i
+          b += 1
+        }
+        i += 1
+      }
+      tmp.forEach { (k, v) =>
+        // eval-side bucket cap — the same boilerplate-key guard as the
+        // batch join's maxBucketSide
+        if (v.length <= maxBucketSide) index.put(k, v.distinct.toArray)
+      }
+    }
+    val bc = spark.sparkContext.broadcast((index, evalRows))
+    val clean = udf((text: String) => {
+      if (text == null) true
+      else {
+        val (idx, texts) = bc.value
+        val keys = Dedup.bandKeysOf(text, numPerm, bands, rowsPerBand, shingleN)
+        // a candidate sharing several bands would verify repeatedly — the
+        // seen-set bounds verification to once per candidate
+        val seen = new java.util.HashSet[Integer]()
+        var contaminated = false
+        var b = 0
+        while (b < keys.length && !contaminated) {
+          val cands = idx.get(keys(b))
+          if (cands != null) {
+            var i = 0
+            while (i < cands.length && !contaminated) {
+              if (seen.add(cands(i)) &&
+                Dedup.jaccard(text, texts(cands(i)), shingleN) >= threshold)
+                contaminated = true
+              i += 1
+            }
+          }
+          b += 1
+        }
+        !contaminated
+      }
+    })
+    spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(newDocsDir)
+      .filter(clean(col("text")))
+      .select(col("doc_id"), col("text"))
+  }
+
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily overridden
     * — the state-store sizing knob for the STATEFUL equivalence harnesses
     * (VERDICT r3 wrong #2): a stateful stream instantiates one state store

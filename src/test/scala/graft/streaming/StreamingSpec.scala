@@ -52,6 +52,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.select(countDistinct(col("text"))).as[Long].head() === 40)
   }
 
+  test("decontaminateStream == batch decontaminate drop; oversized eval fails loudly") {
+    import spark.implicits._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_decontam_stream"
+    rmTree(base)
+    val training = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    training.write.parquet(s"$base/training")
+    val evalSet = training.filter(col("doc_id") % 9 === 0)
+      .select(col("doc_id") + 5000000L as "doc_id", col("text"))
+    val streamed = StreamingJobs.withShufflePartitions(spark, 4) {
+      StreamingJobs.runAvailableNow(
+        StreamingJobs.decontaminateStream(
+          spark, s"$base/training", evalSet, threshold = 0.5),
+        s"$base/out")
+      spark.read.parquet(s"$base/out/data").select("doc_id")
+        .as[Long].collect().toSet
+    }
+    val batch = graft.ops.Dedup
+      .decontaminate(training, evalSet, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch,
+      s"stream/batch divergence: only-stream=${streamed -- batch} only-batch=${batch -- streamed}")
+    assert(streamed.size < training.count(), "nothing was decontaminated")
+    // the driver-collect contract is ENFORCED, not just documented
+    val e = intercept[IllegalArgumentException] {
+      StreamingJobs.decontaminateStream(
+        spark, s"$base/training", evalSet, maxEvalDocs = 2L)
+    }
+    assert(e.getMessage.contains("maxEvalDocs"))
+  }
+
   test("streaming align == batch align; checkpoint resumes incrementally") {
     import spark.implicits._
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_test"
