@@ -160,6 +160,25 @@ object SparkEntry {
           .otherwise(lit("")),
         col("source"), lit("-site.org/p/"), col("doc_id").cast("string")))
 
+  /** The synthetic eval corpus for the decontamination rows — every 17th
+    * doc, lightly mutated (drop every 41st token) and re-identified
+    * +9000000. ONE definition shared by q_minhash_join, q_decontam_drop
+    * and q_decontam_stream: the batch and stream rows share one golden
+    * verbatim as their anti-drift mechanism, which only binds if the
+    * FIXTURE cannot drift either. Mirrored in gen_kernel_goldens.py.
+    */
+  private def decontamEvalCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 17 === 0).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.split(" ")
+        val kept = toks.iterator.zipWithIndex
+          .filter { case (_, i) => (i + id) % 41 != 0 }.map(_._1)
+        (id + 9000000L, kept.mkString(" "))
+      }.toDF("doc_id", "text")
+  }
+
   /** International variant for the domain ops: the TLD rotates across a
     * single-label TLD and three multi-label public suffixes (.co.uk,
     * .com.au, .ac.jp) so the PSL-aware registered-domain path is BOUND by
@@ -674,16 +693,8 @@ object SparkEntry {
     //      mutated (drop every 41st token) and re-identified — each must
     //      fuzzy-match its source document across the two tables ----
     "q_minhash_join" -> ((s, dir) => {
-      import s.implicits._
       val leftC = docs(s, dir).select(col("doc_id"), col("text"))
-      val rightC = leftC.filter(col("doc_id") % 17 === 0).as[(Long, String)]
-        .map { case (id, text) =>
-          val toks = text.split(" ")
-          val kept = toks.iterator.zipWithIndex
-            .filter { case (_, i) => (i + id) % 41 != 0 }.map(_._1)
-          (id + 9000000L, kept.mkString(" "))
-        }.toDF("doc_id", "text")
-      Dedup.minhashJoin(leftC, rightC, threshold = 0.5)
+      Dedup.minhashJoin(leftC, decontamEvalCorpus(s, dir), threshold = 0.5)
         .orderBy(col("left_id"), col("right_id"))
     }),
 
@@ -692,16 +703,8 @@ object SparkEntry {
     //      eval set — the same fixtures as q_minhash_join, so the golden
     //      mirrors join + drop independently ----
     "q_decontam_drop" -> ((s, dir) => {
-      import s.implicits._
       val leftC = docs(s, dir).select(col("doc_id"), col("text"))
-      val rightC = leftC.filter(col("doc_id") % 17 === 0).as[(Long, String)]
-        .map { case (id, text) =>
-          val toks = text.split(" ")
-          val kept = toks.iterator.zipWithIndex
-            .filter { case (_, i) => (i + id) % 41 != 0 }.map(_._1)
-          (id + 9000000L, kept.mkString(" "))
-        }.toDF("doc_id", "text")
-      Dedup.decontaminate(leftC, rightC, threshold = 0.5)
+      Dedup.decontaminate(leftC, decontamEvalCorpus(s, dir), threshold = 0.5)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
@@ -1242,21 +1245,13 @@ object SparkEntry {
     // shape): same corpus synthesis as the batch q_decontam_drop, and the
     // SAME golden verbatim (anti-drift, like q_incremental_stream)
     "q_decontam_stream" -> ((s, dir) => {
-      import s.implicits._
       val tmp = scratchDir(s, "decontam_stream")
-      val leftC = docs(s, dir).select(col("doc_id"), col("text"))
-      leftC.write.parquet(s"$tmp/training")
-      val rightC = leftC.filter(col("doc_id") % 17 === 0).as[(Long, String)]
-        .map { case (id, text) =>
-          val toks = text.split(" ")
-          val kept = toks.iterator.zipWithIndex
-            .filter { case (_, i) => (i + id) % 41 != 0 }.map(_._1)
-          (id + 9000000L, kept.mkString(" "))
-        }.toDF("doc_id", "text")
+      docs(s, dir).select(col("doc_id"), col("text"))
+        .write.parquet(s"$tmp/training")
       graft.streaming.StreamingJobs.withShufflePartitions(s, 4) {
         graft.streaming.StreamingJobs.runAvailableNow(
           graft.streaming.StreamingJobs.decontaminateStream(
-            s, s"$tmp/training", rightC, threshold = 0.5),
+            s, s"$tmp/training", decontamEvalCorpus(s, dir), threshold = 0.5),
           s"$tmp/out")
       }
       s.read.parquet(s"$tmp/out/data").select(col("doc_id"))

@@ -302,7 +302,11 @@ object Dedup {
     * are small fractions of the corpus), so the argmax shuffles pairs only
     * and the anti-join shuffles (doc_id, digest-less) keys — document text
     * never moves beyond minhashJoin's own verified-candidate join. Null
-    * doc_ids are rejected by bandedSigs upstream (repo null-id convention).
+    * doc_ids are rejected by bandedSigs upstream (repo null-id
+    * convention), so a null-id training row can never be flagged and drop
+    * mode conservatively KEEPS it even if its text matches the eval set —
+    * [[graft.streaming.StreamingJobs.decontaminateStream]] implements the
+    * same null-id keep explicitly for parity.
     */
   def decontaminate(
       training: DataFrame,

@@ -240,10 +240,14 @@ object StreamingJobs {
       maxBucketSide: Int = 1000): DataFrame = {
     import graft.ops.Dedup
     val numPerm = bands * rowsPerBand
+    require(maxEvalDocs > 0 && maxEvalDocs < Int.MaxValue,
+      s"maxEvalDocs must be in (0, Int.MaxValue): $maxEvalDocs — the bound " +
+        "is enforced through limit(), whose argument is an Int; a larger " +
+        "value would silently wrap and truncate the index")
     val evalRows = evalSet
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(col("text"))
-      .limit((maxEvalDocs + 1).toInt)
+      .limit(maxEvalDocs.toInt + 1)
       .collect().map(_.getString(0))
     require(evalRows.length <= maxEvalDocs,
       s"eval set exceeds maxEvalDocs=$maxEvalDocs — decontaminateStream " +
@@ -301,7 +305,12 @@ object StreamingJobs {
     spark.readStream
       .schema("doc_id LONG, text STRING")
       .parquet(newDocsDir)
-      .filter(clean(col("text")))
+      // null-id parity with the batch path: bandedSigs never signs a
+      // null-id row, so the batch anti-join conservatively KEEPS it even
+      // when its text is contaminated — the stream must do the same or
+      // the two "anti-drift" forms diverge on exactly the rows no golden
+      // fixture carries
+      .filter(col("doc_id").isNull || clean(col("text")))
       .select(col("doc_id"), col("text"))
   }
 

@@ -126,6 +126,36 @@ class BpeBatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bat(2) == ((3, "d", "e", "de", 20L)), bat(2).toString)
   }
 
+  test("selectBatch: same-batch merged-string collision stops the batch (rule 2)") {
+    // (a,bc) and (ab,c) both concatenate to "abc": accepting both would
+    // let the single string-keyed symbol accumulate the SUM of their
+    // new-pair bounds while the caps took the max — the batch must stop
+    // at the collision and leave (ab,c) to the next sequential round
+    val top = Seq(("a", "bc", 100L), ("ab", "c", 90L), ("x", "y", 50L))
+    val universe = scala.collection.mutable.Set("a", "b", "c", "ab", "bc", "x", "y")
+    val accepted = Bpe.selectBatch(top, Map.empty, Map.empty, Map.empty, universe)
+    assert(accepted.map(t => (t._1, t._2)) == Seq(("a", "bc")),
+      s"collision not stopped: $accepted")
+  }
+
+  test("local trainer tie-break matches Spark's UTF8 (code-point) order on " +
+      "supplementary-plane symbols") {
+    // (�,x) and (emoji,x) tie at freq 5: UTF-16 code-unit order puts
+    // the emoji's high surrogate (0xD83D) FIRST, but Spark's UTF8String
+    // binary order (and the Python golden) sort � first — the
+    // dispatch-selected paths must agree
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq.fill(5)("�x").mkString(" ")),
+      (2L, Seq.fill(5)("😀x").mkString(" "))).toDF("doc_id", "text")
+    val loc = collectMerges(Bpe.train(docs, numMerges = 2))
+    assert(Bpe.lastTrainRounds == 0)
+    val seq = collectMerges(
+      Bpe.train(docs, numMerges = 2, batchCandidates = 1, localVocabLimit = 0))
+    assert(loc == seq, s"local tie-break diverged from distributed:\n$loc\nvs\n$seq")
+    assert(loc.head._2 == "�", s"expected \\uFFFD merge first: ${loc.head}")
+  }
+
   test("indexed encoder: adversarial rank orderings equal the naive loop") {
     // ranks that unlock out of order, resurrect earlier pairs, and no-op:
     // (a,b)->ab, then (c,d)->cd, then (ab,cd), then a rank whose pair only
