@@ -264,12 +264,45 @@ object Bpe {
   private[graft] def codePointSyms(w: String): Seq[String] =
     w.codePoints().toArray.map(cp => new String(Character.toChars(cp))).toSeq
 
-  /** Broadcast-side index for the exact-sequential encoder: symbol →
-    * ranks it participates in. Serializable; the maps build once per
-    * broadcast deserialization.
+  /** Broadcast-side index for the exact-sequential encoder. Serializable;
+    * the maps build once per broadcast deserialization.
+    *
+    * Two paths, both equal to `merges.foldLeft(codePointSyms(w))(applyMerge)`:
+    *
+    *  - FAST (production K): repeatedly find the minimum-rank adjacent
+    *    pair in the word and apply that merge fully left-to-right —
+    *    O(passes · len) hash lookups per word, INDEPENDENT of K. Equal to
+    *    sequential full application whenever no two merges produce the
+    *    same merged string: a pair created mid-word always contains a new
+    *    symbol, and with unique merged strings that symbol's creating
+    *    rank is unique and precedes (in the trainer's own history) any
+    *    rank that consumes it — so the sequential pass can never be
+    *    "already past" a pair the fast path would merge. Verified at
+    *    index build (`fastPathOk`).
+    *  - INDEXED (fallback, duplicate merged strings — possible when a
+    *    trained symbol goes extinct and its string re-forms): symbol →
+    *    participating ranks, attempted in rank order once both symbols
+    *    have appeared; O(len · ranksTouched) — exact for every list.
     */
   private[graft] final class MergeIndex(
       val merges: Array[(String, String)]) extends Serializable {
+
+    @transient private lazy val rankOf: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](merges.length * 2)
+      var k = 0
+      while (k < merges.length) {
+        val key = merges(k)._1 + Sep + merges(k)._2
+        if (!m.containsKey(key)) m.put(key, k)
+        k += 1
+      }
+      m
+    }
+
+    @transient private lazy val fastPathOk: Boolean = {
+      val seen = new java.util.HashSet[String]()
+      merges.forall(p => seen.add(p._1 + p._2))
+    }
+
     @transient private lazy val ranksBySymbol: java.util.HashMap[String, Array[Int]] = {
       val tmp = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
       var k = 0
@@ -285,6 +318,29 @@ object Bpe {
       out
     }
 
+    def encode(w: String): Seq[String] =
+      if (fastPathOk) encodeFast(w) else encodeIndexed(w)
+
+    /** Min-rank-first encoder (see class doc). */
+    private def encodeFast(w: String): Seq[String] = {
+      var syms = codePointSyms(w)
+      if (syms.length < 2 || merges.isEmpty) return syms
+      var done = false
+      while (!done) {
+        var best = -1
+        var i = 0
+        val n = syms.length
+        while (i + 1 < n) {
+          val r = rankOf.get(syms(i) + Sep + syms(i + 1))
+          if (r != null && (best < 0 || r < best)) best = r.intValue()
+          i += 1
+        }
+        if (best < 0) done = true
+        else syms = applyMerge(syms, merges(best)._1, merges(best)._2)
+      }
+      syms
+    }
+
     /** Exactly `merges.foldLeft(codePointSyms(w))(applyMerge)`, skipping
       * the ranks whose application is provably a no-op: a rank is
       * attempted only once BOTH its symbols have appeared in the word's
@@ -294,7 +350,7 @@ object Bpe {
       * exceeds the rank that created it (the sequential pass is already
       * beyond smaller ranks, for which the symbol did not yet exist).
       */
-    def encode(w: String): Seq[String] = {
+    private[graft] def encodeIndexed(w: String): Seq[String] = {
       var syms = codePointSyms(w)
       if (syms.length < 2 || merges.isEmpty) return syms
       val present = new java.util.HashSet[String]()

@@ -171,7 +171,25 @@ class BpeBatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a😀ab", "abab", "aabbccdd", "", "z", "abcdabcd")
     cases.foreach { w =>
       assert(idx.encode(w) == Bpe.encodePiecesNaive(w, merges),
-        s"diverged on '$w'")
+        s"fast path diverged on '$w'")
+      assert(idx.encodeIndexed(w) == Bpe.encodePiecesNaive(w, merges),
+        s"indexed path diverged on '$w'")
     }
+  }
+
+  test("encoder fallback: duplicate merged strings dispatch to the exact indexed path") {
+    // (a,bc) and (ab,c) both produce "abc" — the min-rank fast path's
+    // soundness precondition fails, so MergeIndex must fall back to the
+    // indexed exact-sequential encoder. "abc": rank1 (b,c) -> [a,bc];
+    // rank3 (a,bc) -> [abc] — a min-rank-first encoder that ignored the
+    // precondition could pick rank2 (a,b) first on other inputs
+    val merges = Seq(("b", "c"), ("a", "b"), ("a", "bc"), ("ab", "c"))
+    val idx = new Bpe.MergeIndex(merges.toArray)
+    val cases = Seq("abc", "ab", "bc", "abcabc", "aabbcc", "cab", "")
+    cases.foreach { w =>
+      assert(idx.encode(w) == Bpe.encodePiecesNaive(w, merges),
+        s"fallback diverged on '$w'")
+    }
+    assert(idx.encode("abc") == Seq("abc"))
   }
 }
