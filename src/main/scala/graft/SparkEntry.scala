@@ -888,6 +888,12 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(tbl(s, dir, "embeddings"), queryMaxId = 20, k = 5)),
 
+    // ---- ANN: int8-quantized brute force (the 4x-memory scale path;
+    //      per-vector scales cancel in cosine so ranking runs on the
+    //      int8 bytes alone) ----
+    "q_ann_quantized" -> ((s, dir) =>
+      Similarity.quantizedTopK(tbl(s, dir, "embeddings"), queryMaxId = 20, k = 5)),
+
     // ---- ANN quality as a recorded metric row (VERDICT r3 #7): recall@5
     //      of the LSH and IVF paths against the exact brute-force top-k —
     //      all three deterministic, so the recall itself is a hard oracle
@@ -900,6 +906,8 @@ object SparkEntry {
         .select(lit("lsh").as("method"), col("q_id"), col("neighbor_id"))
         .unionAll(Similarity.ivfTopK(e, queryMaxId = 20, k = 5)
           .select(lit("ivf").as("method"), col("q_id"), col("neighbor_id")))
+        .unionAll(Similarity.quantizedTopK(e, queryMaxId = 20, k = 5)
+          .select(lit("q8").as("method"), col("q_id"), col("neighbor_id")))
       cand.join(brute, Seq("q_id", "neighbor_id"))
         .groupBy(col("method"))
         .agg(count(lit(1)).as("hits"))
@@ -1528,6 +1536,7 @@ object SparkEntry {
     "q_media_features" -> golden("q_media_features"),
     "q_ann_lsh" -> golden("q_ann_lsh"),
     "q_ann_ivf" -> golden("q_ann_ivf"),
+    "q_ann_quantized" -> golden("q_ann_quantized"),
     "q_pack_greedy" -> golden("q_pack_greedy"),
     "q_bpe_train" -> golden("q_bpe_train"),
     "q_bpe_encode" -> golden("q_bpe_encode"),
@@ -1579,7 +1588,9 @@ object SparkEntry {
          |cand AS (SELECT 'lsh' AS method, q_id, neighbor_id
          |           FROM '$GoldenDir/q_ann_lsh.parquet'
          |         UNION ALL SELECT 'ivf', q_id, neighbor_id
-         |           FROM '$GoldenDir/q_ann_ivf.parquet'),
+         |           FROM '$GoldenDir/q_ann_ivf.parquet'
+         |         UNION ALL SELECT 'q8', q_id, neighbor_id
+         |           FROM '$GoldenDir/q_ann_quantized.parquet'),
          |tot AS (SELECT count(*) AS total FROM brute)
          |SELECT method, CAST(count(*) AS BIGINT) AS hits,
          |       count(*)::DOUBLE / (SELECT total FROM tot) AS recall_at_k

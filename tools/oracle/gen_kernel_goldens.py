@@ -765,6 +765,22 @@ def main():
           {"q_id": [x[0] for x in ivf_rows], "rank": [x[1] for x in ivf_rows],
            "neighbor_id": [x[2] for x in ivf_rows], "score": [x[3] for x in ivf_rows]})
 
+    # q_ann_quantized: int8 symmetric quantization then exact top-k on the
+    # quantized bytes (mirrors Similarity.quantizeI8/cosineI8: identical
+    # integer dots and norms, one double division)
+    q8_of = {i: g.quantize_i8(by_id[i]) for i in vec_ids}
+    q8_rows = []
+    for q in query_ids:
+        scored = [(c, g.cosine_i8(q8_of[q], q8_of[c]))
+                  for c in sorted(vec_ids) if c != q]
+        for rank, vid, score in g.topk_rank(scored, k):
+            q8_rows.append((q, rank, vid, score))
+    write("q_ann_quantized",
+          pa.schema([("q_id", pa.int64()), ("rank", pa.int32()),
+                     ("neighbor_id", pa.int64()), ("score", pa.float64())]),
+          {"q_id": [x[0] for x in q8_rows], "rank": [x[1] for x in q8_rows],
+           "neighbor_id": [x[2] for x in q8_rows], "score": [x[3] for x in q8_rows]})
+
     # q_embed_cluster: corpus-scaled kmeans assignment (mirrors
     # Similarity.clusterAssign: same hash-gate sample, same Lloyd iterations)
     crows = [(i, g.nearest_lists(by_id[i], centroids, 1)[0]) for i in vec_ids]

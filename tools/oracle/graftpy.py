@@ -361,6 +361,31 @@ def cosine(a, b):
     return dot / (math.sqrt(na) * math.sqrt(nb))
 
 
+def quantize_i8(v):
+    """Symmetric per-vector int8: round(127*x/max|x|), half-up like Java's
+    Math.round (floor(x+0.5)), NOT Python's banker's rounding."""
+    mx = 0.0
+    for x in v:
+        a = abs(float(x))
+        if a > mx:
+            mx = a
+    if mx == 0.0:
+        return [0] * len(v)
+    s = 127.0 / mx
+    return [int(math.floor(float(x) * s + 0.5)) for x in v]
+
+
+def cosine_i8(a, b):
+    dot = na = nb = 0
+    for i in range(min(len(a), len(b))):
+        dot += a[i] * b[i]
+        na += a[i] * a[i]
+        nb += b[i] * b[i]
+    if na == 0 or nb == 0:
+        return 0.0
+    return dot / (math.sqrt(float(na)) * math.sqrt(float(nb)))
+
+
 def kmeans(sample, k, iters, seed):
     assert sample, "empty k-means sample"
     dim = len(sample[0])
