@@ -124,6 +124,38 @@ class NullSafetySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Set((1L, 10L))) // null rows signed-out up front, job survives
   }
 
+  test("decontaminate: null-id/text training rows conservatively KEPT in drop mode") {
+    import spark.implicits._
+    val training = Seq(
+      (java.lang.Long.valueOf(1L), "a b c d e f g h i j"),
+      (null.asInstanceOf[java.lang.Long], "a b c d e f g h i j"), // contaminated text, no id
+      (java.lang.Long.valueOf(3L), null.asInstanceOf[String]),
+      (java.lang.Long.valueOf(4L), "z y x w v u t s r q"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq((100L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(training, evalSet, threshold = 0.5)
+      .select("doc_id").collect().map(r => Option(r.get(0))).toSet
+    // doc 1 dropped (matches); null-id row kept (unsignable); null-text
+    // kept (no shingles); doc 4 kept (no match)
+    assert(kept === Set(None, Some(3L), Some(4L)))
+  }
+
+  test("quantizedTopK: null embedding/id rows excluded, never NPE") {
+    import spark.implicits._
+    val e = Seq(
+      (java.lang.Long.valueOf(1L), Seq(1.0f, 0.0f)),
+      (java.lang.Long.valueOf(2L), Seq(0.9f, 0.1f)),
+      (null.asInstanceOf[java.lang.Long], Seq(1.0f, 1.0f)),
+      (java.lang.Long.valueOf(4L), null.asInstanceOf[Seq[Float]]),
+      (java.lang.Long.valueOf(5L), Seq(0.0f, 0.0f))) // zero vector: score 0
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.quantizedTopK(e, queryMaxId = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(!rows.exists(t => t._3 == 4L),
+      "null-embedding row must not appear as a neighbor")
+  }
+
   test("crossDocLineDedup: null doc_id rejected, never silently emptied") {
     import spark.implicits._
     val c = Seq((Some(1L), "kept content"), (None, "null id content"))
