@@ -580,6 +580,20 @@ object SparkEntry {
     "q_quality" -> ((s, dir) =>
       TextOps.qualityScores(docs(s, dir))),
 
+    // ---- table profiling (the before-you-commit-a-job step): per-column
+    //      null counts + distinct cardinalities in ONE aggregate pass.
+    //      exact = true here (count-distinct is engine-portable and
+    //      oracle-able; the production default is the HLL sketch, which
+    //      deliberately is NOT oracled). A planted-null column binds the
+    //      null counting ----
+    "q_profile" -> ((s, dir) =>
+      graft.ops.Profile.profileTable(
+        docs(s, dir).withColumn("lang_nullable",
+          when(col("doc_id") % 13 === 0, lit(null).cast("string"))
+            .otherwise(col("lang"))),
+        exact = true)
+        .orderBy(col("column"))),
+
     // ---- incremental dedup vs a prior snapshot (rolling-crawl form):
     //      digest-keyed anti-join; a third of the new batch are exact
     //      copies of prior docs and must vanish ----
@@ -1910,6 +1924,31 @@ object SparkEntry {
          |    '\+[0-9]{1,3}(?:[- ][0-9]{2,4}){1,3}[- ][0-9]{2,6}', '<PHONE>', 'g'),
          |    '(^|[^0-9])([0-9]{10})($|[^0-9])', '\1<PHONE>\3', 'g') AS redacted
          |FROM documents""".stripMargin.replace("\n", " ")),
+
+    "q_profile" ->
+      ("""WITH d AS (SELECT *, CASE WHEN doc_id % 13 = 0 THEN NULL
+         |    ELSE lang END AS lang_nullable FROM documents),
+         |p AS (
+         |  SELECT 'doc_id' AS col, count(*) AS n_rows,
+         |    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |    count(DISTINCT doc_id) AS n_distinct FROM d
+         |  UNION ALL SELECT 'text', count(*),
+         |    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |    count(DISTINCT text) FROM d
+         |  UNION ALL SELECT 'lang', count(*),
+         |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |    count(DISTINCT lang) FROM d
+         |  UNION ALL SELECT 'source', count(*),
+         |    CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |    count(DISTINCT source) FROM d
+         |  UNION ALL SELECT 'n_chars', count(*),
+         |    CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |    count(DISTINCT n_chars) FROM d
+         |  UNION ALL SELECT 'lang_nullable', count(*),
+         |    CAST(sum(CASE WHEN lang_nullable IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |    count(DISTINCT lang_nullable) FROM d)
+         |SELECT col AS "column", n_rows, n_nulls, n_distinct FROM p
+         |ORDER BY 1""".stripMargin.replace("\n", " ")),
 
     "q_jsonl_scan" ->
       ("SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 100 ORDER BY doc_id"),

@@ -58,6 +58,26 @@ class Round5ShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("profileTable: production (approx) mode has NO Expand; exact mode does") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val approxPlan = graft.ops.Profile.profileTable(docs)
+      .queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand"),
+      s"HLL mode must not expand the scan by the column count:\n${approxPlan.take(2000)}")
+    assert(approxPlan.contains("approx_count_distinct"),
+      s"expected HLL sketches:\n${approxPlan.take(2000)}")
+    val exactPlan = graft.ops.Profile.profileTable(docs, exact = true)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"),
+      "exact multi-column count-distinct plans through Expand (the documented cost)")
+    // and the two modes agree on the null counts (sanity, not an oracle)
+    val a = graft.ops.Profile.profileTable(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val e = graft.ops.Profile.profileTable(docs, exact = true).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(a == e, s"null counts must be exact in both modes: $a vs $e")
+  }
+
   test("q_pipeline: pack windows are bucket-partitioned; no global-order window") {
     val plan = planOf("q_pipeline")
     val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
