@@ -580,6 +580,17 @@ object SparkEntry {
     "q_quality" -> ((s, dir) =>
       TextOps.qualityScores(docs(s, dir))),
 
+    // ---- repetition-weight upsampling (the other half of a pretraining
+    //      mix: keep-rates can only drop; 2.5 epochs of a high-quality
+    //      source needs replication): floor(w) copies + one more behind
+    //      the deterministic hash gate at frac(w); w < 1 degenerates to
+    //      the keep-rate gate; absent strata keep once ----
+    "q_upsample" -> ((s, dir) =>
+      graft.ops.Sampling.upsampleToWeights(
+        docs(s, dir).select(col("doc_id"), col("lang")),
+        Map("en" -> 2.5, "es" -> 0.25, "de" -> 1.0))
+        .orderBy(col("doc_id"), col("copy"))),
+
     // ---- table profiling (the before-you-commit-a-job step): per-column
     //      null counts + distinct cardinalities in ONE aggregate pass.
     //      exact = true here (count-distinct is engine-portable and
@@ -1539,6 +1550,7 @@ object SparkEntry {
     "q_langid" -> golden("q_langid"),
     "q_stratified_sample" -> golden("q_stratified_sample"),
     "q_domain_sample" -> golden("q_domain_sample"),
+    "q_upsample" -> golden("q_upsample"),
     "q_quantile_bucket" -> golden("q_quantile_bucket"),
     "q_mix_weights" -> golden("q_mix_weights"),
     "q_curate" -> golden("q_curate"),

@@ -44,6 +44,51 @@ object Sampling {
     documents.filter(col(idCol).isNotNull && gate(col(idCol), col(strataCol)))
   }
 
+  /** UPSAMPLING to per-stratum repetition weights — the other half of a
+    * pretraining mix: [[stratifiedSample]]/[[mixToWeights]] can only KEEP
+    * OR DROP, but a mixing policy that wants 3.25 epochs of a high-quality
+    * source needs REPLICATION. Each row of stratum s with weight w emits
+    * floor(w) copies unconditionally plus one more behind the
+    * deterministic hash gate at frac(w) — so the expected (and, over the
+    * hash-uniform id population, realized) repetition is exactly w. Output
+    * adds a `copy` column (0-based) so downstream shuffles/dedups see
+    * distinct rows; strata absent from `weights` default to 1.0 (kept
+    * once, the identity weight).
+    *
+    * Scale shape: pure map-side `explode(sequence(...))` — zero shuffle,
+    * parallelism-independent, identical layout under any partitioning.
+    * Null ids are rejected (the gate and the copy column are meaningless
+    * without a key — same convention as stratifiedSample).
+    */
+  def upsampleToWeights(
+      documents: DataFrame,
+      weights: Map[String, Double],
+      strataCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
+    require(weights.values.forall(w => w >= 0 && w <= 1000),
+      s"weights must be in [0, 1000]: $weights")
+    val whole: Map[String, Int] =
+      weights.map { case (k, w) => k -> math.floor(w).toInt }
+    val fracMicros: Map[String, Long] =
+      weights.map { case (k, w) =>
+        k -> math.floor((w - math.floor(w)) * 1e6 + 0.5).toLong
+      }
+    val nCopies = udf((id: Long, stratum: String) => {
+      val base = if (stratum == null) 1 else whole.getOrElse(stratum, 1)
+      val extraT =
+        if (stratum == null) 0L else fracMicros.getOrElse(stratum, 0L)
+      val extra =
+        if (java.lang.Long.remainderUnsigned(TextOps.mix(id), 1000000L) < extraT) 1
+        else 0
+      base + extra
+    })
+    documents.filter(col(idCol).isNotNull)
+      .withColumn("__n", nCopies(col(idCol), col(strataCol)))
+      .filter(col("__n") > 0)
+      .withColumn("copy", explode(expr("sequence(0, __n - 1)")))
+      .drop("__n")
+  }
+
   /** Corpus mixing to TARGET PROPORTIONS (the step a mixing policy actually
     * wants: "make the output 50% en / 25% es / 25% de"): computes the
     * maximum achievable output volume T = min_s(count_s / weight_s), turns

@@ -306,6 +306,24 @@ def main():
           pa.schema([("doc_id", pa.int64()), ("lang", pa.string())]),
           {"doc_id": [x[0] for x in mrows], "lang": [x[1] for x in mrows]})
 
+    # ---- q_upsample (repetition-weight upsampling; mirrors
+    #      Sampling.upsampleToWeights: floor(w) copies + one behind the
+    #      frac(w) hash gate; absent strata weight 1.0) ----
+    uweights = {"en": 2.5, "es": 0.25, "de": 1.0}
+    urows = []
+    for i, l in lrows:
+        w = uweights.get(l, 1.0)
+        n = int(math.floor(w))
+        if g.mix(i) % 1000000 < int(math.floor((w - math.floor(w)) * 1e6 + 0.5)):
+            n += 1
+        for c in range(n):
+            urows.append((i, l, c))
+    write("q_upsample",
+          pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                     ("copy", pa.int32())]),
+          {"doc_id": [x[0] for x in urows], "lang": [x[1] for x in urows],
+           "copy": [x[2] for x in urows]})
+
     # ---- q_curate (end-to-end composition: latest-capture -> quality gate
     #      -> normalized dedup -> mixing; every stage mirrored here
     #      independently of the Spark ops) ----
