@@ -97,11 +97,14 @@ object Bpe {
   }
 
   /** Greedy provably-safe prefix of the candidate list (scaladoc rule 1-3).
-    * `triCap(cand)`: exact max single-extension trigram count for the
-    * candidate; `cross(r_i + Sep + l_j)`: pair count c(r_i, l_j) from the
-    * round's table; `link(x + Sep + y + Sep + z)`: exact trigram count for
-    * trigrams whose BOTH pairs are candidates (the rule-1 decrease bound).
-    * Absent key = absent = 0 for all three.
+    * `triCap((l, r))`: exact max single-extension trigram count for the
+    * candidate; `cross((r_i, l_j))`: pair count c(r_i, l_j) from the
+    * round's table; `link((x, y, z))`: exact trigram count for trigrams
+    * whose BOTH pairs are candidates (the rule-1 decrease bound). Absent
+    * key = absent = 0 for all three. Keys are TUPLES, never joined
+    * strings: a separator character can occur inside a symbol (crawled
+    * text can contain any code point), and a joined-string collision
+    * would silently merge two different counts.
     *
     * Returns the accepted prefix as (l, r, origCount, linkBound): linkBound
     * is the summed linking-trigram bound on the candidate's count decrease —
@@ -110,9 +113,9 @@ object Bpe {
     */
   private[graft] def selectBatch(
       top: Seq[(String, String, Long)],
-      triCap: Map[String, Long],
-      cross: Map[String, Long],
-      link: Map[String, Long],
+      triCap: Map[(String, String), Long],
+      cross: Map[(String, String), Long],
+      link: Map[(String, String, String), Long],
       universe: scala.collection.Set[String]): Seq[(String, String, Long, Long)] = {
     val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
     // rule 2 must see merges accepted earlier in THIS batch too: two
@@ -131,8 +134,8 @@ object Bpe {
       // through linking trigrams (l,A,B) [r==A] / (A,B,r) [l==B]; their
       // exact counts bound the candidate's count decrease
       val linkBound = accepted.iterator.map { case (al, ar, _, _) =>
-        (if (r == al) link.getOrElse(l + Sep + al + Sep + ar, 0L) else 0L) +
-          (if (l == ar) link.getOrElse(al + Sep + ar + Sep + r, 0L) else 0L)
+        (if (r == al) link.getOrElse((l, al, ar), 0L) else 0L) +
+          (if (l == ar) link.getOrElse((al, ar, r), 0L) else 0L)
       }.sum
       val effC = c - linkBound
       // the largest count any REMAINING original pair can still hold: the
@@ -154,13 +157,13 @@ object Bpe {
         // orders, plus self): new pair (m_i, m_j) needs an original
         // (r_i, l_j) adjacency AND an occurrence of each merge
         for ((al, ar, ac, _) <- accepted.toSeq :+ ((l, r, c, 0L))) {
-          val bound1 = math.min(math.min(ac, c), cross.getOrElse(ar + Sep + l, 0L))
-          val bound2 = math.min(math.min(ac, c), cross.getOrElse(r + Sep + al, 0L))
+          val bound1 = math.min(math.min(ac, c), cross.getOrElse((ar, l), 0L))
+          val bound2 = math.min(math.min(ac, c), cross.getOrElse((r, al), 0L))
           newPairCap = math.max(newPairCap, math.max(bound1, bound2))
         }
         // old-symbol extension caps: exact trigram maxima
         newPairCap = math.max(newPairCap,
-          math.min(c, triCap.getOrElse(l + Sep + r, 0L)))
+          math.min(c, triCap.getOrElse((l, r), 0L)))
         accepted += ((l, r, c, linkBound))
         batchMerged += merged
         // the first accepted candidate must itself satisfy rule 2 — if its
@@ -272,35 +275,48 @@ object Bpe {
     *  - FAST (production K): repeatedly find the minimum-rank adjacent
     *    pair in the word and apply that merge fully left-to-right —
     *    O(passes · len) hash lookups per word, INDEPENDENT of K. Equal to
-    *    sequential full application whenever no two merges produce the
-    *    same merged string: a pair created mid-word always contains a new
-    *    symbol, and with unique merged strings that symbol's creating
-    *    rank is unique and precedes (in the trainer's own history) any
-    *    rank that consumes it — so the sequential pass can never be
-    *    "already past" a pair the fast path would merge. Verified at
-    *    index build (`fastPathOk`).
-    *  - INDEXED (fallback, duplicate merged strings — possible when a
-    *    trained symbol goes extinct and its string re-forms): symbol →
-    *    participating ranks, attempted in rank order once both symbols
-    *    have appeared; O(len · ranksTouched) — exact for every list.
+    *    sequential full application whenever BOTH (verified at index
+    *    build, `fastPathOk`): (a) no two merges produce the same merged
+    *    string, and (b) every multi-codepoint merge OPERAND is itself the
+    *    output of an earlier-rank merge. Under (a)+(b) every symbol has a
+    *    unique creating rank that precedes any rank consuming it, so a
+    *    pair present in the word is present exactly when the sequential
+    *    pass would also see it — the fast path can never merge a pair the
+    *    sequential pass had already skipped. Any TRAINED list satisfies
+    *    (b) (trainers only combine existing symbols); an arbitrary
+    *    imported list might not — e.g. [("ab","c"), ("a","b")], where
+    *    rank 0's operand "ab" does not exist until rank 1, and sequential
+    *    application correctly no-ops rank 0.
+    *  - INDEXED (fallback — duplicate merged strings or forward-referenced
+    *    operands): symbol → participating ranks, attempted in rank order
+    *    once both symbols have appeared; O(len · ranksTouched) — exact
+    *    for every list.
     */
   private[graft] final class MergeIndex(
       val merges: Array[(String, String)]) extends Serializable {
 
-    @transient private lazy val rankOf: java.util.HashMap[String, Integer] = {
-      val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    // TUPLE keys, never Sep-joined strings: a symbol from crawled text can
+    // contain ANY code point, and a joined-key collision would make the
+    // probe loop find a "pair" applyMerge can never apply (a hang)
+    @transient private lazy val rankOf: java.util.HashMap[(String, String), Integer] = {
+      val m = new java.util.HashMap[(String, String), Integer](merges.length * 2)
       var k = 0
       while (k < merges.length) {
-        val key = merges(k)._1 + Sep + merges(k)._2
-        if (!m.containsKey(key)) m.put(key, k)
+        if (!m.containsKey(merges(k))) m.put(merges(k), k)
         k += 1
       }
       m
     }
 
     @transient private lazy val fastPathOk: Boolean = {
+      // (a) unique merged strings AND (b) multi-codepoint operands are
+      // earlier merge outputs (see class doc) — any trained list passes
       val seen = new java.util.HashSet[String]()
-      merges.forall(p => seen.add(p._1 + p._2))
+      merges.forall { case (l, r) =>
+        def operandOk(s: String) =
+          (s.nonEmpty && s.codePointCount(0, s.length) == 1) || seen.contains(s)
+        operandOk(l) && operandOk(r) && seen.add(l + r)
+      }
     }
 
     @transient private lazy val ranksBySymbol: java.util.HashMap[String, Array[Int]] = {
@@ -331,12 +347,20 @@ object Bpe {
         var i = 0
         val n = syms.length
         while (i + 1 < n) {
-          val r = rankOf.get(syms(i) + Sep + syms(i + 1))
+          val r = rankOf.get((syms(i), syms(i + 1)))
           if (r != null && (best < 0 || r < best)) best = r.intValue()
           i += 1
         }
         if (best < 0) done = true
-        else syms = applyMerge(syms, merges(best)._1, merges(best)._2)
+        else {
+          val next = applyMerge(syms, merges(best)._1, merges(best)._2)
+          // with exact tuple keys a found pair is genuinely adjacent and
+          // applyMerge always fires; the guard makes a would-be hang a
+          // visible failure instead
+          require(next.length < syms.length,
+            s"encodeFast made no progress on rank $best — key/merge mismatch")
+          syms = next
+        }
       }
       syms
     }
@@ -577,28 +601,45 @@ object Bpe {
               .withColumn("p2", concat(col("t.y"), lit(Sep), col("t.z")))
               .filter(col("p1").isin(candKeys: _*) || col("p2").isin(candKeys: _*))
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+            // the Sep-joined keys above and below are FILTERS ONLY (a
+            // collision — possible when a symbol contains the separator
+            // code point, as crawled text can — lets extra rows through,
+            // which the exact tuple-keyed grouping and the driver-side
+            // candSet filters then discard); every COUNT is grouped and
+            // keyed by the true column tuples, so no collision can merge
+            // or drop a count
+            val candSet = top.map(t => (t._1, t._2)).toSet
             val tri = triBase
               .select(col("freq"), explode(array(
-                struct(col("p2").as("cand"), col("t.x").as("other")),
-                struct(col("p1").as("cand"), col("t.z").as("other")))).as("e"))
-              .filter(col("e.cand").isin(candKeys: _*))
-              .groupBy(col("e.cand").as("cand"), col("e.other").as("other"))
+                struct(col("p2").as("ck"), col("t.y").as("cl"),
+                  col("t.z").as("cr"), col("t.x").as("other")),
+                struct(col("p1").as("ck"), col("t.x").as("cl"),
+                  col("t.y").as("cr"), col("t.z").as("other")))).as("e"))
+              .filter(col("e.ck").isin(candKeys: _*))
+              .groupBy(col("e.cl").as("cl"), col("e.cr").as("cr"),
+                col("e.other").as("other"))
               .agg(sum(col("freq")).as("c"))
-              .groupBy(col("cand")).agg(max(col("c")).as("mx"))
-              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+              .groupBy(col("cl"), col("cr")).agg(max(col("c")).as("mx"))
+              .collect()
+              .filter(r => candSet((r.getString(0), r.getString(1))))
+              .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
             val link = triBase
               .filter(col("p1").isin(candKeys: _*) && col("p2").isin(candKeys: _*))
               .groupBy(col("t.x").as("x"), col("t.y").as("y"), col("t.z").as("z"))
               .agg(sum(col("freq")).as("c"))
               .collect()
-              .map(r => r.getString(0) + Sep + r.getString(1) + Sep + r.getString(2)
+              .filter(r => candSet((r.getString(0), r.getString(1))) &&
+                candSet((r.getString(1), r.getString(2))))
+              .map(r => (r.getString(0), r.getString(1), r.getString(2))
                 -> r.getLong(3)).toMap
             triBase.unpersist()
-            val crossKeys = (for (a <- top; b <- top) yield a._2 + Sep + b._1).distinct
+            val crossSet = (for (a <- top; b <- top) yield (a._2, b._1)).toSet
+            val crossKeys = crossSet.toSeq.map(p => p._1 + Sep + p._2)
             val cross = pc
               .filter(concat(col("l"), lit(Sep), col("r")).isin(crossKeys: _*))
               .collect()
-              .map(r => r.getString(0) + Sep + r.getString(1) -> r.getLong(2)).toMap
+              .filter(r => crossSet((r.getString(0), r.getString(1))))
+              .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
             selectBatch(top, tri, cross, link, universe)
           }
         // linked accepts (linkBound > 0) have an original count that is only

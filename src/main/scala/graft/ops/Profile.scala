@@ -25,17 +25,22 @@ import org.apache.spark.sql.functions._
 object Profile {
 
   def profileTable(df: DataFrame, exact: Boolean = false): DataFrame = {
-    val cols = df.columns.toSeq
-    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
+    val names = df.columns.toSeq
+    // profile by POSITION under generated names: the op is for tables the
+    // caller has never seen, whose column names may need quoting (dots,
+    // backticks), collide with the aggregate aliases below, or repeat —
+    // a positional rename sidesteps all three
+    val safe = df.toDF(names.indices.map(i => s"__c$i"): _*)
+    val aggs = Seq(count(lit(1)).as("__n")) ++ names.indices.flatMap { i =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-        (if (exact) count_distinct(col(c))
-         else approx_count_distinct(col(c))).as(s"__dist_$c"))
+        sum(when(col(s"__c$i").isNull, 1L).otherwise(0L)).as(s"__nulls_$i"),
+        (if (exact) count_distinct(col(s"__c$i"))
+         else approx_count_distinct(col(s"__c$i"))).as(s"__dist_$i"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    val perCol = cols.map { c =>
-      struct(lit(c).as("column"), col("__n").as("n_rows"),
-        col(s"__nulls_$c").as("n_nulls"), col(s"__dist_$c").as("n_distinct"))
+    val wide = safe.agg(aggs.head, aggs.tail: _*)
+    val perCol = names.zipWithIndex.map { case (n, i) =>
+      struct(lit(n).as("column"), col("__n").as("n_rows"),
+        col(s"__nulls_$i").as("n_nulls"), col(s"__dist_$i").as("n_distinct"))
     }
     wide.select(explode(array(perCol: _*)).as("p"))
       .select(col("p.column"), col("p.n_rows"), col("p.n_nulls"),

@@ -55,11 +55,24 @@ object Sampling {
     * distinct rows; strata absent from `weights` default to 1.0 (kept
     * once, the identity weight).
     *
+    * The gate hashes a SALTED id (`mix(id ^ UpsampleSalt)`), a different
+    * stream from the keep-gates in [[stratifiedSample]]/[[mixToWeights]]:
+    * the two halves of a mix COMPOSE (drop first, then upsample the
+    * survivors), and an unsalted gate would re-test the very predicate
+    * that selected the survivors — every survivor of a 0.5-quota keep
+    * would "win" a w=1.5 extra copy, realizing repetition 2.0 instead of
+    * 1.5 (mirrored in the golden oracle).
+    *
     * Scale shape: pure map-side `explode(sequence(...))` — zero shuffle,
     * parallelism-independent, identical layout under any partitioning.
     * Null ids are rejected (the gate and the copy column are meaningless
     * without a key — same convention as stratifiedSample).
     */
+  /** Domain-separation salt for [[upsampleToWeights]]'s fractional-copy
+    * gate (see its scaladoc) — mirrored verbatim in gen_kernel_goldens.py.
+    */
+  private[graft] val UpsampleSalt = 0x7570736dL
+
   def upsampleToWeights(
       documents: DataFrame,
       weights: Map[String, Double],
@@ -78,7 +91,8 @@ object Sampling {
       val extraT =
         if (stratum == null) 0L else fracMicros.getOrElse(stratum, 0L)
       val extra =
-        if (java.lang.Long.remainderUnsigned(TextOps.mix(id), 1000000L) < extraT) 1
+        if (java.lang.Long.remainderUnsigned(
+          TextOps.mix(id ^ UpsampleSalt), 1000000L) < extraT) 1
         else 0
       base + extra
     })

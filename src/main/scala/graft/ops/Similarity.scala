@@ -60,9 +60,12 @@ object Similarity {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Symmetric per-vector int8 quantization: q_i = round(127 · x_i / max|x|)
-    * (half-up, the same floor(x+0.5) both Java's Math.round and the Python
-    * mirror compute). The per-vector scale CANCELS in cosine, so similarity
+  /** Symmetric per-vector int8 quantization: q_i = ⌊127 · x_i / max|x| + 0.5⌋
+    * — the LITERAL floor(x + 0.5) double expression, NOT Math.round, whose
+    * exact-tie handling (JDK-6430675) differs from the FP sum at
+    * representation-edge values like the largest double below 0.5; the
+    * Python mirror computes the identical doubles, so the engines agree
+    * bit-for-bit. The per-vector scale CANCELS in cosine, so similarity
     * ranking needs only the int8 bytes — a 4× memory cut for a 100 TB
     * embedding store (4× more corpus per executor, integer dot products),
     * the standard scalar-quantization scale path. Zero vectors quantize to
@@ -77,7 +80,7 @@ object Similarity {
     val s = 127.0 / mx
     i = 0
     while (i < v.length) {
-      out(i) = Math.round(v(i) * s).toByte
+      out(i) = math.floor(v(i) * s + 0.5).toLong.toByte
       i += 1
     }
     out

@@ -5,18 +5,19 @@ import graft.ops.Bpe
 /** Production-K BPE evidence (VERDICT r4 what's-missing #2 done-criterion):
   * train a K≈32k merge list with the exact incremental LOCAL path (the
   * production dispatch for any vocabulary within the driver budget — zero
-  * distributed jobs) and drive the INDEXED encoder at that K, against the
-  * literal O(K·len) naive loop it must equal.
+  * distributed jobs) and drive the FAST min-rank encoder at that K on the
+  * full stream, with the rank-indexed fallback timed on a slice and the
+  * literal O(K·len) naive loop as the sampled equality oracle.
   *
-  * No Spark session: both halves under test are the driver/executor-local
-  * kernels (`trainLocalMerges`, `MergeIndex.encode`); their distributed
-  * wrappers are oracle-checked by q_bpe_train/q_bpe_encode and the
-  * BpeBatchSpec byte-identity properties.
+  * No Spark session: all paths under test are the driver/executor-local
+  * kernels (`trainLocalMerges`, `MergeIndex.encode`/`encodeIndexed`);
+  * their distributed wrappers are oracle-checked by
+  * q_bpe_train/q_bpe_encode and the BpeBatchSpec byte-identity properties.
   *
   * Prints one JSON line:
   * {"bench":"bpe_stress","merges":K,"vocab":V,"train_sec":…,
-  *  "indexed_words_per_sec":…,"naive_words_per_sec":…,"speedup":…,
-  *  "sample_equal":…}
+  *  "fast_words_per_sec":…,"indexed_words_per_sec":…,
+  *  "naive_words_per_sec":…,"speedup_vs_naive":…,"sample_equal":…}
   */
 object BpeStressCheck {
   def main(args: Array[String]): Unit = {

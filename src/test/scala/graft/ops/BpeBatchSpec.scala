@@ -192,4 +192,33 @@ class BpeBatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(idx.encode("abc") == Seq("abc"))
   }
+
+  test("encoder fallback: forward-referenced operand dispatches to the exact path") {
+    // rank 0's operand "ab" does not exist until rank 1 creates it — a
+    // min-rank-first encoder would apply rank 1 then "go back" to rank 0,
+    // but sequential application correctly no-ops rank 0 on "abc"
+    val merges = Seq(("ab", "c"), ("a", "b"))
+    val idx = new Bpe.MergeIndex(merges.toArray)
+    Seq("abc", "ab", "abcc", "aabc", "").foreach { w =>
+      assert(idx.encode(w) == Bpe.encodePiecesNaive(w, merges),
+        s"forward-reference diverged on '$w'")
+    }
+    assert(idx.encode("abc") == Seq("ab", "c"),
+      "sequential semantics: rank 0 must no-op (ab does not exist yet)")
+  }
+
+  test("encoder fast path: symbols containing NUL (the key separator) cannot hang or collide") {
+    // the pair ("a\u0000", "b") and the pair ("a", "\u0000b") produce the
+    // SAME joined string under a \u0000-separated key — a joined-string
+    // rank key would collide and either hang the probe loop (lookup finds
+    // a pair applyMerge can never apply) or rank the wrong pair; tuple
+    // keys make NUL-bearing crawled symbols safe
+    val merges = Seq(("a", "\u0000"), ("\u0000", "b"), ("a\u0000", "b"))
+    val idx = new Bpe.MergeIndex(merges.toArray)
+    Seq("a\u0000b", "\u0000b", "a\u0000", "a\u0000ba\u0000b", "b\u0000a").foreach { w =>
+      assert(idx.encode(w) == Bpe.encodePiecesNaive(w, merges),
+        s"NUL-symbol case diverged on '${w.replace("\u0000", "<NUL>")}'")
+    }
+    assert(idx.encode("a\u0000b") == Seq("a\u0000b"))
+  }
 }

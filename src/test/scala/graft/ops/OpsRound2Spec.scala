@@ -317,6 +317,26 @@ class OpsRound2Spec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head === "school.act.edu.au")
   }
 
+  test("upsample gate is domain-separated: drop-then-upsample realizes ~w, not 2w") {
+    import spark.implicits._
+    val docs = (0L until 10000L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val kept = Sampling.stratifiedSample(docs, Map("en" -> 0.5))
+    val nKept = kept.count().toDouble
+    assert(nKept > 4000 && nKept < 6000)
+    val up = Sampling.upsampleToWeights(kept, Map("en" -> 1.5))
+    val ratio = up.count() / nKept
+    // an UNSALTED fractional gate re-tests the exact predicate that
+    // selected the survivors: every survivor of the 0.5-quota keep would
+    // win the w=1.5 extra copy and the realized repetition would be
+    // exactly 2.0; the salted stream must realize ~1.5
+    assert(ratio > 1.40 && ratio < 1.60,
+      s"composed repetition $ratio should be ~1.5 (2.0 = unsalted-gate bug)")
+    // and the copy column is dense per doc: 0..n-1
+    val copies = up.groupBy("doc_id").count().select("count").distinct()
+      .as[Long].collect().toSet
+    assert(copies.subsetOf(Set(1L, 2L)))
+  }
+
   test("domain filter: block keeps null-domain rows, allow drops them") {
     import spark.implicits._
     val docs = Seq(

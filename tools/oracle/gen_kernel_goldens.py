@@ -308,13 +308,15 @@ def main():
 
     # ---- q_upsample (repetition-weight upsampling; mirrors
     #      Sampling.upsampleToWeights: floor(w) copies + one behind the
-    #      frac(w) hash gate; absent strata weight 1.0) ----
+    #      SALTED frac(w) hash gate — domain-separated from the keep-gates
+    #      so drop-then-upsample composes; absent strata weight 1.0) ----
+    UPSAMPLE_SALT = 0x7570736D
     uweights = {"en": 2.5, "es": 0.25, "de": 1.0}
     urows = []
     for i, l in lrows:
         w = uweights.get(l, 1.0)
         n = int(math.floor(w))
-        if g.mix(i) % 1000000 < int(math.floor((w - math.floor(w)) * 1e6 + 0.5)):
+        if g.mix(i ^ UPSAMPLE_SALT) % 1000000 < int(math.floor((w - math.floor(w)) * 1e6 + 0.5)):
             n += 1
         for c in range(n):
             urows.append((i, l, c))
