@@ -919,6 +919,12 @@ object SparkEntry {
     "q_ann_quantized" -> ((s, dir) =>
       Similarity.quantizedTopK(tbl(s, dir, "embeddings"), queryMaxId = 20, k = 5)),
 
+    // ---- ANN: IVF x int8 (the two scale paths COMPOSED — float
+    //      centroids drive bucketing, the corpus carries only int8 bytes
+    //      into the probe join and re-rank) ----
+    "q_ann_ivf_q8" -> ((s, dir) =>
+      Similarity.ivfQuantizedTopK(tbl(s, dir, "embeddings"), queryMaxId = 20, k = 5)),
+
     // ---- ANN quality as a recorded metric row (VERDICT r3 #7): recall@5
     //      of the LSH and IVF paths against the exact brute-force top-k —
     //      all three deterministic, so the recall itself is a hard oracle
@@ -933,6 +939,8 @@ object SparkEntry {
           .select(lit("ivf").as("method"), col("q_id"), col("neighbor_id")))
         .unionAll(Similarity.quantizedTopK(e, queryMaxId = 20, k = 5)
           .select(lit("q8").as("method"), col("q_id"), col("neighbor_id")))
+        .unionAll(Similarity.ivfQuantizedTopK(e, queryMaxId = 20, k = 5)
+          .select(lit("ivf_q8").as("method"), col("q_id"), col("neighbor_id")))
       cand.join(brute, Seq("q_id", "neighbor_id"))
         .groupBy(col("method"))
         .agg(count(lit(1)).as("hits"))
@@ -1563,6 +1571,7 @@ object SparkEntry {
     "q_ann_lsh" -> golden("q_ann_lsh"),
     "q_ann_ivf" -> golden("q_ann_ivf"),
     "q_ann_quantized" -> golden("q_ann_quantized"),
+    "q_ann_ivf_q8" -> golden("q_ann_ivf_q8"),
     "q_pack_greedy" -> golden("q_pack_greedy"),
     "q_bpe_train" -> golden("q_bpe_train"),
     "q_bpe_encode" -> golden("q_bpe_encode"),
@@ -1616,7 +1625,9 @@ object SparkEntry {
          |         UNION ALL SELECT 'ivf', q_id, neighbor_id
          |           FROM '$GoldenDir/q_ann_ivf.parquet'
          |         UNION ALL SELECT 'q8', q_id, neighbor_id
-         |           FROM '$GoldenDir/q_ann_quantized.parquet'),
+         |           FROM '$GoldenDir/q_ann_quantized.parquet'
+         |         UNION ALL SELECT 'ivf_q8', q_id, neighbor_id
+         |           FROM '$GoldenDir/q_ann_ivf_q8.parquet'),
          |tot AS (SELECT count(*) AS total FROM brute)
          |SELECT method, CAST(count(*) AS BIGINT) AS hits,
          |       count(*)::DOUBLE / (SELECT total FROM tot) AS recall_at_k

@@ -335,6 +335,51 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("score"))
   }
 
+  /** IVF × int8 quantization — the 100 TB memory path COMPOSED: float
+    * centroids stay exact (they are tiny and drive both corpus assignment
+    * and query probing, so bucketing quality is unaffected), while the
+    * CORPUS side carries only int8 bytes into the probe join and the
+    * re-rank runs [[cosineI8]] on quantized pairs. Same deterministic
+    * (score desc, vec_id asc) ranking as the whole family; recall vs the
+    * float brute force is q_ann_recall's recorded `ivf_q8` row.
+    */
+  def ivfQuantizedTopK(
+      embeddings: DataFrame,
+      queryMaxId: Long,
+      k: Int,
+      nLists: Int = 0,
+      nProbe: Int = 4,
+      seed: Long = 42L,
+      sampleTarget: Int = 0): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+
+    val centroids = trainCentroids(embeddings, nLists, seed, sampleTarget)
+    val centroidsB = spark.sparkContext.broadcast(centroids)
+
+    val assignUdf = udf((v: Seq[Float]) => nearestLists(v.toArray, centroidsB.value, 1)(0))
+    val probeUdf = udf((v: Seq[Float]) => nearestLists(v.toArray, centroidsB.value, nProbe))
+    val quantUdf = udf((v: Seq[Float]) => quantizeI8(v.toArray))
+    val score = udf((a: Array[Byte], b: Array[Byte]) => cosineI8(a, b))
+
+    val base = embeddings
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+    val listed = base
+      .select(col("vec_id"), quantUdf(col("embedding")).as("q8"),
+        assignUdf(col("embedding")).as("list"))
+    val queries = base.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("q_id"), quantUdf(col("embedding")).as("q_q8"),
+        explode(probeUdf(col("embedding"))).as("list"))
+
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id").asc)
+    listed.join(queries, Seq("list"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", score(col("q_q8"), col("q8")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("score"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs in the
     * same bucket with cosine ≥ threshold.
     */

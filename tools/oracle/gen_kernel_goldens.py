@@ -801,6 +801,25 @@ def main():
           {"q_id": [x[0] for x in q8_rows], "rank": [x[1] for x in q8_rows],
            "neighbor_id": [x[2] for x in q8_rows], "score": [x[3] for x in q8_rows]})
 
+    # q_ann_ivf_q8: IVF bucketing on FLOAT centroids (same centroids/assign/
+    # probe as q_ann_ivf), int8 re-rank (mirrors Similarity.ivfQuantizedTopK)
+    ivfq8_rows = []
+    for q in query_ids:
+        probes = g.nearest_lists(by_id[q], centroids, 4)
+        cands = set()
+        for p in probes:
+            cands.update(inv.get(p, []))
+        cands.discard(q)
+        scored = [(c, g.cosine_i8(q8_of[q], q8_of[c])) for c in sorted(cands)]
+        for rank, vid, score in g.topk_rank(scored, k):
+            ivfq8_rows.append((q, rank, vid, score))
+    write("q_ann_ivf_q8",
+          pa.schema([("q_id", pa.int64()), ("rank", pa.int32()),
+                     ("neighbor_id", pa.int64()), ("score", pa.float64())]),
+          {"q_id": [x[0] for x in ivfq8_rows], "rank": [x[1] for x in ivfq8_rows],
+           "neighbor_id": [x[2] for x in ivfq8_rows],
+           "score": [x[3] for x in ivfq8_rows]})
+
     # q_embed_cluster: corpus-scaled kmeans assignment (mirrors
     # Similarity.clusterAssign: same hash-gate sample, same Lloyd iterations)
     crows = [(i, g.nearest_lists(by_id[i], centroids, 1)[0]) for i in vec_ids]
