@@ -614,6 +614,18 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // ---- Bloom-routed incremental dedup: SAME fixture, SAME shared oracle
+    //      SQL as q_incremental_dedup (the bit-identical-result claim is the
+    //      whole point) — only the definite-new bypass route differs.
+    //      expectedPriorDistinct deliberately UNDERSIZED (corpus/2) so the
+    //      inflated-fpp path is exercised, not just the comfortable one ----
+    "q_bloom_dedup" -> ((s, dir) => {
+      val prior = docs(s, dir).select(col("doc_id"), col("text"))
+      Dedup.incrementalDedupBloom(newerCrawl(prior), prior,
+          expectedPriorDistinct = math.max(1L, prior.count() / 2), fpp = 0.05)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // ---- top-K vocabulary (tokenizer-training / index-config input):
     //      K=20 binds under the corpus's 31-token vocabulary ----
     "q_vocab" -> ((s, dir) => TextOps.topKVocab(docs(s, dir), 20)),
@@ -2006,6 +2018,8 @@ object SparkEntry {
     // ---- incremental dedup: ground truth by TEXT membership (not digest)
     //      — doubles as the digest-collision check ----
     "q_incremental_dedup" -> IncrementalDedupSql,
+    // bloom routing must be RESULT-invisible: the shared SQL verbatim
+    "q_bloom_dedup" -> IncrementalDedupSql,
 
     // ---- stream-static incremental dedup: identical semantics to the
     //      batch form, so the identical (shared) oracle ----
