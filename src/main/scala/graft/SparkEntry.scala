@@ -221,6 +221,38 @@ object SparkEntry {
     paras.mkString("\n\n")
   }
 
+  /** Deterministic boilerplate-laden page for the main-content fixture:
+    * the real text reflows into 12-token `<p>` paragraphs inside an
+    * unlabeled content div, surrounded by chrome WITHOUT semantic tags —
+    * a link menu div (binds the link-density kill), a link-dense long
+    * "related" div on every 3rd doc (binds link-kill-over-long-keep), a
+    * short stopword-dense note div with an entity on every 4th doc (binds
+    * the stopword rescue + entity decode in the OUTPUT), a short cookie
+    * div on every 5th doc and a footer (bind the default kill). Mirrored
+    * token-for-token in gen_kernel_goldens.py.
+    */
+  private[graft] def boilerplateHtml(docId: Long, text: String): Array[Byte] = {
+    val toks = Option(text).getOrElse("").split(" ").filter(_.nonEmpty)
+    val paras = toks.grouped(12).map(_.mkString(" ")).toArray
+    val sb = new java.lang.StringBuilder
+    sb.append("<!DOCTYPE html><html><head><title>d").append(docId)
+      .append("</title><script>var t=1;</script><style>.x{color:red}</style></head><body>")
+    sb.append("<div class=\"menu\"><a href=\"/\">Home</a> <a href=\"/archive\">Archive</a> <a href=\"/tags\">Tags</a></div>")
+    if (docId % 3 == 0)
+      sb.append("<div class=\"related\"><a href=\"/r1\">related ")
+        .append(if (paras.nonEmpty) paras(0) else "")
+        .append("</a> <a href=\"/r2\">more links here</a></div>")
+    sb.append("<div id=\"content\">")
+    paras.foreach(p => sb.append("<p>").append(p).append("</p>"))
+    sb.append("</div>")
+    if (docId % 4 == 0)
+      sb.append("<div class=\"note\">a note to all of the readers &amp; friends</div>")
+    if (docId % 5 == 0)
+      sb.append("<div class=\"cookie\">Accept cookies</div>")
+    sb.append("<footer>&copy; 2026 example.org</footer></body></html>")
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- flagship kernel pipeline (non-SQL; golden/differential-verified) ----
@@ -242,6 +274,20 @@ object SparkEntry {
       Functions.register(s)
       AlignJob.synthPages(s, dir).toDF()
         .select(col("url"), expr("extract_text(html)").as("extracted"))
+    }),
+    // ---- density-based main-content extraction (jusText-simplified):
+    //      block segmentation + link/stopword-density rules remove chrome
+    //      divs that carry NO semantic tag (the tag-name path q_extract_text
+    //      can't see). Map-only per-row kernel; golden is the clean-room
+    //      Python mirror ----
+    "q_main_content" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val e = graft.align.MainContent.extract(boilerplateHtml(id, text))
+          (id, e.content, e.nBlocks, e.nKept, e.removedChars)
+        }.toDF("doc_id", "content", "n_blocks", "n_kept", "removed_chars")
+        .orderBy(col("doc_id"))
     }),
     "q_syllabify" -> ((s, dir) => {
       Functions.register(s)
@@ -1408,6 +1454,7 @@ object SparkEntry {
     "q_resume" -> golden("q_align_spans"),
     "q_align_metrics" -> golden("q_align_metrics"),
     "q_extract_text" -> golden("q_extract_text"),
+    "q_main_content" -> golden("q_main_content"),
     "q_doc_json" -> golden("q_doc_json"),
     "q_syllabify" -> golden("q_syllabify"),
     "q_parse_transcript" -> golden("q_parse_transcript"),

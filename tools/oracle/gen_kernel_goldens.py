@@ -123,6 +123,20 @@ def main():
           {"url": [r["url"] for r in results],
            "extracted": [r["extracted"] for r in results]})
 
+    # ---- q_main_content (density-based boilerplate strip over the
+    #      chrome-laden fixture; clean-room mirror, not Spark output) ----
+    _mc_rows = [(i,) + g.mc_extract(g.boilerplate_html(i, t))
+                for i, t in doc_items]
+    write("q_main_content",
+          pa.schema([("doc_id", pa.int64()), ("content", pa.string()),
+                     ("n_blocks", pa.int32()), ("n_kept", pa.int32()),
+                     ("removed_chars", pa.int64())]),
+          {"doc_id": [x[0] for x in _mc_rows],
+           "content": [x[1] for x in _mc_rows],
+           "n_blocks": [x[2] for x in _mc_rows],
+           "n_kept": [x[3] for x in _mc_rows],
+           "removed_chars": [x[4] for x in _mc_rows]})
+
     # ---- q_align_spans ----
     rows = [(r["url"],) + sp for r in results for sp in r["spans"]]
     write("q_align_spans",

@@ -608,3 +608,103 @@ def sample_frame_count(kind, n_bytes):
     if kind == "audio":
         return max(1, n_bytes // 8192)
     return 1
+
+
+# ---------------- MainContent (density-based, jusText-simplified) ----------
+# Clean-room mirror of graft/align/MainContent.scala: block segmentation on
+# block-level tags, link/stopword densities, ordered integer-rational rules.
+
+MC_DROP_RE = re.compile(
+    r"<(script|style|head|noscript|template|svg)\b[^>]*>.*?</\1\s*>",
+    re.I | re.S)
+MC_BLOCK_RE = re.compile(
+    r"</?(p|div|td|th|li|ul|ol|h[1-6]|blockquote|pre|table|tr|section|"
+    r"article|nav|footer|header|aside|form|br|hr)\b[^>]*>", re.I)
+MC_ANCHOR_RE = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.I | re.S)
+MC_WS_RE = re.compile(r"\s+")
+
+MC_STOPWORDS = {
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "at", "by",
+    "for", "with", "from", "as", "is", "are", "was", "were", "be", "been",
+    "it", "this", "that", "these", "those", "we", "you", "your", "they",
+    "their", "have", "has", "had", "not", "but", "all"}
+
+
+def mc_norm_word(w):
+    lw = w.lower()
+    i, j = 0, len(lw)
+    while i < j and not ("a" <= lw[i] <= "z"):
+        i += 1
+    while j > i and not ("a" <= lw[j - 1] <= "z"):
+        j -= 1
+    return lw[i:j]
+
+
+def mc_norm_text(s):
+    return MC_WS_RE.sub(" ", decode_entities(s)).strip()
+
+
+def mc_blocks(html):
+    t = COMMENT_RE.sub(" ", html)
+    prev = None
+    while prev != t:
+        prev = t
+        t = MC_DROP_RE.sub(" ", t)
+    out = []
+    for seg in MC_BLOCK_RE.sub("\x00", t).split("\x00"):
+        text = mc_norm_text(TAG_RE.sub(" ", seg))
+        if not text:
+            continue
+        link = 0
+        for m in MC_ANCHOR_RE.finditer(seg):
+            link += len(mc_norm_text(TAG_RE.sub(" ", m.group(1))))
+        words = [w for w in text.split(" ") if w]
+        stops = sum(1 for w in words if mc_norm_word(w) in MC_STOPWORDS)
+        out.append((text, link, len(words), stops))
+    return out
+
+
+def mc_is_content(text, link, words, stops):
+    total = len(text)
+    if link > 0 and 5 * link >= total:
+        return False  # r1 link-dense kill
+    if total >= 40:
+        return True   # r2 long keep
+    if total >= 20 and 10 * stops >= 3 * words:
+        return True   # r3 stopword rescue
+    return False      # r4 default kill
+
+
+def mc_extract(html):
+    bs = mc_blocks(html)
+    kept = [b for b in bs if mc_is_content(*b)]
+    return ("\n".join(b[0] for b in kept), len(bs), len(kept),
+            sum(len(b[0]) for b in bs if not mc_is_content(*b)))
+
+
+def boilerplate_html(doc_id, text):
+    """Mirror of SparkEntry.boilerplateHtml — the main-content fixture."""
+    toks = [w for w in (text or "").split(" ") if w]
+    paras = [" ".join(toks[i:i + 12]) for i in range(0, len(toks), 12)]
+    parts = [
+        "<!DOCTYPE html><html><head><title>d%d</title>"
+        "<script>var t=1;</script><style>.x{color:red}</style></head><body>"
+        % doc_id,
+        '<div class="menu"><a href="/">Home</a> <a href="/archive">'
+        "Archive</a> <a href=\"/tags\">Tags</a></div>"]
+    if doc_id % 3 == 0:
+        parts.append(
+            '<div class="related"><a href="/r1">related %s</a> '
+            '<a href="/r2">more links here</a></div>'
+            % (paras[0] if paras else ""))
+    parts.append('<div id="content">')
+    for p in paras:
+        parts.append("<p>%s</p>" % p)
+    parts.append("</div>")
+    if doc_id % 4 == 0:
+        parts.append('<div class="note">a note to all of the readers '
+                     "&amp; friends</div>")
+    if doc_id % 5 == 0:
+        parts.append('<div class="cookie">Accept cookies</div>')
+    parts.append("<footer>&copy; 2026 example.org</footer></body></html>")
+    return "".join(parts)
