@@ -275,6 +275,12 @@ object SparkEntry {
       AlignJob.synthPages(s, dir).toDF()
         .select(col("url"), expr("extract_text(html)").as("extracted"))
     }),
+    // ---- fasttext-style hashed linear quality classifier (stateless
+    //      map-only inference; dyadic stand-in weights make the logit
+    //      bit-exact cross-engine — golden is the clean-room mirror) ----
+    "q_classifier_score" -> ((s, dir) =>
+      graft.ops.Classifier.score(docs(s, dir)).orderBy(col("doc_id"))),
+
     // ---- density-based main-content extraction (jusText-simplified):
     //      block segmentation + link/stopword-density rules remove chrome
     //      divs that carry NO semantic tag (the tag-name path q_extract_text
@@ -1455,6 +1461,7 @@ object SparkEntry {
     "q_align_metrics" -> golden("q_align_metrics"),
     "q_extract_text" -> golden("q_extract_text"),
     "q_main_content" -> golden("q_main_content"),
+    "q_classifier_score" -> golden("q_classifier_score"),
     "q_doc_json" -> golden("q_doc_json"),
     "q_syllabify" -> golden("q_syllabify"),
     "q_parse_transcript" -> golden("q_parse_transcript"),

@@ -123,6 +123,17 @@ def main():
           {"url": [r["url"] for r in results],
            "extracted": [r["extracted"] for r in results]})
 
+    # ---- q_classifier_score (hashed linear inference; dyadic weights make
+    #      the logit double bit-exact across engines) ----
+    _cls_rows = [g.cls_score(i, t) for i, t in doc_items]
+    write("q_classifier_score",
+          pa.schema([("doc_id", pa.int64()), ("logit", pa.float64()),
+                     ("n_features", pa.int32()), ("label", pa.string())]),
+          {"doc_id": [x[0] for x in _cls_rows],
+           "logit": [x[1] for x in _cls_rows],
+           "n_features": [x[2] for x in _cls_rows],
+           "label": [x[3] for x in _cls_rows]})
+
     # ---- q_main_content (density-based boilerplate strip over the
     #      chrome-laden fixture; clean-room mirror, not Spark output) ----
     _mc_rows = [(i,) + g.mc_extract(g.boilerplate_html(i, t))

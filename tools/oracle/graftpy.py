@@ -708,3 +708,30 @@ def boilerplate_html(doc_id, text):
         parts.append('<div class="cookie">Accept cookies</div>')
     parts.append("<footer>&copy; 2026 example.org</footer></body></html>")
     return "".join(parts)
+
+
+# ---------------- Classifier (hashed linear, dyadic stand-in weights) ------
+# Clean-room mirror of graft/ops/Classifier.scala.
+
+CLS_DIM = 1 << 18
+CLS_SALT = 0xC1A551F1ED5EED
+CLS_BIAS = -0.25
+
+
+def cls_weight(bucket, salt=CLS_SALT):
+    return ((mix(bucket ^ salt) >> 53) - 1024) / 1024.0
+
+
+def cls_score(doc_id, text, salt=CLS_SALT):
+    toks = [w for w in (text or "").split(" ") if w]
+    counts = {}
+    for i, t in enumerate(toks):
+        b = string_hash64(t) & (CLS_DIM - 1)
+        counts[b] = counts.get(b, 0) + 1
+        if i + 1 < len(toks):
+            b2 = string_hash64(t + " " + toks[i + 1]) & (CLS_DIM - 1)
+            counts[b2] = counts.get(b2, 0) + 1
+    logit = CLS_BIAS
+    for b, c in counts.items():
+        logit += c * cls_weight(b, salt)
+    return (doc_id, logit, len(counts), "keep" if logit >= 0.0 else "drop")
