@@ -1029,6 +1029,23 @@ object SparkEntry {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // ---- SemDedup (cluster-then-prune semantic dedup) over the SAME
+    //      perturbed union as q_embed_near_dups: planted near-identical
+    //      pairs must co-cluster and prune to their min-id keeper ----
+    "q_semdedup" -> ((s, dir) => {
+      import s.implicits._
+      val e = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val perturbed = e.filter(col("vec_id") % 20 === 0)
+        .as[(Long, Seq[Float])]
+        .map { case (id, v) =>
+          val rng = new PageGen.Rng(id ^ 0x3141592653L)
+          (id + 1000000L,
+            v.map(x => x + (rng.nextDouble().toFloat - 0.5f) * 0.01f))
+        }.toDF("vec_id", "embedding")
+      Similarity.semDedup(e.unionAll(perturbed), threshold = 0.95)
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- multimodal stub pipeline ----
     "q_media_features" -> ((s, dir) => {
       import s.implicits._
@@ -1651,6 +1668,7 @@ object SparkEntry {
     "q_repetition" -> golden("q_repetition"),
     "q_embed_cluster" -> golden("q_embed_cluster"),
     "q_embed_near_dups" -> golden("q_embed_near_dups"),
+    "q_semdedup" -> golden("q_semdedup"),
 
     // ---- exact-cosine brute force: computable directly in DuckDB (double
     //      dot/norms in input order — bit-identical to CosineSimilarity) ----

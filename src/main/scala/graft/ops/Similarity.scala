@@ -437,4 +437,56 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"), col("cos"))
   }
+
+  /** SemDedup (cluster-then-prune semantic dedup, after Abbas et al. 2023):
+    * kmeans-cluster the embedding space, then prune any vector with a
+    * same-cluster neighbor of cosine ≥ threshold and LOWER vec_id (min-id
+    * keeper — the repo's survivor convention, deterministic and
+    * relational; a pruned vector needs a DIRECT ≥τ link to a lower id,
+    * matching the paper's pairwise rule rather than transitive closure).
+    * Output: one row per vector — (vec_id, cluster, status kept|pruned).
+    *
+    * Scale shape: the pairwise work is confined within clusters, so cost
+    * is Σ size² — the paper's trick is k large enough that E[size] stays
+    * bounded (k ≈ n/Ē). Defense in depth here: per-cluster count-first
+    * sizing, and clusters above `maxClusterSize` skip pairing entirely
+    * (all members kept, reported) rather than going quadratic — the same
+    * honest cap-and-surface policy as [[embeddingNearDups]]. Assignment
+    * is map-side against broadcast centroids; the only driver-side work
+    * is the bounded centroid-training sample collect. At 10^12 rows one
+    * kmeans level is not enough — the drop-in extension is hierarchical
+    * assignment (two nested clusterings), which this op composes with by
+    * feeding it a pre-bucketed cluster column.
+    */
+  def semDedup(
+      embeddings: DataFrame,
+      threshold: Double = 0.95,
+      k: Int = 0,
+      seed: Long = 42L,
+      maxClusterSize: Int = 10000): DataFrame = {
+    val spark = embeddings.sparkSession
+    val centroidsB = spark.sparkContext.broadcast(trainCentroids(embeddings, k, seed))
+    val assignUdf = udf((v: Seq[Float]) => nearestLists(v.toArray, centroidsB.value, 1)(0))
+    // persisted: feeds the size count, both self-join sides, and the final
+    // status join
+    val assigned = CacheRegistry.register(
+      embeddings.select(col("vec_id"), col("embedding"))
+        .withColumn("cluster", assignUdf(col("embedding")))
+        .persist())
+    val sizes = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+    val joinable = assigned
+      .join(sizes.filter(col("sz") > 1 && col("sz") <= maxClusterSize), Seq("cluster"))
+      .select(col("cluster"), col("vec_id"), col("embedding"))
+    val pruned = joinable.as("l").join(joinable.as("r"),
+        col("l.cluster") === col("r.cluster") && col("l.vec_id") < col("r.vec_id"))
+      .withColumn("cos", cosineCol(col("l.embedding"), col("r.embedding")))
+      .filter(col("cos") >= threshold)
+      .select(col("r.vec_id").as("vec_id")).distinct()
+      .withColumn("__pruned", lit(true))
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(pruned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("__pruned").isNotNull, lit("pruned")).otherwise(lit("kept"))
+          .as("status"))
+  }
 }

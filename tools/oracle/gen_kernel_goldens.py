@@ -881,6 +881,39 @@ def main():
           {"vec_a": [x[0] for x in erows], "vec_b": [x[1] for x in erows],
            "cos": [x[2] for x in erows]})
 
+    # q_semdedup over the SAME perturbed union: default clustering (mirrors
+    # Similarity.trainCentroids: hash-gate sample sorted by id, Lloyd x5),
+    # then min-id-keeper pairwise prune within clusters, threshold 0.95,
+    # maxClusterSize 10000
+    n2 = len(union)
+    lists2 = max(16, int(round(math.sqrt(n2))))
+    target2 = max(256, lists2 * 8)
+    rate2 = max(1, n2 // target2)
+    sample2 = [union[i] for i in sorted(union) if g.mix(i) % rate2 == 0]
+    cents2 = g.kmeans(sample2, lists2, 5, 42)
+    sd_assign = {i: g.nearest_lists(union[i], cents2, 1)[0] for i in union}
+    sd_clusters = {}
+    for i, c in sd_assign.items():
+        sd_clusters.setdefault(c, []).append(i)
+    sd_pruned = set()
+    for c, mem in sd_clusters.items():
+        if len(mem) < 2 or len(mem) > 10000:
+            continue
+        mem = sorted(mem)
+        for ai in range(len(mem)):
+            for bi in range(ai + 1, len(mem)):
+                if g.cosine(union[mem[ai]], union[mem[bi]]) >= 0.95:
+                    sd_pruned.add(mem[bi])
+    sd_rows = [(i, sd_assign[i], "pruned" if i in sd_pruned else "kept")
+               for i in sorted(union)]
+    assert any(x[2] == "pruned" for x in sd_rows), "semdedup fixture inert"
+    write("q_semdedup",
+          pa.schema([("vec_id", pa.int64()), ("cluster", pa.int32()),
+                     ("status", pa.string())]),
+          {"vec_id": [x[0] for x in sd_rows],
+           "cluster": [x[1] for x in sd_rows],
+           "status": [x[2] for x in sd_rows]})
+
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     gen_mei_and_gtxml(results, out_dir, repo_root)
 
