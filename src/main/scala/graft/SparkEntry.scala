@@ -275,6 +275,18 @@ object SparkEntry {
       AlignJob.synthPages(s, dir).toDF()
         .select(col("url"), expr("extract_text(html)").as("extracted"))
     }),
+    // ---- CCNet-style bigram-LM perplexity filter: train on the
+    //      known-good slice (doc_id % 7 == 0), score every doc in
+    //      bits-per-token, bucket head/middle/tail at pinned thresholds
+    //      (corpus tertiles at authoring time). Golden is the clean-room
+    //      mirror incl. the pinned portable log2 ----
+    "q_lm_perplexity" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = graft.ops.NgramLm.train(d.filter(col("doc_id") % 7 === 0))
+      graft.ops.NgramLm.score(d, model, headBelow = 4.97, tailFrom = 5.08)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- fasttext-style hashed linear quality classifier (stateless
     //      map-only inference; dyadic stand-in weights make the logit
     //      bit-exact cross-engine — golden is the clean-room mirror) ----
@@ -1479,6 +1491,7 @@ object SparkEntry {
     "q_extract_text" -> golden("q_extract_text"),
     "q_main_content" -> golden("q_main_content"),
     "q_classifier_score" -> golden("q_classifier_score"),
+    "q_lm_perplexity" -> golden("q_lm_perplexity"),
     "q_doc_json" -> golden("q_doc_json"),
     "q_syllabify" -> golden("q_syllabify"),
     "q_parse_transcript" -> golden("q_parse_transcript"),

@@ -735,3 +735,55 @@ def cls_score(doc_id, text, salt=CLS_SALT):
     for b, c in counts.items():
         logit += c * cls_weight(b, salt)
     return (doc_id, logit, len(counts), "keep" if logit >= 0.0 else "drop")
+
+
+# ---------------- NgramLm (CCNet-style bigram perplexity filter) ----------
+# Clean-room mirror of graft/ops/NgramLm.scala. lm_log2 is the PINNED
+# portable log2 (fixed 7-term atanh series, fixed op order) — bit-identical
+# to the Scala side because only correctly-rounded IEEE +,*,/ are used.
+
+def lm_log2(x):
+    f, e = math.frexp(x)  # f in [0.5, 1)
+    m = f * 2.0           # exact power-of-two scale -> [1, 2)
+    e = e - 1
+    z = (m - 1.0) / (m + 1.0)
+    z2 = z * z
+    s = 1.0 / 13.0
+    s = s * z2 + 1.0 / 11.0
+    s = s * z2 + 1.0 / 9.0
+    s = s * z2 + 1.0 / 7.0
+    s = s * z2 + 1.0 / 5.0
+    s = s * z2 + 1.0 / 3.0
+    s = s * z2 + 1.0
+    return float(e) + (2.0 * z * s) * 1.4426950408889634
+
+
+def lm_train(texts):
+    u, b = {}, {}
+    for t in texts:
+        ws = [w for w in (t or "").split(" ") if w]
+        for w in ws:
+            u[w] = u.get(w, 0) + 1
+        for i in range(len(ws) - 1):
+            key = (ws[i], ws[i + 1])
+            b[key] = b.get(key, 0) + 1
+    ctx = {}
+    for (a, _), c in b.items():
+        ctx[a] = ctx.get(a, 0) + c
+    return u, b, ctx
+
+
+def lm_score(text, u, b, ctx):
+    v = len(u) + 1
+    ws = [w for w in (text or "").split(" ") if w]
+    mp = [w if w in u else None for w in ws]
+    bits = 0.0
+    for i in range(len(mp) - 1):
+        if mp[i] is not None and mp[i + 1] is not None:
+            cbi = b.get((mp[i], mp[i + 1]), 0)
+        else:
+            cbi = 0
+        cctx = ctx.get(mp[i], 0) if mp[i] is not None else 0
+        p = float(cbi + 1) / float(cctx + v)
+        bits += -lm_log2(p)
+    return len(ws), bits
