@@ -275,6 +275,19 @@ object SparkEntry {
       AlignJob.synthPages(s, dir).toDF()
         .select(col("url"), expr("extract_text(html)").as("extracted"))
     }),
+    // ---- mojibake repair (ftfy-lite): every 9th token becomes an
+    //      accented word, even docs are corrupted utf8→latin1 once,
+    //      doc_id%10 twice (binds the two-pass repair); odd docs keep
+    //      clean accents (binds the strict-decode guard: untouched) ----
+    "q_fix_encoding" -> ((s, dir) => {
+      import s.implicits._
+      val corrupted = docs(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, t) => (id, mojibakeText(id, t)) }
+        .toDF("doc_id", "text")
+      graft.ops.Mojibake.fix(corrupted).orderBy(col("doc_id"))
+    }),
+
     // ---- CCNet-style bigram-LM perplexity filter: train on the
     //      known-good slice (doc_id % 7 == 0), score every doc in
     //      bits-per-token, bucket head/middle/tail at pinned thresholds
@@ -1470,6 +1483,37 @@ object SparkEntry {
     * re-ids +5000000; every 3rd keeps its text (a true duplicate), the rest
     * gain a suffix. Mirrored verbatim in [[IncrementalDedupSql]].
     */
+  /** Deterministic mojibake fixture synthesis for q_fix_encoding: every
+    * 9th space-token is replaced by an accented word (señor's ñ=0xF1 is
+    * itself UTF-8-lead-shaped, so the CLEAN accented text also binds the
+    * strict-decode guard), then the doc is round-tripped
+    * utf8-bytes→latin1-chars 0/1/2 times by id parity. Mirrored clean-room
+    * in tools/oracle/graftpy.py (moj_corrupt) — shared convention,
+    * independent engines.
+    */
+  private val AccentWords = Array("café", "naïve", "señor", "über", "résumé")
+
+  private def mojibakeText(id: Long, t: String): String = {
+    if (t == null) return null
+    val toks = t.split(" ", -1)
+    var i = 0
+    while (i < toks.length) {
+      if (i % 9 == 0 && toks(i).nonEmpty)
+        toks(i) = AccentWords(((id + i) % 5).toInt)
+      i += 1
+    }
+    var s = toks.mkString(" ")
+    val passes = if (id % 10 == 0) 2 else if (id % 2 == 0) 1 else 0
+    var p = 0
+    while (p < passes) {
+      s = new String(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      p += 1
+    }
+    s
+  }
+
   private def newerCrawl(prior: DataFrame): DataFrame =
     prior.select((col("doc_id") + 5000000L).as("doc_id"),
       when(col("doc_id") % 3 === 0, col("text"))
@@ -1492,6 +1536,7 @@ object SparkEntry {
     "q_main_content" -> golden("q_main_content"),
     "q_classifier_score" -> golden("q_classifier_score"),
     "q_lm_perplexity" -> golden("q_lm_perplexity"),
+    "q_fix_encoding" -> golden("q_fix_encoding"),
     "q_doc_json" -> golden("q_doc_json"),
     "q_syllabify" -> golden("q_syllabify"),
     "q_parse_transcript" -> golden("q_parse_transcript"),

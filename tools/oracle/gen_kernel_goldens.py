@@ -156,6 +156,21 @@ def main():
            "n_features": [x[2] for x in _cls_rows],
            "label": [x[3] for x in _cls_rows]})
 
+    # ---- q_fix_encoding (ftfy-lite mojibake repair; corruption is the
+    #      shared deterministic convention, repair is the clean-room
+    #      Python mirror of the strict-round-trip spec) ----
+    _moj_rows = []
+    for i, t in doc_items:
+        c = g.moj_corrupt(i, t)
+        f = g.moj_fix(c)
+        _moj_rows.append((i, f, c is not None and f != c))
+    write("q_fix_encoding",
+          pa.schema([("doc_id", pa.int64()), ("fixed_text", pa.string()),
+                     ("was_mojibake", pa.bool_())]),
+          {"doc_id": [x[0] for x in _moj_rows],
+           "fixed_text": [x[1] for x in _moj_rows],
+           "was_mojibake": [x[2] for x in _moj_rows]})
+
     # ---- q_main_content (density-based boilerplate strip over the
     #      chrome-laden fixture; clean-room mirror, not Spark output) ----
     _mc_rows = [(i,) + g.mc_extract(g.boilerplate_html(i, t))

@@ -787,3 +787,54 @@ def lm_score(text, u, b, ctx):
         p = float(cbi + 1) / float(cctx + v)
         bits += -lm_log2(p)
     return len(ws), bits
+
+
+# ---- mojibake fixture + clean-room repair (q_fix_encoding) ----------------
+# Corruption is a SHARED deterministic convention with
+# SparkEntry.mojibakeText; the repair mirrors graft.ops.Mojibake's spec
+# (strict latin1->utf8 round-trip, lead-byte guard, <=2 passes)
+# independently in Python.
+
+MOJ_WORDS = ["café", "naïve", "señor", "über", "résumé"]
+
+
+def moj_corrupt(doc_id, t):
+    if t is None:
+        return None
+    toks = t.split(" ")
+    for i in range(0, len(toks), 9):
+        if toks[i]:
+            toks[i] = MOJ_WORDS[(doc_id + i) % 5]
+    s = " ".join(toks)
+    passes = 2 if doc_id % 10 == 0 else 1 if doc_id % 2 == 0 else 0
+    for _ in range(passes):
+        s = s.encode("utf-8").decode("latin-1")
+    return s
+
+
+def _moj_roundtrip(s):
+    has_lead = False
+    for ch in s:
+        o = ord(ch)
+        if o > 0xFF:
+            return None
+        if 0xC2 <= o <= 0xF4:
+            has_lead = True
+    if not has_lead:
+        return None
+    try:
+        return s.encode("latin-1").decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+
+
+def moj_fix(s):
+    if s is None:
+        return None
+    r = s
+    for _ in range(2):
+        d = _moj_roundtrip(r)
+        if d is None or d == r:
+            return r
+        r = d
+    return r
