@@ -288,6 +288,35 @@ object SparkEntry {
       graft.ops.Mojibake.fix(corrupted).orderBy(col("doc_id"))
     }),
 
+    // ---- as-of temporal join: the snapshot state visible at event time
+    //      (Spark has no ASOF JOIN; DuckDB's NATIVE `ASOF LEFT JOIN` is
+    //      the oracle). Snapshots = every 10th event, so each snapshot is
+    //      also a probe of itself (binds the `>=` tie semantics); users
+    //      with no prior snapshot bind the left-outer null ----
+    "q_asof_join" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      graft.ops.AsofJoin.asofJoin(asofProbes(ev), asofSnaps(ev), "user_id", "ts")
+        .select("event_id", "user_id", "snap_id", "snap_value")
+        .orderBy(col("event_id"))
+    }),
+    // ---- the SAME join through the hot-key time-bucketed path, FORCED
+    //      to 8 time buckets — shares q_asof_join's oracle SQL verbatim
+    //      (the anti-drift rule), so local-pass + cross-bucket carry must
+    //      reproduce the one-window form exactly ----
+    "q_asof_scaled" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      graft.ops.AsofJoin.asofJoinBucketed(asofProbes(ev), asofSnaps(ev),
+        "user_id", "ts", numBuckets = 8)
+        .select("event_id", "user_id", "snap_id", "snap_value")
+        .orderBy(col("event_id"))
+    }),
+    // ---- token-window chunking for embedding corpora (chunk 16, stride
+    //      12 — the 4-token overlap and the short final chunk both bind;
+    //      zero-token docs emit no chunks) ----
+    "q_chunk_tokens" -> ((s, dir) =>
+      graft.ops.Chunking.chunkByTokens(docs(s, dir), chunkSize = 16, stride = 12)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // ---- CCNet-style bigram-LM perplexity filter: train on the
     //      known-good slice (doc_id % 7 == 0), score every doc in
     //      bits-per-token, bucket head/middle/tail at pinned thresholds
@@ -1514,6 +1543,33 @@ object SparkEntry {
     s
   }
 
+  /** Shared probe/snapshot synthesis of the two as-of queries (one
+    * definition — the anti-drift rule; mirrored in [[AsofSql]]). Snapshot
+    * (user_id, ts) uniqueness holds by construction: event timestamps are
+    * globally distinct in the fixture.
+    */
+  private def asofSnaps(ev: DataFrame): DataFrame =
+    ev.filter(col("event_id") % 10 === 0)
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("snap_id"), col("value").as("snap_value"))
+
+  private def asofProbes(ev: DataFrame): DataFrame =
+    ev.select(col("event_id"), col("user_id"), col("ts"))
+
+  /** Shared oracle of q_asof_join AND q_asof_scaled (identical semantics is
+    * the claim — one SQL string): DuckDB's native ASOF LEFT JOIN, a true
+    * independent implementation of the operator.
+    */
+  private val AsofSql: String =
+    """WITH snaps AS (
+      |  SELECT user_id, ts, event_id AS snap_id, value AS snap_value
+      |  FROM events WHERE event_id % 10 = 0),
+      |probes AS (SELECT event_id, user_id, ts FROM events)
+      |SELECT p.event_id, p.user_id, s.snap_id, s.snap_value
+      |FROM probes p ASOF LEFT JOIN snaps s
+      |  ON p.user_id = s.user_id AND p.ts >= s.ts
+      |ORDER BY p.event_id""".stripMargin.replace("\n", " ")
+
   private def newerCrawl(prior: DataFrame): DataFrame =
     prior.select((col("doc_id") + 5000000L).as("doc_id"),
       when(col("doc_id") % 3 === 0, col("text"))
@@ -1537,6 +1593,19 @@ object SparkEntry {
     "q_classifier_score" -> golden("q_classifier_score"),
     "q_lm_perplexity" -> golden("q_lm_perplexity"),
     "q_fix_encoding" -> golden("q_fix_encoding"),
+    "q_asof_join" -> AsofSql,
+    "q_asof_scaled" -> AsofSql,
+    // the token definition (non-empty space tokens) and the 1-based
+    // inclusive list slice are pinned on both engines
+    "q_chunk_tokens" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
+        "x -> x <> '') AS toks FROM documents), " +
+        "c AS (SELECT doc_id, len(toks) AS n, toks, " +
+        "unnest(range(0, len(toks), 12)) AS start FROM t WHERE len(toks) > 0) " +
+        "SELECT doc_id, CAST(start // 12 AS INTEGER) AS chunk_id, " +
+        "array_to_string(toks[start + 1 : start + 16], ' ') AS chunk_text, " +
+        "CAST(least(16, n - start) AS INTEGER) AS n_tokens " +
+        "FROM c ORDER BY doc_id, chunk_id"),
     "q_doc_json" -> golden("q_doc_json"),
     "q_syllabify" -> golden("q_syllabify"),
     "q_parse_transcript" -> golden("q_parse_transcript"),
