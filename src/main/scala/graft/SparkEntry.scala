@@ -310,6 +310,23 @@ object SparkEntry {
         .select("event_id", "user_id", "snap_id", "snap_value")
         .orderBy(col("event_id"))
     }),
+    // ---- the SAME join as a STREAM: probes arrive as a parquet stream
+    //      and are enriched map-side from a broadcast snapshot index
+    //      (binary search per probe) — shares the ASOF oracle verbatim,
+    //      so the stream lookup must equal both batch forms exactly ----
+    "q_asof_stream" -> ((s, dir) => {
+      val tmp = scratchDir(s, "asof_stream")
+      val ev = tbl(s, dir, "events")
+      asofProbes(ev).write.mode("overwrite").parquet(s"$tmp/probes")
+      graft.streaming.StreamingJobs.withShufflePartitions(s, 4) {
+        graft.streaming.StreamingJobs.runAvailableNow(
+          graft.streaming.StreamingJobs.asofStream(s, s"$tmp/probes",
+            asofSnaps(ev)),
+          s"$tmp/out")
+      }
+      s.read.parquet(s"$tmp/out/data").orderBy(col("event_id"))
+    }),
+
     // ---- token-window chunking for embedding corpora (chunk 16, stride
     //      12 — the 4-token overlap and the short final chunk both bind;
     //      zero-token docs emit no chunks) ----
@@ -1595,6 +1612,7 @@ object SparkEntry {
     "q_fix_encoding" -> golden("q_fix_encoding"),
     "q_asof_join" -> AsofSql,
     "q_asof_scaled" -> AsofSql,
+    "q_asof_stream" -> AsofSql,
     // the token definition (non-empty space tokens) and the 1-based
     // inclusive list slice are pinned on both engines
     "q_chunk_tokens" ->

@@ -314,6 +314,86 @@ object StreamingJobs {
       .select(col("doc_id"), col("text"))
   }
 
+  /** Streaming as-of enrichment: probe events arrive as a stream and are
+    * joined map-side to the snapshot state visible at each probe's
+    * timestamp — the streaming face of [[graft.ops.AsofJoin.asofJoin]],
+    * and the standard "enrich events with dimension state at event time"
+    * stream shape (a per-batch keyed window cannot run inside a streaming
+    * plan, so the static side becomes a broadcast per-key sorted index and
+    * each probe binary-searches the greatest snapshot ts <= its own).
+    *
+    * The snapshot side is collected and broadcast under an ENFORCED bound
+    * (same contract style as [[decontaminateStream]]'s eval index) —
+    * dimension tables are broadcast-scale by definition; corpus-scale
+    * snapshot sides belong on the batch operator. Probe rows with null
+    * key/ts get null payloads, and null-key/ts snapshots are dropped,
+    * exactly like the batch form (q_asof_stream shares q_asof_join's
+    * DuckDB ASOF oracle verbatim — the anti-drift rule).
+    *
+    * Snapshot schema is pinned to (keyCol LONG, tsCol TIMESTAMP, snap_id
+    * LONG, snap_value DOUBLE) — the payload rides a nullable struct so
+    * "no snapshot yet" stays distinguishable.
+    */
+  def asofStream(
+      spark: SparkSession,
+      probesDir: String,
+      snaps: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      maxSnaps: Int = 10000000): DataFrame = {
+    val rows = snaps
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).cast("long"),
+        unix_micros(col(tsCol).cast("timestamp")),
+        col("snap_id").cast("long"), col("snap_value").cast("double"))
+      .limit(maxSnaps + 1)
+      .collect()
+    require(rows.length <= maxSnaps,
+      s"snapshot side exceeds maxSnaps=$maxSnaps — asofStream broadcasts " +
+        "the snapshot index; use the batch AsofJoin for corpus-scale sides")
+    val index: java.util.HashMap[Long, (Array[Long], Array[Long], Array[Double])] = {
+      val tmp = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]]()
+      rows.foreach { r =>
+        tmp.computeIfAbsent(r.getLong(0),
+          _ => scala.collection.mutable.ArrayBuffer.empty) +=
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))
+      }
+      val out = new java.util.HashMap[Long, (Array[Long], Array[Long], Array[Double])]()
+      tmp.forEach { (k, v) =>
+        val sorted = v.sortBy(_._1).toArray
+        out.put(k, (sorted.map(_._1), sorted.map(_._2), sorted.map(_._3)))
+      }
+      out
+    }
+    val bc = spark.sparkContext.broadcast(index)
+    val lookup = udf((key: java.lang.Long, tsMicros: java.lang.Long) => {
+      if (key == null || tsMicros == null) None
+      else {
+        val e = bc.value.get(key.longValue())
+        if (e == null) None
+        else {
+          val (ts, ids, vals) = e
+          // greatest index with ts(i) <= probe ts (>= tie semantics, the
+          // same visibility rule the batch window's (ts, tag) sort pins)
+          var lo = 0; var hi = ts.length - 1; var ans = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (ts(mid) <= tsMicros.longValue()) { ans = mid; lo = mid + 1 }
+            else hi = mid - 1
+          }
+          if (ans < 0) None else Some((ids(ans), vals(ans)))
+        }
+      }
+    })
+    spark.readStream
+      .schema("event_id LONG, user_id LONG, ts TIMESTAMP_NTZ")
+      .parquet(probesDir)
+      .withColumn("__hit",
+        lookup(col(keyCol), unix_micros(col(tsCol).cast("timestamp"))))
+      .select(col("event_id"), col(keyCol),
+        col("__hit._1").as("snap_id"), col("__hit._2").as("snap_value"))
+  }
+
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily overridden
     * — the state-store sizing knob for the STATEFUL equivalence harnesses
     * (VERDICT r3 wrong #2): a stateful stream instantiates one state store

@@ -52,6 +52,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.select(countDistinct(col("text"))).as[Long].head() === 40)
   }
 
+  test("asofStream == batch asofJoin on the events fixture; oversized snaps fail loudly") {
+    import spark.implicits._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_asof_stream"
+    rmTree(base)
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val snaps = ev.filter(col("event_id") % 10 === 0)
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("snap_id"), col("value").as("snap_value"))
+    val probes = ev.select(col("event_id"), col("user_id"), col("ts"))
+    probes.write.parquet(s"$base/probes")
+
+    StreamingJobs.withShufflePartitions(spark, 4) {
+      StreamingJobs.runAvailableNow(
+        StreamingJobs.asofStream(spark, s"$base/probes", snaps), s"$base/out")
+    }
+    val got = spark.read.parquet(s"$base/out/data")
+      .select("event_id", "snap_id", "snap_value")
+      .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1).toSeq
+    val want = graft.ops.AsofJoin.asofJoin(probes, snaps, "user_id", "ts")
+      .select("event_id", "snap_id", "snap_value")
+      .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1).toSeq
+    assert(got === want)
+    assert(want.exists(_._2.isEmpty) && want.exists(_._2.nonEmpty))
+
+    assertThrows[IllegalArgumentException] {
+      StreamingJobs.asofStream(spark, s"$base/probes", snaps, maxSnaps = 3)
+    }
+  }
+
   test("decontaminateStream == batch decontaminate drop; oversized eval fails loudly") {
     import spark.implicits._
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_decontam_stream"
