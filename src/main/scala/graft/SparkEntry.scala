@@ -334,6 +334,21 @@ object SparkEntry {
       graft.ops.Chunking.chunkByTokens(docs(s, dir), chunkSize = 16, stride = 12)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // ---- per-doc distinctive terms (tf-idf-shaped, integer-exact rank:
+    //      tf desc, df asc, term asc) ----
+    "q_top_terms" -> ((s, dir) =>
+      graft.ops.Terms.topTermsPerDoc(docs(s, dir), k = 5)
+        .orderBy(col("doc_id"), col("rnk"))),
+
+    // ---- exact-k-per-group sampling via the two-phase salted top-k
+    //      (salt FORCED to 4 so the phase-2 merge genuinely binds);
+    //      ranked by the engine-portable (md5(id), id) shuffle ----
+    "q_sample_per_group" -> ((s, dir) =>
+      graft.ops.Sampling.sampleKPerGroup(
+        docs(s, dir).select(col("doc_id"), col("source")),
+        groupCol = "source", k = 7, saltBuckets = 4)
+        .orderBy(col("source"), col("rnk"))),
+
     // ---- CCNet-style bigram-LM perplexity filter: train on the
     //      known-good slice (doc_id % 7 == 0), score every doc in
     //      bits-per-token, bucket head/middle/tail at pinned thresholds
@@ -1613,6 +1628,22 @@ object SparkEntry {
     "q_asof_join" -> AsofSql,
     "q_asof_scaled" -> AsofSql,
     "q_asof_stream" -> AsofSql,
+    "q_top_terms" ->
+      ("WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), " +
+        "x -> x <> '')) AS term FROM documents WHERE doc_id IS NOT NULL), " +
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), " +
+        "r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, row_number() OVER " +
+        "(PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk " +
+        "FROM tf JOIN df USING (term)) " +
+        "SELECT doc_id, term, tf, df, CAST(rnk AS INTEGER) AS rnk FROM r " +
+        "WHERE rnk <= 5 ORDER BY doc_id, rnk"),
+    "q_sample_per_group" ->
+      ("WITH r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk FROM documents " +
+        "WHERE doc_id IS NOT NULL) " +
+        "SELECT doc_id, source, CAST(rnk AS INTEGER) AS rnk FROM r " +
+        "WHERE rnk <= 7 ORDER BY source, rnk"),
     // the token definition (non-empty space tokens) and the 1-based
     // inclusive list slice are pinned on both engines
     "q_chunk_tokens" ->

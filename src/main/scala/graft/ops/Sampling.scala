@@ -284,4 +284,48 @@ object Sampling {
             .orderBy(col("__key"), col(idCol))).cast("long")) + col("__off"))
       .drop("__key", "__bkt", "__off")
   }
+
+  /** Deterministic exact-k sample per group ("inspect 1000 docs per
+    * domain"): rows rank by `(md5(id), id)` within their group — an
+    * engine-portable deterministic shuffle (md5 hex compares identically
+    * everywhere; the trailing id breaks nothing but makes the total order
+    * explicit) — and ranks > k drop. Unlike [[stratifiedSample]]'s
+    * rate-gates this yields EXACTLY min(k, |group|) rows per group, which
+    * is what an eval-set builder or a per-domain audit wants.
+    *
+    * Scale shape: the naive form is one window over (group) — a hot group
+    * sorts in ONE task. This is the standard two-phase top-k instead:
+    * rank within (group, salt) first (k · saltBuckets survivors per
+    * group), then rank the survivors within (group). Phase 2 sorts ≤
+    * k·saltBuckets rows per group — bounded — and the result equals the
+    * single-window form exactly (top-k of a union of per-salt top-k IS the
+    * global top-k under one total order). Null ids are rejected per the
+    * repo-wide null-id convention (their md5 rank would also be
+    * engine-divergent: Spark sorts nulls first, SQL ORDER BY defaults
+    * nulls last).
+    */
+  def sampleKPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      k: Int,
+      idCol: String = "doc_id",
+      saltBuckets: Int = 16): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(saltBuckets > 0, s"saltBuckets must be positive: $saltBuckets")
+    val w = org.apache.spark.sql.expressions.Window
+    val key = md5(col(idCol).cast("string"))
+    val local = df
+      .filter(col(idCol).isNotNull)
+      .withColumn("__key", key)
+      .withColumn("__salt", pmod(xxhash64(col(idCol)), lit(saltBuckets.toLong)))
+      .withColumn("__lr", row_number().over(
+        w.partitionBy(col(groupCol), col("__salt"))
+          .orderBy(col("__key"), col(idCol))))
+      .filter(col("__lr") <= k)
+    local
+      .withColumn("rnk", row_number().over(
+        w.partitionBy(col(groupCol)).orderBy(col("__key"), col(idCol))))
+      .filter(col("rnk") <= k)
+      .drop("__key", "__salt", "__lr")
+  }
 }
