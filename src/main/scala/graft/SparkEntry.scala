@@ -26,6 +26,41 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** BM25 query-workload fixture convention (mirrored in graftpy.py
+    * bm25_queries): every 25th doc queries with its first 3 DISTINCT
+    * ≥5-char space tokens in appearance order; docs yielding no such
+    * token contribute no query.
+    */
+  private def bm25Queries(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .filter(col("doc_id").isNotNull && col("doc_id") % 25 === 0 &&
+        col("text").isNotNull)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+        t.split(" ").iterator.filter(w => w.length >= 5)
+          .foreach(w => if (seen.size < 3) seen += w)
+        seen.iterator.zipWithIndex.map { case (w, p) => (id, w, p) }
+      }.toDF("query_id", "term", "term_pos")
+  }
+
+  /** LinkGen fixture table (url, html): one link page per document. The
+    * target modulus is the corpus size — a fixture constant computed once
+    * per query (mirrored as len(docs) in graftpy.py).
+    */
+  private def linkPages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id").isNotNull)
+    val n = d.count()
+    d.as[(Long, String)].map { case (id, t) =>
+      (graft.pipeline.LinkGen.linkUrlFor(id),
+        graft.pipeline.LinkGen.pageHtml(id, t, n)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }.toDF("url", "html")
+  }
+
   private def rmTree(p: String): Unit = {
     val path = java.nio.file.Paths.get(p)
     if (java.nio.file.Files.exists(path)) {
@@ -386,6 +421,39 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         posexplode(expr("syllabify(clean_text(text))")).as(Seq("pos", "syl")))
     }),
+
+    // ---- link graph: href extraction + resolution over synthesized link
+    //      pages (LinkGen fixture, mirrored clean-room in graftpy.py).
+    //      Edges + pagerank are Python goldens; degrees / anchors / host
+    //      graph are DuckDB SQL over the committed golden edge table —
+    //      independent aggregation engines over an independent edge
+    //      extraction ----
+    "q_link_edges" -> ((s, dir) =>
+      graft.ops.LinkGraph.edges(linkPages(s, dir))
+        .orderBy(col("src"), col("pos"))),
+    "q_link_degrees" -> ((s, dir) =>
+      graft.ops.LinkGraph.degrees(graft.ops.LinkGraph.edges(linkPages(s, dir)))
+        .orderBy(col("url"))),
+    "q_anchor_text" -> ((s, dir) =>
+      graft.ops.LinkGraph.anchorStats(graft.ops.LinkGraph.edges(linkPages(s, dir)))
+        .orderBy(col("dst"))),
+    "q_host_graph" -> ((s, dir) =>
+      graft.ops.LinkGraph.hostGraph(graft.ops.LinkGraph.edges(linkPages(s, dir)))
+        .orderBy(col("src_host"), col("dst_host"))),
+    "q_pagerank" -> ((s, dir) =>
+      graft.ops.LinkGraph.pagerank(
+        graft.ops.LinkGraph.edges(linkPages(s, dir)),
+        iters = 20, damping = 0.85, exactFold = true)
+        .orderBy(col("url"))),
+
+    // ---- BM25 top-k retrieval (retrieval-based decontamination probe):
+    //      queries are a fixture CONVENTION (every 25th doc's first 3
+    //      distinct ≥5-char tokens, appearance order), mirrored in
+    //      graftpy.py; scores use the pinned portable log + query-order
+    //      folds, so the golden compare is bit-exact ----
+    "q_bm25" -> ((s, dir) =>
+      graft.ops.Retrieval.bm25TopK(docs(s, dir), bm25Queries(s, dir), k = 10)
+        .orderBy(col("query_id"), col("rank"))),
 
     // ---- O8 clean (SQL-expressible, oracle-checked) ----
     "q_clean" -> ((s, dir) =>
@@ -1625,6 +1693,36 @@ object SparkEntry {
     "q_classifier_score" -> golden("q_classifier_score"),
     "q_lm_perplexity" -> golden("q_lm_perplexity"),
     "q_fix_encoding" -> golden("q_fix_encoding"),
+    // ---- link graph: edges + pagerank are clean-room Python goldens;
+    //      the three aggregates run DuckDB SQL over the COMMITTED golden
+    //      edge table (independent aggregation engine over an independent
+    //      edge extraction — drift in either side fails the row) ----
+    "q_link_edges" -> golden("q_link_edges"),
+    "q_pagerank" -> golden("q_pagerank"),
+    "q_bm25" -> golden("q_bm25"),
+    "q_link_degrees" ->
+      (s"""WITH e AS (SELECT * FROM '$GoldenDir/q_link_edges.parquet'),
+         |o AS (SELECT src AS url, count(*) AS out_deg FROM e GROUP BY 1),
+         |i AS (SELECT dst AS url, count(*) AS in_deg FROM e GROUP BY 1)
+         |SELECT coalesce(o.url, i.url) AS url,
+         |  coalesce(o.out_deg, 0) AS out_deg, coalesce(i.in_deg, 0) AS in_deg
+         |FROM o FULL OUTER JOIN i ON o.url = i.url
+         |ORDER BY url""".stripMargin.replace("\n", " ")),
+    "q_anchor_text" ->
+      (s"""WITH e AS (SELECT * FROM '$GoldenDir/q_link_edges.parquet')
+         |SELECT dst, count(*) AS n_links,
+         |  count(DISTINCT anchor) AS n_uniq_anchors,
+         |  CASE WHEN count(*) <= 10000
+         |    THEN string_agg(anchor, ' | ' ORDER BY anchor) END AS anchors
+         |FROM e WHERE anchor <> '' GROUP BY dst ORDER BY dst"""
+        .stripMargin.replace("\n", " ")),
+    "q_host_graph" ->
+      (s"""WITH e AS (SELECT * FROM '$GoldenDir/q_link_edges.parquet'),
+         |h AS (SELECT split_part(split_part(src, '://', 2), '/', 1) AS src_host,
+         |  split_part(split_part(dst, '://', 2), '/', 1) AS dst_host, src FROM e)
+         |SELECT src_host, dst_host, count(*) AS n_links,
+         |  count(DISTINCT src) AS n_pages
+         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")),
     "q_asof_join" -> AsofSql,
     "q_asof_scaled" -> AsofSql,
     "q_asof_stream" -> AsofSql,

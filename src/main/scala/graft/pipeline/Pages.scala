@@ -71,7 +71,7 @@ object PageGen {
     sb.toString
   }
 
-  private def escapeHtml(s: String): String =
+  def escapeHtml(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
   /** Wrap a noisy stream in deterministic Common-Crawl-ish boilerplate. */
@@ -105,5 +105,78 @@ object PageGen {
   def pageFor(docId: Long, text: String, lang: String): Page = {
     val noisy = noisyRender(text, docId)
     Page(urlFor(docId), tsFor(docId), wrapHtml(noisy, urlFor(docId), docId), text, lang)
+  }
+}
+
+/** Deterministic LINK-page synthesis for the link-graph family
+  * (q_link_edges / q_link_degrees / q_anchor_text / q_host_graph /
+  * q_pagerank): each document becomes a page on one of 13 hosts whose
+  * outlinks exercise every resolver form — absolute, path-absolute,
+  * relative with `..`, entity-encoded query + fragment, protocol-relative,
+  * and a mailto: that must be DROPPED — plus an href-less `<a name>`, an
+  * unquoted href (skipped by spec), and an `<abbr>` tag (must not match
+  * `<a`). Anchors are token slices of the document text, HTML-escaped on
+  * the way in (binds entity decode on the way out), some with a nested
+  * `<b>` (binds tag-stripping). Mirrored clean-room token-for-token in
+  * tools/oracle/graftpy.py (link_page_html) — shared CONVENTION, separate
+  * implementations.
+  */
+object LinkGen {
+  import graft.ops.TextOps.mix
+
+  private def fm(x: Long, m: Long): Long = java.lang.Math.floorMod(x, m)
+
+  def linkUrlFor(id: Long): String =
+    s"https://site${fm(id, 13)}.example.org/sec${fm(id, 5)}/d/doc$id.html"
+
+  /** Out-link slots per page: 3..8 (slot k ≡ 4 (mod 6) is a dropped
+    * mailto:, so RESOLVED out-degree can be lower).
+    */
+  def degOf(id: Long): Int = (3 + fm(mix(id ^ 0x11a7c0deL), 6)).toInt
+
+  def targetOf(id: Long, k: Int, n: Long): Long = fm(mix(id * 1000003L + k), n)
+
+  def hrefFor(id: Long, k: Int, t: Long): String = (k % 6) match {
+    case 0 => linkUrlFor(t)
+    case 1 => s"/sec${fm(t, 5)}/d/doc$t.html"
+    case 2 => s"../d/doc$t.html"
+    case 3 => linkUrlFor(t) + s"?a=1&b=${fm(t, 7)}#frag"
+    case 4 => s"mailto:user$t@example.org"
+    case _ => s"//site${fm(t, 13)}.example.org/sec${fm(t, 5)}/d/doc$t.html"
+  }
+
+  /** 1-to-3-token slice of the page's document text (null-safe: a null/
+    * empty text anchors as "link&lt;t&gt;").
+    */
+  def anchorWordsFor(words: IndexedSeq[String], id: Long, k: Int, t: Long): IndexedSeq[String] =
+    if (words.isEmpty) IndexedSeq(s"link$t")
+    else {
+      val j = fm(mix(id * 31L + k), words.length).toInt
+      words.slice(j, math.min(j + 3, words.length))
+    }
+
+  def pageHtml(id: Long, text: String, n: Long): String = {
+    val words: IndexedSeq[String] =
+      if (text == null) IndexedSeq.empty
+      else text.split(" ").iterator.filter(_.nonEmpty).toIndexedSeq
+    val sb = new StringBuilder(1024)
+    sb ++= s"<html><head><title>doc$id</title></head><body>\n"
+    sb ++= s"<h1>doc$id</h1>\n"
+    sb ++= "<abbr>CC</abbr> <a name=\"top\">anchorless</a> <a href=unquoted>skipped</a>\n"
+    var k = 0
+    val deg = degOf(id)
+    while (k < deg) {
+      val t = targetOf(id, k, n)
+      val href = PageGen.escapeHtml(hrefFor(id, k, t))
+      val a = anchorWordsFor(words, id, k, t).map(PageGen.escapeHtml)
+      val anchorHtml =
+        if (k % 6 == 1 && a.length >= 2)
+          a.head + " <b>" + a.tail.mkString(" ") + "</b>"
+        else a.mkString(" ")
+      sb ++= s"""<p>see <a href="$href">$anchorHtml</a> ok</p>\n"""
+      k += 1
+    }
+    sb ++= "</body></html>"
+    sb.toString
   }
 }

@@ -185,6 +185,36 @@ def main():
            "n_kept": [x[3] for x in _mc_rows],
            "removed_chars": [x[4] for x in _mc_rows]})
 
+    # ---- link graph: q_link_edges (clean-room parse+resolve over the
+    #      LinkGen fixture convention) + q_pagerank (exact-fold PageRank,
+    #      K=20, d=0.85 — pinned addition orders, bit-identical doubles) ----
+    _le = g.link_edges(doc_items)
+    _le_sorted = sorted(_le, key=lambda r: (r[0], r[3]))
+    write("q_link_edges",
+          pa.schema([("src", pa.string()), ("dst", pa.string()),
+                     ("anchor", pa.string()), ("pos", pa.int32())]),
+          {"src": [x[0] for x in _le_sorted],
+           "dst": [x[1] for x in _le_sorted],
+           "anchor": [x[2] for x in _le_sorted],
+           "pos": [x[3] for x in _le_sorted]})
+    _pr = g.lg_pagerank(_le, iters=20, damping=0.85)
+    write("q_pagerank",
+          pa.schema([("url", pa.string()), ("rank", pa.float64())]),
+          {"url": [x[0] for x in _pr], "rank": [x[1] for x in _pr]})
+
+    # ---- q_bm25 (Okapi BM25 top-10; query fixture convention = every
+    #      25th doc's first 3 distinct >=5-char tokens; pinned portable ln
+    #      + query-order folds make scores bit-exact) ----
+    _bq = [(i, g.bm25_query_terms(t)) for i, t in doc_items
+           if i % 25 == 0 and t is not None]
+    _bq = [(i, ts) for i, ts in _bq if ts]
+    _bm = g.bm25_topk(doc_items, _bq, k=10)
+    write("q_bm25",
+          pa.schema([("query_id", pa.int64()), ("rank", pa.int32()),
+                     ("doc_id", pa.int64()), ("score", pa.float64())]),
+          {"query_id": [x[0] for x in _bm], "rank": [x[1] for x in _bm],
+           "doc_id": [x[2] for x in _bm], "score": [x[3] for x in _bm]})
+
     # ---- q_align_spans ----
     rows = [(r["url"],) + sp for r in results for sp in r["spans"]]
     write("q_align_spans",

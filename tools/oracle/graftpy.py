@@ -838,3 +838,371 @@ def moj_fix(s):
             return r
         r = d
     return r
+
+
+# ---------------- LinkGraph ------------------------------------------------
+# Clean-room mirror of graft/ops/LinkGraph.scala's documented spec (parser,
+# resolver, exact-fold pagerank) plus the LinkGen fixture CONVENTION from
+# graft/pipeline/Pages.scala. All case operations are ASCII-pinned; all
+# string sorts are over ASCII urls (code-point == UTF-16 order there).
+
+LG_WS = " \t\n\r"
+
+
+def _lg_ascii_lower(s):
+    return "".join(chr(ord(c) + 32) if "A" <= c <= "Z" else c for c in s)
+
+
+def _java_trim(s):
+    b, e = 0, len(s)
+    while b < e and s[b] <= " ":
+        b += 1
+    while e > b and s[e - 1] <= " ":
+        e -= 1
+    return s[b:e]
+
+
+# ---- LinkGen fixture convention ----
+
+def link_url_for(i):
+    return "https://site%d.example.org/sec%d/d/doc%d.html" % (i % 13, i % 5, i)
+
+
+def link_deg(i):
+    return 3 + s64(mix(i ^ 0x11A7C0DE)) % 6
+
+
+def link_target(i, k, n):
+    return s64(mix(i * 1000003 + k)) % n
+
+
+def link_href(i, k, t):
+    f = k % 6
+    if f == 0:
+        return link_url_for(t)
+    if f == 1:
+        return "/sec%d/d/doc%d.html" % (t % 5, t)
+    if f == 2:
+        return "../d/doc%d.html" % t
+    if f == 3:
+        return link_url_for(t) + "?a=1&b=%d#frag" % (t % 7)
+    if f == 4:
+        return "mailto:user%d@example.org" % t
+    return "//site%d.example.org/sec%d/d/doc%d.html" % (t % 13, t % 5, t)
+
+
+def link_anchor_words(words, i, k, t):
+    if not words:
+        return ["link%d" % t]
+    j = s64(mix(i * 31 + k)) % len(words)
+    return words[j:j + 3]
+
+
+def link_page_html(i, text, n):
+    words = [w for w in (text or "").split(" ") if w]
+    parts = [
+        "<html><head><title>doc%d</title></head><body>\n" % i,
+        "<h1>doc%d</h1>\n" % i,
+        '<abbr>CC</abbr> <a name="top">anchorless</a> '
+        "<a href=unquoted>skipped</a>\n",
+    ]
+    for k in range(link_deg(i)):
+        t = link_target(i, k, n)
+        href = escape_html(link_href(i, k, t))
+        a = [escape_html(w) for w in link_anchor_words(words, i, k, t)]
+        if k % 6 == 1 and len(a) >= 2:
+            anchor_html = a[0] + " <b>" + " ".join(a[1:]) + "</b>"
+        else:
+            anchor_html = " ".join(a)
+        parts.append('<p>see <a href="%s">%s</a> ok</p>\n' % (href, anchor_html))
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+# ---- parser ----
+
+def lg_strip_tags(s):
+    out = []
+    i = 0
+    while i < len(s):
+        if s[i] == "<":
+            gt = s.find(">", i + 1)
+            i = len(s) if gt < 0 else gt + 1
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
+def lg_collapse_ws(s):
+    out = []
+    pending = False
+    for c in s:
+        if c in LG_WS:
+            if out:
+                pending = True
+        else:
+            if pending:
+                out.append(" ")
+                pending = False
+            out.append(c)
+    return "".join(out)
+
+
+def lg_href_of(tag):
+    low = _lg_ascii_lower(tag)
+    frm = 0
+    while True:
+        h = low.find("href", frm)
+        if h < 0:
+            return None
+        if h > 0 and tag[h - 1] in LG_WS:
+            i = h + 4
+            while i < len(tag) and tag[i] in LG_WS:
+                i += 1
+            if i < len(tag) and tag[i] == "=":
+                i += 1
+                while i < len(tag) and tag[i] in LG_WS:
+                    i += 1
+                if i < len(tag) and tag[i] in "\"'":
+                    q = tag[i]
+                    end = tag.find(q, i + 1)
+                    if end > i:
+                        return tag[i + 1:end]
+                return None
+        frm = h + 4
+
+
+def lg_extract_links(html):
+    if html is None:
+        return []
+    low = _lg_ascii_lower(html)
+    out = []
+    i = 0
+    pos = 0
+    while True:
+        a = low.find("<a", i)
+        if a < 0 or a + 2 >= len(html):
+            break
+        if html[a + 2] not in LG_WS and html[a + 2] != ">":
+            i = a + 2
+            continue
+        gt = html.find(">", a)
+        if gt < 0:
+            break
+        href = lg_href_of(html[a:gt])
+        if href is None:
+            i = gt + 1
+            continue
+        close = low.find("</a>", gt + 1)
+        if close < 0:
+            break
+        inner = html[gt + 1:close]
+        anchor = lg_collapse_ws(decode_entities(lg_strip_tags(inner)))
+        out.append((decode_entities(_java_trim(href)), anchor, pos))
+        pos += 1
+        i = close + 4
+    return out
+
+
+# ---- resolver ----
+
+def _lg_ascii_letter(c):
+    return ("a" <= c <= "z") or ("A" <= c <= "Z")
+
+
+def lg_has_scheme(s):
+    if not s or not _lg_ascii_letter(s[0]):
+        return False
+    for c in s[1:]:
+        if c == ":":
+            return True
+        if not (_lg_ascii_letter(c) or ("0" <= c <= "9") or c in "+-."):
+            return False
+    return False
+
+
+def lg_strip_fragment(s):
+    h = s.find("#")
+    return s if h < 0 else s[:h]
+
+
+def lg_norm_path(path_and_query):
+    qi = path_and_query.find("?")
+    if qi < 0:
+        path, query = path_and_query, ""
+    else:
+        path, query = path_and_query[:qi], path_and_query[qi:]
+    stack = []
+    for seg in path.split("/"):
+        if seg in ("", "."):
+            continue
+        if seg == "..":
+            if stack:
+                stack.pop()
+        else:
+            stack.append(seg)
+    return "/" + "/".join(stack) + query
+
+
+def lg_resolve(base, href):
+    if href is None or base is None:
+        return None
+    h = lg_strip_fragment(_java_trim(href))
+    if h == "":
+        return None
+    sep = base.find("://")
+    if sep < 0:
+        return None
+    scheme = _lg_ascii_lower(base[:sep])
+    rest = base[sep + 3:]
+    slash = rest.find("/")
+    host = rest if slash < 0 else rest[:slash]
+    base_path = lg_strip_fragment("/" if slash < 0 else rest[slash:])
+    hl = _lg_ascii_lower(h)
+    if hl.startswith("http://") or hl.startswith("https://"):
+        s2 = h.find("://")
+        r2 = h[s2 + 3:]
+        sl2 = r2.find("/")
+        if sl2 < 0:
+            return _lg_ascii_lower(h[:s2]) + "://" + r2 + "/"
+        return _lg_ascii_lower(h[:s2]) + "://" + r2[:sl2] + lg_norm_path(r2[sl2:])
+    if h.startswith("//"):
+        r2 = h[2:]
+        sl2 = r2.find("/")
+        if sl2 < 0:
+            return scheme + "://" + r2 + "/"
+        return scheme + "://" + r2[:sl2] + lg_norm_path(r2[sl2:])
+    if lg_has_scheme(h):
+        return None
+    if h.startswith("/"):
+        return scheme + "://" + host + lg_norm_path(h)
+    dir_end = base_path.rfind("/")
+    d = "/" if dir_end < 0 else base_path[:dir_end + 1]
+    return scheme + "://" + host + lg_norm_path(d + h)
+
+
+# ---- edge list + exact-fold pagerank ----
+
+def link_edges(doc_items):
+    n = len(doc_items)
+    rows = []
+    for i, text in doc_items:
+        url = link_url_for(i)
+        html = link_page_html(i, text, n)
+        resolved = []
+        for href, anchor, _ in lg_extract_links(html):
+            dst = lg_resolve(url, href)
+            if dst is not None:
+                resolved.append((dst, anchor))
+        for p, (dst, anchor) in enumerate(resolved):
+            rows.append((url, dst, anchor, p))
+    return rows
+
+
+def lg_pagerank(edge_rows, iters=20, damping=0.85):
+    simple = sorted({(s, d) for (s, d, _a, _p) in edge_rows})
+    verts = sorted({s for s, _ in simple} | {d for _, d in simple})
+    n = len(verts)
+    if n == 0:
+        return []
+    nd = float(n)
+    base = (1.0 - damping) / nd
+    outdeg = {}
+    for s, _ in simple:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    by_dst = {}
+    for s, d in simple:
+        by_dst.setdefault(d, []).append(s)
+    for d in by_dst:
+        by_dst[d].sort()
+    rank = {v: 1.0 / nd for v in verts}
+    for _ in range(iters):
+        dm = 0.0
+        for v in verts:  # sorted-vertex fold — pinned addition order
+            if outdeg.get(v, 0) == 0:
+                dm = dm + rank[v]
+        dmn = dm / nd
+        nxt = {}
+        for v in verts:
+            c = 0.0
+            for s in by_dst.get(v, []):  # sorted-src fold — pinned order
+                c = c + rank[s] / float(outdeg[s])
+            nxt[v] = base + damping * (c + dmn)
+        rank = nxt
+    return [(v, rank[v]) for v in verts]
+
+
+# ---------------- Retrieval (BM25) ----------------------------------------
+# Clean-room mirror of graft/ops/Retrieval.scala: Okapi BM25, pinned
+# portable ln (lm_log2 * ln2), query-term-order score folds, Lucene +1 idf
+# floor, ties on doc_id.
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+LN2 = 0.6931471805599453
+
+
+def bm25_idf(n, df):
+    return lm_log2((n - df + 0.5) / (df + 0.5) + 1.0) * LN2
+
+
+def bm25_query_terms(text):
+    """Fixture convention: first 3 distinct >=5-char tokens, appearance
+    order (SparkEntry.bm25Queries)."""
+    seen = []
+    for w in (text or "").split(" "):
+        if len(w) >= 5 and w not in seen and len(seen) < 3:
+            seen.append(w)
+    return seen
+
+
+def bm25_topk(doc_items, query_items, k=10):
+    """doc_items: [(doc_id, text)]; query_items: [(query_id, [terms])].
+    Returns rows (query_id, rank, doc_id, score) with the pinned
+    arithmetic: contributions fold in query-term order, tf==0 skipped."""
+    tf = {}
+    dl = {}
+    for i, t in doc_items:
+        if i is None or t is None:
+            continue
+        ws = [w for w in t.split(" ") if w]
+        # zero-token docs have no stats rows Spark-side (explode of an
+        # empty array) and so do not count toward n or avgdl — mirror that
+        if ws:
+            d = {}
+            for w in ws:
+                d[w] = d.get(w, 0) + 1
+            tf[i] = d
+            dl[i] = len(ws)
+    n = len(tf)
+    if n == 0:
+        return []
+    avgdl = float(sum(dl.values())) / float(n)
+    df = {}
+    for i, d in tf.items():
+        for w in d:
+            df[w] = df.get(w, 0) + 1
+    k1p1 = BM25_K1 + 1.0
+    one_minus_b = 1.0 - BM25_B
+    rows = []
+    for qid, terms in query_items:
+        idfs = [bm25_idf(n, df.get(w, 0)) for w in terms]
+        cand = {}
+        for i, d in tf.items():
+            s = 0.0
+            hit = False
+            for w, idf_t in zip(terms, idfs):  # query-term order — pinned
+                f = d.get(w, 0)
+                if f == 0:
+                    continue
+                hit = True
+                s = s + (idf_t * (float(f) * k1p1)) / (
+                    float(f) + BM25_K1 * (one_minus_b + BM25_B *
+                                          (float(dl[i]) / avgdl)))
+            if hit:
+                cand[i] = s
+        top = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        for r, (i, s) in enumerate(top, start=1):
+            rows.append((qid, r, i, s))
+    return rows
