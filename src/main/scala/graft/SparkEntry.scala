@@ -61,6 +61,21 @@ object SparkEntry {
     }.toDF("url", "html")
   }
 
+  /** Session-memoized link-edge table shared by the five link-graph
+    * queries: each would otherwise re-synthesize and re-parse every page
+    * (the typed-lambda plans are never `sameResult`-equal, so the
+    * CacheRegistry's plan dedupe can't share them). Keyed by
+    * (applicationId, sfDir), same convention as the dedup-cluster memo.
+    */
+  private val linkEdgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def linkEdgesFor(s: SparkSession, dir: String): DataFrame =
+    linkEdgeCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + dir, _ =>
+        graft.ops.CacheRegistry.register(
+          graft.ops.LinkGraph.edges(linkPages(s, dir))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+
   private def rmTree(p: String): Unit = {
     val path = java.nio.file.Paths.get(p)
     if (java.nio.file.Files.exists(path)) {
@@ -429,20 +444,18 @@ object SparkEntry {
     //      independent aggregation engines over an independent edge
     //      extraction ----
     "q_link_edges" -> ((s, dir) =>
-      graft.ops.LinkGraph.edges(linkPages(s, dir))
-        .orderBy(col("src"), col("pos"))),
+      linkEdgesFor(s, dir).orderBy(col("src"), col("pos"))),
     "q_link_degrees" -> ((s, dir) =>
-      graft.ops.LinkGraph.degrees(graft.ops.LinkGraph.edges(linkPages(s, dir)))
+      graft.ops.LinkGraph.degrees(linkEdgesFor(s, dir))
         .orderBy(col("url"))),
     "q_anchor_text" -> ((s, dir) =>
-      graft.ops.LinkGraph.anchorStats(graft.ops.LinkGraph.edges(linkPages(s, dir)))
+      graft.ops.LinkGraph.anchorStats(linkEdgesFor(s, dir))
         .orderBy(col("dst"))),
     "q_host_graph" -> ((s, dir) =>
-      graft.ops.LinkGraph.hostGraph(graft.ops.LinkGraph.edges(linkPages(s, dir)))
+      graft.ops.LinkGraph.hostGraph(linkEdgesFor(s, dir))
         .orderBy(col("src_host"), col("dst_host"))),
     "q_pagerank" -> ((s, dir) =>
-      graft.ops.LinkGraph.pagerank(
-        graft.ops.LinkGraph.edges(linkPages(s, dir)),
+      graft.ops.LinkGraph.pagerank(linkEdgesFor(s, dir),
         iters = 20, damping = 0.85, exactFold = true)
         .orderBy(col("url"))),
 

@@ -330,25 +330,24 @@ object LinkGraph {
     * graph (parallel edges deduplicated; self-loops kept). Vertex set =
     * every url appearing as src or dst.
     *
-    * Exact mode (`exactFold=true`, the oracle path): per-vertex inbound
-    * sums fold in sorted-src order (`aggregate(sort_array(collect_list(
-    * struct(src, contrib))))`), and the dangling mass folds in sorted
-    * vertex order inside a single 1-row agg task — every double op then
-    * has a pinned operand order, so the result is bit-identical to the
-    * clean-room Python mirror (graftpy.py lg_pagerank) at ANY parallelism.
-    * That single-task dangling list bounds exact mode to oracle scale
-    * (hard vertex cap below); the production path never builds it.
+    * Exact mode (`exactFold=true`, the oracle path): the graph is
+    * collected under a HARD edge cap and K iterations run as a LOCAL
+    * pinned loop — per-vertex inbound sums fold in sorted-src order and
+    * the dangling mass folds in sorted-vertex order, so the result is
+    * bit-identical to the clean-room Python mirror (graftpy.py
+    * lg_pagerank) at any parallelism. This is the same dispatch shape as
+    * [[Bpe.train]]'s local exact path: K driver-synchronized distributed
+    * rounds over a bounded state are strictly worse than one collect +
+    * a tight local loop — 0 distributed jobs per iteration instead of ~4.
     *
-    * Production mode (`exactFold=false`): plain `sum` aggregations —
-    * map-side partial, no per-vertex list, hot in-degrees never
-    * materialize in one task; dangling mass is a 1-row aggregate. Same
-    * algorithm, ULP-level nondeterminism documented.
-    *
-    * Iteration plumbing: ranks re-join edges each round — edges are
-    * persisted ONCE (hash-partitioned by src via the groupBy below), and
-    * each round's rank frame is lineage-truncated ([[Lineage]]) so the
-    * logical plan stays O(1) instead of 2^k, with superseded checkpoint
-    * files deleted one round later.
+    * Production mode (`exactFold=false`, the 10^12-edge path): the
+    * distributed loop — plain partial-aggregating `sum`s (no per-vertex
+    * list, hot in-degrees never materialize in one task), the dangling
+    * mass folded into the round's plan as a broadcast 1-row agg (one
+    * action per round, no driver collect), each round's rank frame
+    * lineage-truncated ([[Lineage]]) so the logical plan stays O(1)
+    * instead of 2^k, superseded checkpoint files deleted one round later.
+    * Same algorithm, ULP-level run-to-run wobble documented.
     */
   def pagerank(
       edgesDf: DataFrame,
@@ -358,14 +357,25 @@ object LinkGraph {
     require(iters >= 0 && damping >= 0.0 && damping <= 1.0)
     val spark = edgesDf.sparkSession
     import spark.implicits._
-    // exact mode folds the dangling (url, rank) list inside ONE agg task —
-    // bounded below by a HARD vertex-count cap (the enforced-not-documented
-    // contract): past it, use the production path
-    val ExactModeVertexCap = 10000000L
+    // exact mode collects the deduplicated edge set to the driver — a HARD
+    // edge cap (enforced, not documented): past it, use the production path
+    val ExactModeEdgeCap = 5000000L
 
     val simple = CacheRegistry.register(
       edgesDf.select(col("src"), col("dst")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+    if (exactFold) {
+      val nEdges = simple.count()
+      require(nEdges <= ExactModeEdgeCap,
+        s"pagerank exactFold is the oracle path (local pinned loop over " +
+          s"collected edges): $nEdges edges > cap $ExactModeEdgeCap — use " +
+          "exactFold=false")
+      val pairs = simple.as[(String, String)].collect()
+      return localExactPagerank(pairs, iters, damping).toSeq
+        .toDF("url", "rank")
+    }
+
     val outDeg = CacheRegistry.register(
       simple.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -376,9 +386,6 @@ object LinkGraph {
 
     val n = vertices.count()
     if (n == 0L) return spark.emptyDataset[(String, Double)].toDF("url", "rank")
-    require(!exactFold || n <= ExactModeVertexCap,
-      s"pagerank exactFold is the oracle path (driver-side dangling fold): " +
-        s"$n vertices > cap $ExactModeVertexCap — use exactFold=false")
     val nD = n.toDouble
     val base = (1.0 - damping) / nD
 
@@ -396,20 +403,10 @@ object LinkGraph {
       val withDeg = ranks.join(vDeg, Seq("url"))
       // dangling mass as a 1-ROW AGG cross-joined back in (broadcast):
       // the whole round is ONE plan / ONE action (the eager checkpoint) —
-      // no per-round driver collect. Exact mode folds (url, rank) sorted
-      // by url inside the single agg task (pinned addition order); the
-      // production mode is a plain partial-aggregating sum.
-      val dmDf =
-        if (exactFold)
-          withDeg.filter(col("out_deg") === 0L)
-            .agg(aggregate(
-              sort_array(collect_list(struct(col("url"), col("rank")))),
-              lit(0.0),
-              (acc, x) => acc + x.getField("rank")).as("__dm"))
-        else
-          withDeg.agg(coalesce(
-            sum(when(col("out_deg") === 0L, col("rank")).otherwise(lit(0.0))),
-            lit(0.0)).as("__dm"))
+      // no per-round driver collect
+      val dmDf = withDeg.agg(coalesce(
+        sum(when(col("out_deg") === 0L, col("rank")).otherwise(lit(0.0))),
+        lit(0.0)).as("__dm"))
       // alias the rank side into fresh attributes before re-joining the
       // (persisted, multiply-referenced) edge frame — ranks descend from
       // `simple`, so an unaliased join is an ambiguous self-join
@@ -419,14 +416,7 @@ object LinkGraph {
       val contribs = simple.join(rankSrc, simple("src") === col("__src"))
         .select(col("src"), col("dst"), col("contrib"))
       val inbound =
-        if (exactFold)
-          contribs.groupBy(col("dst"))
-            .agg(aggregate(
-              sort_array(collect_list(struct(col("src"), col("contrib")))),
-              lit(0.0),
-              (acc, x) => acc + x.getField("contrib")).as("contrib_sum"))
-        else
-          contribs.groupBy(col("dst")).agg(sum(col("contrib")).as("contrib_sum"))
+        contribs.groupBy(col("dst")).agg(sum(col("contrib")).as("contrib_sum"))
       val next = vertices
         .join(inbound.withColumnRenamed("dst", "url"), Seq("url"), "left")
         .crossJoin(broadcast(dmDf))
@@ -444,5 +434,52 @@ object LinkGraph {
     // stay (same convention as Dedup's cluster loop: files live with the
     // materialized result, the session checkpoint dir bounds their life)
     ranks
+  }
+
+  /** The exact-mode kernel: K damped iterations over a collected simple
+    * edge set with EVERY addition in a pinned order (vertices and inbound
+    * sources both sorted lexicographically) — bit-identical to
+    * graftpy.py's lg_pagerank by construction. Urls here are ASCII
+    * (resolver output), where JVM string order == Python code-point order;
+    * supplementary-plane hosts would diverge (documented fixture bound).
+    */
+  private[ops] def localExactPagerank(
+      pairs: Array[(String, String)],
+      iters: Int,
+      damping: Double): Array[(String, Double)] = {
+    val simple = pairs.distinct.sorted
+    val verts = (simple.map(_._1) ++ simple.map(_._2)).distinct.sorted
+    val n = verts.length
+    if (n == 0) return Array.empty
+    val nD = n.toDouble
+    val base = (1.0 - damping) / nD
+    val idx = verts.zipWithIndex.toMap
+    val outDeg = new Array[Int](n)
+    simple.foreach { case (s, _) => outDeg(idx(s)) += 1 }
+    // inbound sources per vertex, sorted by src url (== sorted by src
+    // index, since idx is order-isomorphic to the sort)
+    val inbound = Array.fill(n)(List.empty[Int])
+    simple.reverseIterator.foreach { case (s, d) =>
+      inbound(idx(d)) = idx(s) :: inbound(idx(d))
+    }
+    var rank = Array.fill(n)(1.0 / nD)
+    var round = 0
+    while (round < iters) {
+      var dm = 0.0
+      var i = 0
+      while (i < n) { if (outDeg(i) == 0) dm = dm + rank(i); i += 1 }
+      val dmn = dm / nD
+      val next = new Array[Double](n)
+      i = 0
+      while (i < n) {
+        var c = 0.0
+        inbound(i).foreach(s => c = c + rank(s) / outDeg(s).toDouble)
+        next(i) = base + damping * (c + dmn)
+        i += 1
+      }
+      rank = next
+      round += 1
+    }
+    verts.zip(rank)
   }
 }

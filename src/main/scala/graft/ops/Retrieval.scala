@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -13,22 +13,23 @@ import org.apache.spark.sql.functions._
   *   - idf uses the PINNED portable log ([[NgramLm.log2Portable]] × ln 2)
   *     — no libm call whose rounding could differ between engines;
   *   - every per-(query, doc) score folds its term contributions in QUERY
-  *     TERM ORDER (`aggregate(sort_array(collect_list(struct(term_pos,
-  *     contrib))))`) — a pinned addition order, so scores are bit-identical
-  *     to the clean-room Python mirror at any parallelism; only terms with
-  *     tf > 0 contribute (pinned skip semantics);
+  *     TERM ORDER inside one map task — a pinned addition order, so scores
+  *     are bit-identical to the clean-room Python mirror (graftpy.py
+  *     bm25_topk) at any parallelism; only terms with tf > 0 contribute
+  *     (pinned skip semantics);
   *   - avgdl is an exact integer token total over a single double division.
   *   Ranking ties break on doc_id — total order, engine-independent.
   *
-  * Scale shape: one tokenize/aggregate pass builds (doc_id, term, tf,
-  * doc_len); the query term list is broadcast (a query workload is
-  * human-scale — enforced by `maxQueryTerms`); the only shuffle is the
-  * (query_id, doc_id) score aggregation, whose per-group list is bounded
-  * by the query's own term count (≤ maxQueryTerms), never by corpus size.
-  * Top-k per query is a per-query-partition window over candidate docs —
-  * candidates are only docs sharing ≥1 term with the query, and a 100 TB
-  * deployment caps hot terms first (the df-cap discipline of
-  * [[TextOps.invertedIndex]]).
+  * Scale shape — broadcast-brute-force scoring (the same contract as the
+  * streaming decontamination op's broadcast eval index): the query
+  * workload is human-scale BY CONTRACT (hard `maxQueryTerms` cap), so
+  * term → idf ships to every task and scoring is three narrow map passes
+  * over the corpus (corpus constants, per-term df, per-doc scores) with
+  * NO corpus-sized shuffle anywhere — the only shuffled rows are
+  * (query_id, doc_id, score) hits, and the per-query top-k window
+  * partitions by query. Per-doc cost is O(Σ query terms): for query
+  * workloads past the cap, route candidates through
+  * [[TextOps.invertedIndex]]'s df-capped postings instead.
   */
 object Retrieval {
 
@@ -43,23 +44,10 @@ object Retrieval {
   def idf(n: Long, df: Long): Double =
     lnPortable((n - df + 0.5) / (df + 0.5) + 1.0)
 
-  /** Per-doc term frequencies + doc length over space tokens; null-id /
-    * null-text rows dropped (repo null-row convention).
-    */
-  def termStats(documents: DataFrame): DataFrame = {
-    val toks = documents
-      .filter(col("doc_id").isNotNull && col("text").isNotNull)
-      .select(col("doc_id"),
-        explode(filter(split(col("text"), " "), t => t =!= "")).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val lens = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("doc_len"))
-    tf.join(lens, Seq("doc_id"))
-  }
-
   /** Top-k docs per query. `queries`: (query_id: long, term: string,
     * term_pos: int) — term_pos is the query's own term order and the
     * score's pinned fold order. Emits (query_id, rank, doc_id, score).
+    * Zero-token docs never count toward n or avgdl and never match.
     */
   def bm25TopK(
       documents: DataFrame,
@@ -67,52 +55,122 @@ object Retrieval {
       k: Int = 10,
       maxQueryTerms: Long = 100000L): DataFrame = {
     require(k > 0)
+    val spark = documents.sparkSession
+    import spark.implicits._
+
+    val docsClean = documents
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+
+    // the broadcast contract, enforced cheaply: one count (fully
+    // parallel) + one collect bounded by it — an over-cap workload never
+    // materializes on the driver
     val nQueryTerms = queries.count()
     require(nQueryTerms <= maxQueryTerms,
       s"query workload has $nQueryTerms terms > cap $maxQueryTerms — the " +
-        "query side is broadcast by contract")
+        "query side is broadcast by contract; use invertedIndex candidates " +
+        "for corpus-scale query sets")
+    val qTerms = queries.select(col("query_id"), col("term"), col("term_pos"))
+      .as[(Long, String, Int)].collect()
+    val termSet = qTerms.iterator.map(_._2).toSet
+    val bTermSet = spark.sparkContext.broadcast(termSet)
 
-    val stats = CacheRegistry.register(
-      termStats(documents)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // corpus constants: exact integers, one double division each
-    val agg = stats.groupBy(col("doc_id")).agg(first(col("doc_len")).as("len"))
-      .agg(count(lit(1)).as("n"), sum(col("len")).as("total_len"))
-      .collect()(0)
-    val nDocs = agg.getLong(0)
+    // corpus constants + per-term df in ONE pass: each tokenized doc
+    // emits a null-term length row (counts n / total_len) plus one row
+    // per DISTINCT query term present (df). The null group key is
+    // STRUCTURAL — never an in-band string a crawled term could collide
+    // with.
+    val statRows = docsClean.as[(Long, String)]
+      .flatMap { case (_, t) =>
+        val ws = t.split(" ").filter(_.nonEmpty)
+        if (ws.isEmpty) Iterator.empty
+        else {
+          val present = scala.collection.mutable.HashSet.empty[String]
+          ws.foreach(w => if (bTermSet.value.contains(w)) present += w)
+          Iterator.single((Option.empty[String], ws.length.toLong)) ++
+            present.iterator.map(w => (Option(w), 0L))
+        }
+      }.toDF("term", "len")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("c"), sum(col("len")).as("len_sum"))
+      .collect()
+    val lenRow = statRows.find(_.isNullAt(0))
+    val nDocs = lenRow.map(_.getLong(1)).getOrElse(0L)
     if (nDocs == 0L) {
-      val spark = documents.sparkSession
-      import spark.implicits._
       return spark.emptyDataset[(Long, Int, Long, Double)]
         .toDF("query_id", "rank", "doc_id", "score")
     }
-    val avgdl = agg.getLong(1).toDouble / nDocs.toDouble
+    val avgdl = lenRow.get.getLong(2).toDouble / nDocs.toDouble
+    val dfByTerm: Map[String, Long] = statRows.iterator.filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
 
-    // df per query term (distinct docs containing it), then the idf scalar
-    // evaluated DRIVER-SIDE with the portable log — the query table is
-    // broadcast-scale by contract
-    val dfByTerm = stats.join(broadcast(queries.select(col("term")).distinct()), Seq("term"))
-      .groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val spark = documents.sparkSession
-    import spark.implicits._
-    val qTerms = queries.select(col("query_id"), col("term"), col("term_pos"))
-      .as[(Long, String, Int)].collect()
-    val qWithIdf = qTerms.map { case (qid, term, pos) =>
-      (qid, term, pos, idf(nDocs, dfByTerm.getOrElse(term, 0L)))
-    }.toSeq.toDF("query_id", "term", "term_pos", "idf")
+    // queries with idf attached, terms in term_pos order — the fold order
+    val qList: Array[(Long, Array[(String, Double)])] =
+      qTerms.groupBy(_._1).iterator.map { case (qid, ts) =>
+        (qid, ts.sortBy(_._3).map(t =>
+          (t._2, idf(nDocs, dfByTerm.getOrElse(t._2, 0L)))))
+      }.toArray
+    val bQueries = spark.sparkContext.broadcast(qList)
+    val k1p1 = K1 + 1.0
+    val oneMinusB = 1.0 - B
 
-    val contribs = stats.join(broadcast(qWithIdf), Seq("term"))
-      .select(col("query_id"), col("doc_id"), col("term_pos"),
-        (col("idf") * (col("tf").cast("double") * lit(K1 + 1.0)) /
-          (col("tf").cast("double") +
-            lit(K1) * (lit(1.0 - B) + lit(B) *
-              (col("doc_len").cast("double") / lit(avgdl))))).as("contrib"))
-    val scores = contribs.groupBy(col("query_id"), col("doc_id"))
-      .agg(aggregate(
-        sort_array(collect_list(struct(col("term_pos"), col("contrib")))),
-        lit(0.0),
-        (acc: Column, x: Column) => acc + x.getField("contrib")).as("score"))
+    // scoring: one mapPartitions pass; per doc, fold each query's
+    // contributions in its term order (pinned IEEE order — the Python
+    // mirror's exact loop), then keep only each partition's per-query
+    // top-k in bounded heaps (TakeOrdered-per-key): the shuffle to the
+    // final window carries ≤ partitions × queries × k rows instead of
+    // every (query, candidate) hit. The kept SET is deterministic — top-k
+    // under the TOTAL order (score desc, doc_id asc) is arrival-order-
+    // independent, and scores are bit-identical per (query, doc).
+    val kLocal = k
+    val scores = docsClean.as[(Long, String)]
+      .mapPartitions { it =>
+        // max-heap whose head is the WORST kept candidate (lowest score,
+        // then highest doc_id) — O(log k) insert, O(k) memory per query
+        val evictOrd: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+          def compare(a: (Double, Long), b: (Double, Long)): Int = {
+            val c = java.lang.Double.compare(b._1, a._1)
+            if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+          }
+        }
+        val best = scala.collection.mutable.HashMap
+          .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        it.foreach { case (id, t) =>
+          val ws = t.split(" ").filter(_.nonEmpty)
+          if (ws.nonEmpty) {
+            val tf = scala.collection.mutable.HashMap.empty[String, Long]
+            ws.foreach { w =>
+              if (bTermSet.value.contains(w)) tf.update(w, tf.getOrElse(w, 0L) + 1L)
+            }
+            if (tf.nonEmpty) {
+              val norm = K1 * (oneMinusB + B * (ws.length.toDouble / avgdl))
+              bQueries.value.foreach { case (qid, terms) =>
+                var s = 0.0
+                var hit = false
+                terms.foreach { case (w, idfT) =>
+                  val f = tf.getOrElse(w, 0L)
+                  if (f != 0L) {
+                    hit = true
+                    s = s + (idfT * (f.toDouble * k1p1)) / (f.toDouble + norm)
+                  }
+                }
+                if (hit) {
+                  val pq = best.getOrElseUpdate(qid,
+                    scala.collection.mutable.PriorityQueue.empty(evictOrd))
+                  if (pq.size < kLocal) pq.enqueue((s, id))
+                  else if (evictOrd.compare((s, id), pq.head) < 0) {
+                    pq.dequeue(); pq.enqueue((s, id))
+                  }
+                }
+              }
+            }
+          }
+        }
+        best.iterator.flatMap { case (qid, pq) =>
+          pq.iterator.map(e => (qid, e._2, e._1))
+        }
+      }.toDF("query_id", "doc_id", "score")
+
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
     scores.withColumn("rank", row_number().over(w))
