@@ -26,6 +26,48 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Sentence-casing fixture convention for q_sentences (mirrored in
+    * graftpy.py sent_fixture — the corpus text is flat lowercase, so the
+    * splitter needs sentence shape synthesized): tokens are grouped into
+    * sentences of 4 + mix(id*97 + j) % 9 tokens, each capitalized and
+    * terminated cycling ". " / "! " / "? " / ". "; every 4th sentence
+    * embeds "Dr. <Cap>" (abbreviation guard), every 7th "J. <Cap>"
+    * (initial guard), every 5th a mid-sentence "3.14" (decimal
+    * non-boundary).
+    */
+  private def sentenceizeText(id: Long, t: String): String = {
+    if (t == null) return null
+    val toks = t.split(" ").filter(_.nonEmpty)
+    if (toks.isEmpty) return ""
+    def capFirst(w: String): String =
+      if (w.nonEmpty && w.charAt(0) >= 'a' && w.charAt(0) <= 'z')
+        ((w.charAt(0) - 32).toChar +: w.tail.toSeq).mkString
+      else w
+    val terms = Array(". ", "! ", "? ", ". ")
+    val sb = new StringBuilder(t.length + 64)
+    var i = 0
+    var j = 0
+    while (i < toks.length) {
+      val len = (4 + java.lang.Math.floorMod(
+        graft.ops.TextOps.mix(id * 97L + j), 9L)).toInt
+      val sent = scala.collection.mutable.ArrayBuffer.empty[String]
+      var c = 0
+      while (c < len && i < toks.length) { sent += toks(i); i += 1; c += 1 }
+      sent(0) = capFirst(sent(0))
+      if (j % 4 == 1 && sent.length >= 2) {
+        sent.insert(1, "Dr."); sent(2) = capFirst(sent(2))
+      } else if (j % 7 == 2 && sent.length >= 2) {
+        sent.insert(1, "J."); sent(2) = capFirst(sent(2))
+      } else if (j % 5 == 3 && sent.length >= 2) {
+        sent.insert(1, "3.14")
+      }
+      sb ++= sent.mkString(" ")
+      sb ++= (if (i >= toks.length) terms(j % 4).trim else terms(j % 4))
+      j += 1
+    }
+    sb.toString
+  }
+
   /** BM25 query-workload fixture convention (mirrored in graftpy.py
     * bm25_queries): every 25th doc queries with its first 3 DISTINCT
     * ≥5-char space tokens in appearance order; docs yielding no such
@@ -467,6 +509,17 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       graft.ops.Retrieval.bm25TopK(docs(s, dir), bm25Queries(s, dir), k = 10)
         .orderBy(col("query_id"), col("rank"))),
+
+    // ---- sentence segmentation (punkt-lite) over the sentence-cased
+    //      fixture (shared convention; splitter mirrored clean-room) ----
+    "q_sentences" -> ((s, dir) => {
+      import s.implicits._
+      val cased = docs(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, t) => (id, sentenceizeText(id, t)) }
+        .toDF("doc_id", "text")
+      graft.ops.Sentences.sentences(cased).orderBy(col("doc_id"), col("sent_id"))
+    }),
 
     // ---- O8 clean (SQL-expressible, oracle-checked) ----
     "q_clean" -> ((s, dir) =>
@@ -1713,6 +1766,7 @@ object SparkEntry {
     "q_link_edges" -> golden("q_link_edges"),
     "q_pagerank" -> golden("q_pagerank"),
     "q_bm25" -> golden("q_bm25"),
+    "q_sentences" -> golden("q_sentences"),
     "q_link_degrees" ->
       (s"""WITH e AS (SELECT * FROM '$GoldenDir/q_link_edges.parquet'),
          |o AS (SELECT src AS url, count(*) AS out_deg FROM e GROUP BY 1),

@@ -215,6 +215,21 @@ def main():
           {"query_id": [x[0] for x in _bm], "rank": [x[1] for x in _bm],
            "doc_id": [x[2] for x in _bm], "score": [x[3] for x in _bm]})
 
+    # ---- q_sentences (punkt-lite segmentation over the sentence-cased
+    #      fixture convention; splitter mirrored clean-room) ----
+    _sent_rows = []
+    for i, t in doc_items:
+        f = g.sent_fixture(i, t)
+        for j, s in enumerate(g.sent_split(f)):
+            _sent_rows.append((i, j, s, len(s)))
+    write("q_sentences",
+          pa.schema([("doc_id", pa.int64()), ("sent_id", pa.int32()),
+                     ("sentence", pa.string()), ("n_chars", pa.int32())]),
+          {"doc_id": [x[0] for x in _sent_rows],
+           "sent_id": [x[1] for x in _sent_rows],
+           "sentence": [x[2] for x in _sent_rows],
+           "n_chars": [x[3] for x in _sent_rows]})
+
     # ---- q_align_spans ----
     rows = [(r["url"],) + sp for r in results for sp in r["spans"]]
     write("q_align_spans",

@@ -1206,3 +1206,121 @@ def bm25_topk(doc_items, query_items, k=10):
         for r, (i, s) in enumerate(top, start=1):
             rows.append((qid, r, i, s))
     return rows
+
+
+# ---------------- Sentences -----------------------------------------------
+# Shared fixture convention (SparkEntry.sentenceizeText) + clean-room
+# mirror of graft/ops/Sentences.scala's pinned boundary spec.
+
+SENT_ABBREV = {"mr", "mrs", "ms", "dr", "prof", "st", "vs", "etc", "eg",
+               "ie", "no", "fig", "jr", "sr", "inc", "ltd", "co", "dept"}
+SENT_TERMS = [". ", "! ", "? ", ". "]
+
+
+def _cap_first(w):
+    if w and "a" <= w[0] <= "z":
+        return chr(ord(w[0]) - 32) + w[1:]
+    return w
+
+
+def sent_fixture(doc_id, t):
+    if t is None:
+        return None
+    toks = [w for w in t.split(" ") if w]
+    if not toks:
+        return ""
+    parts = []
+    i = 0
+    j = 0
+    while i < len(toks):
+        ln = 4 + s64(mix(doc_id * 97 + j)) % 9
+        sent = toks[i:i + ln]
+        i += len(sent)
+        sent[0] = _cap_first(sent[0])
+        if j % 4 == 1 and len(sent) >= 2:
+            sent.insert(1, "Dr.")
+            sent[2] = _cap_first(sent[2])
+        elif j % 7 == 2 and len(sent) >= 2:
+            sent.insert(1, "J.")
+            sent[2] = _cap_first(sent[2])
+        elif j % 5 == 3 and len(sent) >= 2:
+            sent.insert(1, "3.14")
+        parts.append(" ".join(sent))
+        term = SENT_TERMS[j % 4]
+        parts.append(term.rstrip(" ") if i >= len(toks) else term)
+        j += 1
+    return "".join(parts)
+
+
+def _sent_is_ws(c):
+    return c in " \t\n\r"
+
+
+def _sent_word_ending_at(s, i):
+    b = i
+    while b > 0 and not _sent_is_ws(s[b - 1]):
+        b -= 1
+    return s[b:i]
+
+
+def _sent_guarded(s, i):
+    if s[i] != ".":
+        return False
+    w = _sent_word_ending_at(s, i)
+    if not w:
+        return False
+    if len(w) == 1 and "A" <= w <= "Z":
+        return True
+    low = []
+    for c in w:
+        if "A" <= c <= "Z":
+            low.append(chr(ord(c) + 32))
+        elif "a" <= c <= "z":
+            low.append(c)
+        else:
+            return False
+    return "".join(low) in SENT_ABBREV
+
+
+def _sent_trim(s):
+    b, e = 0, len(s)
+    while b < e and _sent_is_ws(s[b]):
+        b += 1
+    while e > b and _sent_is_ws(s[e - 1]):
+        e -= 1
+    return s[b:e]
+
+
+def sent_split(text):
+    if text is None:
+        return []
+    out = []
+    start = 0
+    i = 0
+    n = len(text)
+    while i < n:
+        if text[i] in ".!?" and not _sent_guarded(text, i):
+            e = i
+            while e + 1 < n and text[e + 1] in ".!?":
+                e += 1
+            c = e
+            while c + 1 < n and text[c + 1] in "\"')]":
+                c += 1
+            w = c + 1
+            while w < n and _sent_is_ws(text[w]):
+                w += 1
+            if w > c + 1 and w < n and (
+                    ("A" <= text[w] <= "Z") or ("0" <= text[w] <= "9")):
+                sent = _sent_trim(text[start:c + 1])
+                if sent:
+                    out.append(sent)
+                start = w
+                i = w
+            else:
+                i = e + 1
+        else:
+            i += 1
+    tail = _sent_trim(text[start:])
+    if tail:
+        out.append(tail)
+    return out
