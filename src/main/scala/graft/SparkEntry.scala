@@ -26,6 +26,38 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** WARC-archive fixture convention for q_warc_records (mirrored in
+    * graftpy.py warc_archive): documents group into archives of ≤20 pages
+    * (archive_id = doc_id / 20, pages in doc_id order); each record is
+    * "WARC/1.0" + Type/Target-URI/Date/Content-Length headers + blank line
+    * + the PageGen html payload + CRLF CRLF. Content-Length counts BYTES
+    * (the ligature-bearing UTF-8 pages make bytes ≠ chars).
+    */
+  private def warcArchives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)]
+      .groupByKey(_._1 / 20L)
+      .mapGroups { (aid: Long, it: Iterator[(Long, String, String)]) =>
+        val ascii = java.nio.charset.StandardCharsets.US_ASCII
+        val pages = it.toArray.sortBy(_._1)
+        val bos = new java.io.ByteArrayOutputStream()
+        pages.foreach { case (id, t, lang) =>
+          val page = graft.pipeline.PageGen.pageFor(id, t, lang)
+          val date = java.time.Instant
+            .ofEpochMilli(1767225600000L + id * 1000L).toString
+          val header = s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: ${page.url}\r\nWARC-Date: $date\r\n" +
+            s"Content-Length: ${page.html.length}\r\n\r\n"
+          bos.write(header.getBytes(ascii))
+          bos.write(page.html)
+          bos.write("\r\n\r\n".getBytes(ascii))
+        }
+        (aid, bos.toByteArray)
+      }.toDF("archive_id", "data")
+  }
+
   /** Sentence-casing fixture convention for q_sentences (mirrored in
     * graftpy.py sent_fixture — the corpus text is flat lowercase, so the
     * splitter needs sentence shape synthesized): tokens are grouped into
@@ -509,6 +541,13 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       graft.ops.Retrieval.bm25TopK(docs(s, dir), bm25Queries(s, dir), k = 10)
         .orderBy(col("query_id"), col("rank"))),
+
+    // ---- WARC archive → record split → page-text extraction (the
+    //      archive-ingest head of the extraction pipeline; parser
+    //      mirrored clean-room over the shared archive convention) ----
+    "q_warc_records" -> ((s, dir) =>
+      graft.ops.Warc.records(warcArchives(s, dir))
+        .orderBy(col("archive_id"), col("rec_offset"))),
 
     // ---- sentence segmentation (punkt-lite) over the sentence-cased
     //      fixture (shared convention; splitter mirrored clean-room) ----
@@ -1767,6 +1806,7 @@ object SparkEntry {
     "q_pagerank" -> golden("q_pagerank"),
     "q_bm25" -> golden("q_bm25"),
     "q_sentences" -> golden("q_sentences"),
+    "q_warc_records" -> golden("q_warc_records"),
     "q_link_degrees" ->
       (s"""WITH e AS (SELECT * FROM '$GoldenDir/q_link_edges.parquet'),
          |o AS (SELECT src AS url, count(*) AS out_deg FROM e GROUP BY 1),

@@ -230,6 +230,36 @@ def main():
            "sentence": [x[2] for x in _sent_rows],
            "n_chars": [x[3] for x in _sent_rows]})
 
+    # ---- q_warc_records (archive -> record split -> page-text
+    #      extraction; parser mirrored clean-room over the shared archive
+    #      convention, payload re-extracted through extract_text) ----
+    _wrows = []
+    _by_arc = {}
+    for i, t in doc_items:
+        _by_arc.setdefault(i // 20, []).append((i, t))
+    for aid in sorted(_by_arc):
+        pages = []
+        for i, t in sorted(_by_arc[aid]):
+            _lang = None  # html depends only on (text, id, url)
+            html = g.wrap_html(g.noisy_render(t, i), g.url_for(i), i).encode("utf-8")
+            pages.append((i, html, g.url_for(i)))
+        blob = g.warc_archive(pages)
+        for (off, rt, uri, dt, cl, payload) in g.warc_parse(blob):
+            _wrows.append((aid, off, rt, uri, dt, cl,
+                           g.extract_text(payload.decode("utf-8"))))
+    write("q_warc_records",
+          pa.schema([("archive_id", pa.int64()), ("rec_offset", pa.int64()),
+                     ("rec_type", pa.string()), ("uri", pa.string()),
+                     ("warc_date", pa.string()), ("content_length", pa.int64()),
+                     ("extracted", pa.string())]),
+          {"archive_id": [x[0] for x in _wrows],
+           "rec_offset": [x[1] for x in _wrows],
+           "rec_type": [x[2] for x in _wrows],
+           "uri": [x[3] for x in _wrows],
+           "warc_date": [x[4] for x in _wrows],
+           "content_length": [x[5] for x in _wrows],
+           "extracted": [x[6] for x in _wrows]})
+
     # ---- q_align_spans ----
     rows = [(r["url"],) + sp for r in results for sp in r["spans"]]
     write("q_align_spans",

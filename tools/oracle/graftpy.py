@@ -1324,3 +1324,84 @@ def sent_split(text):
     if tail:
         out.append(tail)
     return out
+
+
+# ---------------- WARC --------------------------------------------------
+# Shared archive-fixture convention (SparkEntry.warcArchives) + clean-room
+# mirror of graft/ops/Warc.scala's pinned byte-level parse spec.
+
+import datetime as _dt
+
+
+def warc_date(doc_id):
+    return _dt.datetime.fromtimestamp(
+        1767225600 + doc_id, _dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def warc_archive(pages):
+    """pages: [(doc_id, html_bytes, url)] in doc_id order -> archive bytes."""
+    parts = []
+    for doc_id, html, url in pages:
+        header = ("WARC/1.0\r\nWARC-Type: response\r\n"
+                  "WARC-Target-URI: %s\r\nWARC-Date: %s\r\n"
+                  "Content-Length: %d\r\n\r\n" % (url, warc_date(doc_id), len(html)))
+        parts.append(header.encode("ascii"))
+        parts.append(html)
+        parts.append(b"\r\n\r\n")
+    return b"".join(parts)
+
+
+def warc_parse(data):
+    """Clean-room parse per the pinned spec: valid-prefix records as
+    (offset, rec_type, uri, date, content_length, payload_bytes)."""
+    out = []
+    magic = b"WARC/1.0\r\n"
+    pos = 0
+    n = len(data)
+    while True:
+        if data[pos:pos + len(magic)] != magic:
+            break
+        rec_start = pos
+        p = pos + len(magic)
+        rec_type = uri = date = None
+        content_length = -1
+        bad = False
+        while True:
+            if p + 1 < n and data[p:p + 2] == b"\r\n":
+                p += 2
+                break
+            e = data.find(b"\r\n", p)
+            if e < 0:
+                bad = True
+                break
+            line = data[p:e].decode("ascii", errors="replace")
+            ci = line.find(":")
+            if ci > 0:
+                name = "".join(
+                    chr(ord(c) + 32) if "A" <= c <= "Z" else c
+                    for c in line[:ci])
+                v = line[ci + 1:]
+                b = 0
+                while b < len(v) and v[b] == " ":
+                    b += 1
+                v = v[b:]
+                if name == "warc-type":
+                    rec_type = v
+                elif name == "warc-target-uri":
+                    uri = v
+                elif name == "warc-date":
+                    date = v
+                elif name == "content-length":
+                    content_length = int(v) if v and v.isdigit() and all(
+                        "0" <= c <= "9" for c in v) else -1
+            p = e + 2
+        if bad or content_length < 0 or p + content_length + 4 > n:
+            break
+        payload = data[p:p + content_length]
+        after = p + content_length
+        if data[after:after + 4] != b"\r\n\r\n":
+            break
+        out.append((rec_start, rec_type or "", uri or "", date or "",
+                    content_length, payload))
+        pos = after + 4
+    return out
