@@ -1228,6 +1228,12 @@ object SparkEntry {
     "q_ann_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(tbl(s, dir, "embeddings"), queryMaxId = 20, k = 5)),
 
+    // ---- JL random projection (64-d → 16-d; pinned fold order makes the
+    //      projected doubles bit-exact vs the Python mirror) ----
+    "q_rp_reduce" -> ((s, dir) =>
+      Similarity.reduceDims(tbl(s, dir, "embeddings"), outDim = 16)
+        .orderBy(col("vec_id"), col("dim"))),
+
     // ---- ANN: LSH-bucketed (scale path) ----
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(tbl(s, dir, "embeddings"), queryMaxId = 20, k = 5)),
@@ -1807,6 +1813,7 @@ object SparkEntry {
     "q_bm25" -> golden("q_bm25"),
     "q_sentences" -> golden("q_sentences"),
     "q_warc_records" -> golden("q_warc_records"),
+    "q_rp_reduce" -> golden("q_rp_reduce"),
     "q_link_degrees" ->
       (s"""WITH e AS (SELECT * FROM '$GoldenDir/q_link_edges.parquet'),
          |o AS (SELECT src AS url, count(*) AS out_deg FROM e GROUP BY 1),

@@ -133,6 +133,52 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("score"))
   }
 
+  /** Johnson-Lindenstrauss random projection: y_j = (Σ_i x_i · P_ji) /
+    * √outDim, the dot folded in ascending dimension order (pinned IEEE
+    * order — bit-identical to the graftpy.py jl_project mirror). The
+    * projection matrix is the SAME deterministic [[hyperplanes]] family
+    * the LSH path uses, so reduced vectors and LSH signatures share one
+    * seed convention. Pairwise distances are preserved in expectation
+    * (JL lemma) — the cheap pre-step before clustering or IVF at 100 TB:
+    * a 64-d → 16-d reduction cuts every downstream distance pass 4×.
+    */
+  def jlProject(vec: Array[Float], planes: Array[Array[Double]],
+      invSqrtM: Double): Array[Double] = {
+    val out = new Array[Double](planes.length)
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      var dot = 0.0
+      var i = 0
+      while (i < vec.length && i < p.length) { dot += vec(i) * p(i); i += 1 }
+      out(j) = dot * invSqrtM
+      j += 1
+    }
+    out
+  }
+
+  /** Corpus form: (vec_id, dim, value) long format (the repo convention —
+    * array columns never reach the oracle compare). Map-only pass; planes
+    * broadcast implicitly via closure (outDim × inDim doubles).
+    */
+  def reduceDims(
+      embeddings: DataFrame,
+      outDim: Int = 16,
+      inDim: Int = 64,
+      seed: Long = 0x01dfacadeL): DataFrame = {
+    require(outDim > 0 && inDim > 0)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val planes = hyperplanes(outDim, inDim, seed)
+    val invSqrtM = 1.0 / math.sqrt(outDim.toDouble)
+    embeddings.filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val y = jlProject(v, planes, invSqrtM)
+        y.iterator.zipWithIndex.map { case (value, j) => (id, j, value) }
+      }.toDF("vec_id", "dim", "value")
+  }
+
   /** Exact top-k cosine neighbors for each query vector (vec_id in the query
     * set) via broadcast + window. Excludes self-matches. Deterministic
     * tie-break on (score desc, vec_id asc).

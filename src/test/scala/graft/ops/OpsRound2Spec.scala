@@ -389,4 +389,31 @@ class OpsRound2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextOps.dupParaCharFraction("p\n\n\np") === 1.0)
     assert(TextOps.dupParaCharFraction("a\nb") === 0.0)
   }
+
+  test("jlProject: deterministic, scaled by 1/sqrt(m), distances roughly kept") {
+    val dim = 64
+    val planes = Similarity.hyperplanes(16, dim, 0x01dfacadeL)
+    val inv = 1.0 / math.sqrt(16.0)
+    def randVec(seed: Long): Array[Float] = {
+      val r = new graft.pipeline.PageGen.Rng(seed)
+      Array.fill(dim)((r.nextDouble() * 2.0 - 1.0).toFloat)
+    }
+    val a = randVec(1); val b = randVec(2)
+    // bit-identical re-run (pure function of inputs)
+    assert(Similarity.jlProject(a, planes, inv).toSeq ===
+      Similarity.jlProject(a, planes, inv).toSeq)
+    // JL in expectation: projected squared distance within 3x of original
+    // for a fixed seed (not a tolerance claim — a sanity bound the fixed
+    // projection satisfies)
+    def d2(x: Array[Double], y: Array[Double]) =
+      x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum
+    val pa2 = Similarity.jlProject(a, planes, inv)
+    val pb2 = Similarity.jlProject(b, planes, inv)
+    val orig = a.zip(b).map { case (p, q) => (p - q).toDouble * (p - q) }.sum
+    val proj = d2(pa2, pb2)
+    assert(proj > orig / 3.0 && proj < orig * 3.0, s"orig=$orig proj=$proj")
+    // a zero vector projects to the zero vector
+    assert(Similarity.jlProject(new Array[Float](dim), planes, inv)
+      .forall(_ === 0.0))
+  }
 }

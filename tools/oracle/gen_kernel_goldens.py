@@ -870,6 +870,15 @@ def main():
     embs = [np.array(v, dtype=np.float32) for v in emb_tbl.column("embedding").to_pylist()]
     by_id = dict(zip(vec_ids, embs))
     dim = len(embs[0])
+
+    # ---- q_rp_reduce (JL 64-d -> 16-d; pinned fold order, bit-exact) ----
+    _rp = g.jl_reduce_rows(sorted(zip(vec_ids, embs), key=lambda x: x[0]),
+                           out_dim=16, in_dim=dim)
+    write("q_rp_reduce",
+          pa.schema([("vec_id", pa.int64()), ("dim", pa.int32()),
+                     ("value", pa.float64())]),
+          {"vec_id": [x[0] for x in _rp], "dim": [x[1] for x in _rp],
+           "value": [x[2] for x in _rp]})
     n = len(vec_ids)
     k = 5
     query_ids = sorted(i for i in vec_ids if i < 20)

@@ -1405,3 +1405,32 @@ def warc_parse(data):
                     content_length, payload))
         pos = after + 4
     return out
+
+
+# ---------------- JL random projection ------------------------------------
+# Clean-room mirror of Similarity.jlProject/reduceDims: same hyperplane
+# family and seed, dot folded in ascending dimension order, / sqrt(m).
+
+import math as _math
+
+JL_SEED = 0x01DFACADE
+
+
+def jl_project(vec, planes, inv_sqrt_m):
+    out = []
+    for p in planes:
+        dot = 0.0
+        for i in range(min(len(vec), len(p))):
+            dot += float(vec[i]) * p[i]
+        out.append(dot * inv_sqrt_m)
+    return out
+
+
+def jl_reduce_rows(vec_items, out_dim=16, in_dim=64, seed=JL_SEED):
+    planes = hyperplanes(out_dim, in_dim, seed)
+    inv = 1.0 / _math.sqrt(float(out_dim))
+    rows = []
+    for vid, v in vec_items:
+        for j, val in enumerate(jl_project(v, planes, inv)):
+            rows.append((vid, j, val))
+    return rows
