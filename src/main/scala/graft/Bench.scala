@@ -132,7 +132,31 @@ object Bench {
     // must never depend on a log-tail buffer). Overwritten per run; the
     // per-round snapshot is a copy of this file.
     writeRecord("last_run.json", record)
+    // AND append to the run history: last_run.json is overwritten per run,
+    // and this round's best full record (87.8 s / 115 q) was lost exactly
+    // that way — a later loaded-box rerun clobbered it. history.jsonl is
+    // append-only, one line per run with a wall-clock stamp, so every
+    // pass stays recorded (the bench protocol's "record ALL passes"
+    // applied at run granularity).
+    appendHistory(record)
     spark.stop()
+  }
+
+  /** Append one run record to BENCH/history.jsonl (best-effort). */
+  private[graft] def appendHistory(record: String): Unit = {
+    try {
+      val dir = java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_REPO_DIR", "/root/repo"), "BENCH")
+      java.nio.file.Files.createDirectories(dir)
+      val stamped = s"""{"at":"${java.time.Instant.now()}","run":$record}"""
+      java.nio.file.Files.write(dir.resolve("history.jsonl"),
+        (stamped + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] could not append history: ${e.getMessage}")
+    }
   }
 
   /** Write one bench JSON record under BENCH/ (best-effort: a read-only

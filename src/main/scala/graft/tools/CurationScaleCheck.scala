@@ -78,6 +78,19 @@ object CurationScaleCheck {
     results("bpe_pairs") = timedWarm {
       force(TextOps.bpePairCounts(corpus, k = 100))
     }
+    // round-5 second wave: link extraction (synthesize + parse + resolve
+    // per page — map-only, CPU-bound, the link-graph family's hot pass)
+    results("link_edges") = timedWarm {
+      import spark.implicits._
+      val pages = corpus.select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, t) =>
+          (graft.pipeline.LinkGen.linkUrlFor(id),
+            graft.pipeline.LinkGen.pageHtml(id, t, n)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }.toDF("url", "html")
+      force(graft.ops.LinkGraph.edges(pages))
+    }
     // the replica corpus is adversarially near-duplicate BY CONSTRUCTION
     // (k variants per base doc differ by one token), so minhash candidate
     // volume grows ~k× per eval doc — at large k the run measures that
