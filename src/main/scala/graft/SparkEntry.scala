@@ -141,6 +141,14 @@ object SparkEntry {
     * CacheRegistry's plan dedupe can't share them). Keyed by
     * (applicationId, sfDir), same convention as the dedup-cluster memo.
     */
+  /** The RobotsGen fixture as a (host, robots_txt) table — 12 tiny rows
+    * (host 11 publishes none; its urls take the allowed-by-default path).
+    */
+  private def robotsTable(s: SparkSession): DataFrame = {
+    import s.implicits._
+    graft.pipeline.RobotsGen.rows.toDF("host", "robots_txt")
+  }
+
   private val linkEdgeCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def linkEdgesFor(s: SparkSession, dir: String): DataFrame =
@@ -532,6 +540,35 @@ object SparkEntry {
       graft.ops.LinkGraph.pagerank(linkEdgesFor(s, dir),
         iters = 20, damping = 0.85, exactFold = true)
         .orderBy(col("url"))),
+
+    // ---- robots-exclusion decisions (RFC 9309 / Google longest-match
+    //      semantics) for every distinct link target under the RobotsGen
+    //      fixture (13 hosts, every parser/matcher path bound); parser +
+    //      glob matcher mirrored clean-room in graftpy.py; salt FORCED to
+    //      4 so the replicated-build-side join path genuinely binds ----
+    "q_robots" -> ((s, dir) =>
+      graft.ops.Robots.annotate(
+        linkEdgesFor(s, dir).select(col("dst").as("url")).distinct(),
+        robotsTable(s), graft.pipeline.RobotsGen.Agent, saltBuckets = 4)
+        .orderBy(col("url"))),
+
+    // ---- crawl-frontier composition: edges of the even-doc_id crawl
+    //      wave → uncrawled, robots-allowed targets, top-5 per host by
+    //      distinct-referrer count (two-phase salted top-k, salt FORCED
+    //      to 4 so the phase-2 merge binds). Oracle: DuckDB over the
+    //      COMMITTED edge + robots goldens — an independent aggregation
+    //      engine over independently-generated inputs ----
+    "q_frontier" -> ((s, dir) => {
+      import s.implicits._
+      val crawled = docs(s, dir)
+        .filter(col("doc_id").isNotNull && col("doc_id") % 2 === 0)
+        .select(col("doc_id")).as[Long]
+        .map(graft.pipeline.LinkGen.linkUrlFor).toDF("url")
+      graft.ops.Frontier.nextWave(linkEdgesFor(s, dir), crawled,
+        robotsTable(s), graft.pipeline.RobotsGen.Agent, k = 5,
+        saltBuckets = 4)
+        .orderBy(col("host"), col("rnk"))
+    }),
 
     // ---- BM25 top-k retrieval (retrieval-based decontamination probe):
     //      queries are a fixture CONVENTION (every 25th doc's first 3
@@ -1810,6 +1847,23 @@ object SparkEntry {
     //      edge extraction — drift in either side fails the row) ----
     "q_link_edges" -> golden("q_link_edges"),
     "q_pagerank" -> golden("q_pagerank"),
+    "q_robots" -> golden("q_robots"),
+    "q_frontier" ->
+      (s"""WITH e AS (SELECT * FROM '$GoldenDir/q_link_edges.parquet'),
+         |r AS (SELECT * FROM '$GoldenDir/q_robots.parquet'),
+         |c AS (SELECT 'https://site' || (doc_id % 13) ||
+         |  '.example.org/sec' || (doc_id % 5) || '/d/doc' || doc_id ||
+         |  '.html' AS url FROM documents
+         |  WHERE doc_id IS NOT NULL AND doc_id % 2 = 0),
+         |cand AS (SELECT e.dst AS url, count(DISTINCT e.src) AS refs
+         |  FROM e WHERE e.src IN (SELECT url FROM c)
+         |    AND e.dst NOT IN (SELECT url FROM c) GROUP BY e.dst),
+         |al AS (SELECT cand.url, r.host, cand.refs FROM cand
+         |  JOIN r ON cand.url = r.url WHERE r.allowed),
+         |rk AS (SELECT url, host, refs, row_number() OVER
+         |  (PARTITION BY host ORDER BY refs DESC, url) AS rnk FROM al)
+         |SELECT url, host, refs, rnk FROM rk WHERE rnk <= 5"""
+        .stripMargin.replace("\n", " ")),
     "q_bm25" -> golden("q_bm25"),
     "q_sentences" -> golden("q_sentences"),
     "q_warc_records" -> golden("q_warc_records"),

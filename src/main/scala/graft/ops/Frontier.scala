@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Crawl-frontier selection — the step between link-graph extraction and
+  * the next fetch wave: from the edges of the already-crawled wave, pick
+  * the targets worth fetching next, subject to robots and a per-host
+  * politeness budget. Composes three existing families on their public
+  * contracts: [[LinkGraph.edges]] (candidates), [[Robots.annotate]]
+  * (the politeness gate), and the two-phase salted top-k discipline
+  * ([[Sampling.sampleKPerGroup]]'s shape) for the per-host budget.
+  */
+object Frontier {
+
+  /** Next-wave fetch candidates.
+    *
+    *   - candidates = distinct `dst` of edges whose `src` is in `crawled`,
+    *     minus `crawled` itself (semi-join + anti-join on url — digests of
+    *     the crawl state, never page payloads);
+    *   - score = `refs` = count of DISTINCT referring crawled pages (one
+    *     partial-aggregating shuffle on dst);
+    *   - gate = robots decision for `agent` (missing robots row → allowed,
+    *     the RFC default);
+    *   - budget = top-`k` per host by (refs DESC, url ASC) — a pinned
+    *     total order — via the two-phase salted top-k: rank within
+    *     (host, salt) first, then rank the ≤ k·saltBuckets survivors
+    *     within host, so a hot host (half the frontier on one CDN) never
+    *     sorts in a single task. Result equals the single-window form
+    *     exactly (top-k of a union of per-salt top-k IS the global top-k
+    *     under one total order).
+    *
+    * Output: (url, host, refs, rnk), rnk in 1..k per host.
+    */
+  def nextWave(
+      edges: DataFrame,
+      crawled: DataFrame,
+      robots: DataFrame,
+      agent: String,
+      k: Int,
+      saltBuckets: Int = 16): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(saltBuckets > 0, s"saltBuckets must be positive: $saltBuckets")
+    val crawledUrls = crawled.select(col("url")).filter(col("url").isNotNull)
+    val cand = edges
+      .join(crawledUrls.withColumnRenamed("url", "__cs"),
+        edges("src") === col("__cs"), "left_semi")
+      .join(crawledUrls.withColumnRenamed("url", "__cd"),
+        edges("dst") === col("__cd"), "left_anti")
+      .groupBy(col("dst").as("url"))
+      .agg(countDistinct(col("src")).as("refs"))
+
+    val allowed = Robots.annotate(cand, robots, agent)
+      .filter(col("allowed"))
+      .select(col("url"), col("host"), col("refs"))
+
+    val w = Window
+    val local = allowed
+      .withColumn("__salt", pmod(xxhash64(col("url")), lit(saltBuckets.toLong)))
+      .withColumn("__lr", row_number().over(
+        w.partitionBy(col("host"), col("__salt"))
+          .orderBy(col("refs").desc, col("url"))))
+      .filter(col("__lr") <= k)
+    local
+      .withColumn("rnk", row_number().over(
+        w.partitionBy(col("host")).orderBy(col("refs").desc, col("url"))))
+      .filter(col("rnk") <= k)
+      .select(col("url"), col("host"), col("refs"), col("rnk"))
+  }
+}

@@ -180,3 +180,63 @@ object LinkGen {
     sb.toString
   }
 }
+
+/** Deterministic per-host robots.txt synthesis for the robots/frontier
+  * queries (q_robots / q_frontier). The 13 LinkGen hosts publish bodies
+  * that exercise every pinned parser/matcher path: mixed-case directive
+  * names, comments (including after a value), \r\n line endings (host 3),
+  * multi-token groups, a shorter prefix group that must LOSE to the more
+  * specific token (hosts h%4==2), a merged second group for the same token
+  * (host 5), wildcard and $-anchored patterns, an empty-value Allow that
+  * must be dropped, an ignored mid-group crawl-delay, a host with no
+  * matching group at all (host 7 → the `*` group), and a host publishing
+  * no robots.txt at all (host 11 → allowed-by-default). Mirrored
+  * token-for-token clean-room in tools/oracle/graftpy.py
+  * (rb_robots_txt_for) — shared CONVENTION, separate implementations.
+  */
+object RobotsGen {
+  val Agent = "graftbot"
+
+  def hostFor(h: Int): String = "site" + h + ".example.org"
+
+  /** robots.txt body for host index h, or None (host 11 publishes none). */
+  def robotsTxtFor(h: Int): Option[String] = {
+    if (h == 11) return None
+    val eol = if (h == 3) "\r\n" else "\n"
+    val b = scala.collection.mutable.ArrayBuffer.empty[String]
+    b += "# synthetic robots for " + hostFor(h)
+    b += "User-Agent: MegaBot"
+    b += "Disallow: /"
+    b += ""
+    if (h != 7) {
+      if (h % 4 == 2) {
+        b += "User-agent: graft"
+        b += "Disallow: /sec" + ((h + 1) % 5) + "/"
+        b += ""
+      }
+      b += "user-agent: graftbot"
+      if (h % 4 == 0) b += "User-agent: graftbot-news"
+      b += "Allow: /sec" + (h % 5) + "/d/" +
+        (if (h == 3) " # the content dir" else "")
+      b += "DisAllow: /sec" + (h % 5) + "/"
+      if (h % 3 == 0) b += "Disallow: /sec*/d/*?a=1"
+      if (h % 2 == 1) b += "Disallow: /*7.html$"
+      b += "Allow:"
+      b += "Crawl-delay: 2"
+      b += ""
+    }
+    b += "User-agent: *"
+    b += "Disallow: /x-default/"
+    b += "Sitemap: https://" + hostFor(h) + "/sitemap.xml"
+    if (h == 5) {
+      b += ""
+      b += "User-agent: graftbot"
+      b += "Disallow: /sec*/d/doc*?a=1&b=5$"
+    }
+    Some(b.mkString(eol))
+  }
+
+  /** All (host, robots_txt) rows (hosts that publish one). */
+  def rows: Seq[(String, String)] =
+    (0 until 13).flatMap(h => robotsTxtFor(h).map(t => (hostFor(h), t)))
+}

@@ -1,0 +1,198 @@
+package graft.ops
+
+import graft.pipeline.RobotsGen
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class RobotsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  import Robots.Rule
+
+  // ---- glob matcher ----
+
+  test("globMatch: literal, star runs, anchored both ends") {
+    assert(Robots.globMatch("/a/b", "/a/b"))
+    assert(!Robots.globMatch("/a/b", "/a/bc")) // anchored: no implicit tail
+    assert(Robots.globMatch("/a*", "/a/very/deep"))
+    assert(Robots.globMatch("/*/d/*.html", "/sec1/d/doc7.html"))
+    assert(Robots.globMatch("*", ""))
+    assert(Robots.globMatch("**a*", "cba"))
+    assert(!Robots.globMatch("/a*x", "/aby"))
+  }
+
+  test("patternMatches: prefix semantics unless $-anchored") {
+    assert(Robots.patternMatches("/sec1/", "/sec1/d/doc.html"))
+    assert(!Robots.patternMatches("/sec1/", "/sec2/d/doc.html"))
+    assert(Robots.patternMatches("/*7.html$", "/sec0/d/doc17.html"))
+    assert(!Robots.patternMatches("/*7.html$", "/sec0/d/doc17.html?a=1"))
+    assert(!Robots.patternMatches("", "/anything")) // empty never matches
+  }
+
+  // ---- parser ----
+
+  test("parseRules: groups, mixed-case names, comments, crlf, empty values") {
+    val body = "# hi\r\nUser-Agent: OtherBot\r\nDisallow: /\r\n\r\n" +
+      "user-agent: graftbot\r\nAllow: /keep/ # trailing comment\r\n" +
+      "DisAllow: /drop/\r\nAllow:\r\nCrawl-delay: 7\r\nDisallow: /also/\r\n"
+    val rules = Robots.parseRules(body, "graftbot")
+    assert(rules === IndexedSeq(
+      Rule(allow = true, "/keep/"), Rule(allow = false, "/drop/"),
+      Rule(allow = false, "/also/")))
+  }
+
+  test("parseRules: most-specific token wins; * is the fallback") {
+    val body = "User-agent: graft\nDisallow: /short/\n\n" +
+      "User-agent: graftbot\nDisallow: /long/\n\n" +
+      "User-agent: *\nDisallow: /star/\n"
+    assert(Robots.parseRules(body, "graftbot") ===
+      IndexedSeq(Rule(allow = false, "/long/")))
+    // 'graftb' matches only the shorter prefix group
+    assert(Robots.parseRules(body, "graftb") ===
+      IndexedSeq(Rule(allow = false, "/short/")))
+    assert(Robots.parseRules(body, "unrelated") ===
+      IndexedSeq(Rule(allow = false, "/star/")))
+  }
+
+  test("parseRules: same-specificity groups merge; rules before any group drop") {
+    val body = "Disallow: /orphan/\n" +
+      "User-agent: a\nUser-agent: b\nDisallow: /one/\n\n" +
+      "User-agent: a\nDisallow: /two/\n"
+    assert(Robots.parseRules(body, "a") === IndexedSeq(
+      Rule(allow = false, "/one/"), Rule(allow = false, "/two/")))
+    // consecutive ua lines are ONE group: 'b' gets the same rules
+    assert(Robots.parseRules(body, "b") ===
+      IndexedSeq(Rule(allow = false, "/one/")))
+  }
+
+  test("parseRules: no matching group at all means allow-all (empty rules)") {
+    val body = "User-agent: megabot\nDisallow: /\n"
+    assert(Robots.parseRules(body, "graftbot") === IndexedSeq.empty)
+    assert(Robots.parseRules(null, "graftbot") === IndexedSeq.empty)
+  }
+
+  // ---- decision ----
+
+  test("decide: longest match wins; allow wins ties; default allowed") {
+    val rules = Seq(
+      Rule(allow = true, "/sec1/d/"), Rule(allow = false, "/sec1/"),
+      Rule(allow = false, "/*x.html$"))
+    assert(Robots.decide(rules, "/sec1/d/doc.html") === ((true, "/sec1/d/")))
+    assert(Robots.decide(rules, "/sec1/other") === ((false, "/sec1/")))
+    assert(Robots.decide(rules, "/sec2/q/x.html") === ((false, "/*x.html$")))
+    assert(Robots.decide(rules, "/elsewhere") === ((true, null)))
+    // tie length, allow preferred (Google tie-break)
+    val tie = Seq(Rule(allow = false, "/aa/"), Rule(allow = true, "/ab/"))
+    assert(Robots.decide(tie, "/aa/") === ((false, "/aa/")))
+    assert(Robots.decide(
+      Seq(Rule(allow = false, "/p/"), Rule(allow = true, "/q/")),
+      "/p/") === ((false, "/p/")))
+    val realTie = Seq(Rule(allow = false, "/p*"), Rule(allow = true, "/p$"))
+    assert(Robots.decide(realTie, "/p") === ((true, "/p$")))
+  }
+
+  // ---- Spark annotate (incl. salted replicate join + missing-robots) ----
+
+  test("annotate matches per-row parse+decide; missing host allowed") {
+    import spark.implicits._
+    val robots = RobotsGen.rows.toDF("host", "robots_txt")
+    val urls = Seq(
+      "https://site0.example.org/sec0/d/doc13.html",   // allow dir
+      "https://site0.example.org/sec0/stray.html",     // disallowed sec
+      "https://site0.example.org/sec0/d/doc6.html?a=1&b=6", // wildcard block
+      "https://site1.example.org/sec2/d/doc7.html",    // $-anchored block
+      "https://site7.example.org/sec2/d/doc9.html",    // no graftbot group
+      "https://site11.example.org/sec1/d/doc4.html",   // no robots at all
+      "https://site5.example.org/sec0/d/doc40.html?a=1&b=5") // merged group
+      .toDF("url")
+    val out = Robots.annotate(urls, robots, RobotsGen.Agent, saltBuckets = 3)
+      .orderBy("url")
+      .select("url", "allowed", "rule")
+      .collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getString(2))).toSeq
+    val expect = Seq(
+      ("https://site0.example.org/sec0/d/doc13.html", true, "/sec0/d/"),
+      ("https://site0.example.org/sec0/d/doc6.html?a=1&b=6", false,
+        "/sec*/d/*?a=1"),
+      ("https://site0.example.org/sec0/stray.html", false, "/sec0/"),
+      ("https://site1.example.org/sec2/d/doc7.html", false, "/*7.html$"),
+      ("https://site11.example.org/sec1/d/doc4.html", true, null),
+      ("https://site5.example.org/sec0/d/doc40.html?a=1&b=5", false,
+        "/sec*/d/doc*?a=1&b=5$"),
+      ("https://site7.example.org/sec2/d/doc9.html", true, null))
+    assert(out === expect)
+  }
+
+  test("annotate: salted result equals unsalted exactly") {
+    import spark.implicits._
+    val robots = RobotsGen.rows.toDF("host", "robots_txt")
+    val urls = (0 until 200)
+      .map(i => graft.pipeline.LinkGen.linkUrlFor(i.toLong)).toDF("url")
+    val a = Robots.annotate(urls, robots, RobotsGen.Agent, saltBuckets = 1)
+      .orderBy("url").collect().toSeq
+    val b = Robots.annotate(urls, robots, RobotsGen.Agent, saltBuckets = 8)
+      .orderBy("url").collect().toSeq
+    assert(a === b)
+  }
+
+  // ---- frontier ----
+
+  test("nextWave: semi/anti join + robots gate + exact per-host top-k") {
+    import spark.implicits._
+    val robots = RobotsGen.rows.toDF("host", "robots_txt")
+    // tiny synthetic wave: crawled pages all on host0's allow dir,
+    // linking to a mix of crawled/uncrawled/blocked targets
+    def u(h: Int, sec: Int, d: Int) =
+      s"https://site$h.example.org/sec$sec/d/doc$d.html"
+    val crawled = Seq(u(0, 0, 0), u(0, 0, 2)).toDF("url")
+    val blocked = "https://site0.example.org/sec0/x6.html" // /sec0/ disallow
+    val edges = Seq(
+      (u(0, 0, 0), u(0, 0, 4), "a", 0),  // candidate, 2 refs
+      (u(0, 0, 2), u(0, 0, 4), "b", 0),
+      (u(0, 0, 0), u(0, 0, 2), "c", 1),  // already crawled -> dropped
+      (u(0, 0, 2), blocked, "d", 1),     // robots-disallowed -> dropped
+      (u(0, 0, 0), u(11, 3, 8), "e", 2), // no robots -> allowed, 1 ref
+      (u(9, 9, 9), u(0, 0, 6), "x", 0))  // src not crawled -> ignored
+      .toDF("src", "dst", "anchor", "pos")
+    val out = Frontier.nextWave(edges, crawled, robots,
+      RobotsGen.Agent, k = 5, saltBuckets = 4)
+      .orderBy(col("host"), col("rnk"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getInt(3))).toSeq
+    assert(out === Seq(
+      (u(0, 0, 4), "site0.example.org", 2L, 1),
+      (u(11, 3, 8), "site11.example.org", 1L, 1)))
+  }
+
+  test("nextWave: per-host budget binds and salted == naive top-k") {
+    import spark.implicits._
+    val robots = spark.emptyDataset[(String, String)]
+      .toDF("host", "robots_txt")
+    // 4 crawled referrers; candidate d_i is linked by the first i of them
+    val crawled = (1 to 4).map(i => s"https://h.org/s$i").toDF("url")
+    val edges = (1 to 20).flatMap { d =>
+      (1 to math.min(d, 4)).map(i =>
+        (s"https://h.org/s$i", s"https://h.org/d%02d".format(d), "", 0))
+    }.toDF("src", "dst", "anchor", "pos")
+    val out = Frontier.nextWave(edges, crawled, robots, "graftbot",
+      k = 3, saltBuckets = 4).orderBy(col("rnk")).collect()
+    // d04..d20 all have refs=4 -> top-3 by (refs desc, url asc)
+    assert(out.length === 3)
+    assert(out.map(r => (r.getString(0), r.getLong(2), r.getInt(3))).toSeq ===
+      Seq(("https://h.org/d04", 4L, 1), ("https://h.org/d05", 4L, 2),
+        ("https://h.org/d06", 4L, 3)))
+  }
+}

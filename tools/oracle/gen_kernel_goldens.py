@@ -202,6 +202,16 @@ def main():
           pa.schema([("url", pa.string()), ("rank", pa.float64())]),
           {"url": [x[0] for x in _pr], "rank": [x[1] for x in _pr]})
 
+    # ---- q_robots (robots-exclusion decisions for every distinct link
+    #      target under the RobotsGen fixture; parser + longest-match glob
+    #      mirrored clean-room) ----
+    _rb = g.rb_annotate(sorted({x[1] for x in _le}))
+    write("q_robots",
+          pa.schema([("url", pa.string()), ("host", pa.string()),
+                     ("allowed", pa.bool_()), ("rule", pa.string())]),
+          {"url": [x[0] for x in _rb], "host": [x[1] for x in _rb],
+           "allowed": [x[2] for x in _rb], "rule": [x[3] for x in _rb]})
+
     # ---- q_bm25 (Okapi BM25 top-10; query fixture convention = every
     #      25th doc's first 3 distinct >=5-char tokens; pinned portable ln
     #      + query-order folds make scores bit-exact) ----

@@ -1434,3 +1434,178 @@ def jl_reduce_rows(vec_items, out_dim=16, in_dim=64, seed=JL_SEED):
         for j, val in enumerate(jl_project(v, planes, inv)):
             rows.append((vid, j, val))
     return rows
+
+
+# ---- robots exclusion (mirrors graft.ops.Robots + pipeline.RobotsGen) ----
+
+RB_AGENT = "graftbot"
+
+
+def rb_host_for(h):
+    return f"site{h}.example.org"
+
+
+def rb_robots_txt_for(h):
+    """Token-for-token mirror of RobotsGen.robotsTxtFor (Pages.scala)."""
+    if h == 11:
+        return None
+    eol = "\r\n" if h == 3 else "\n"
+    b = []
+    b.append("# synthetic robots for " + rb_host_for(h))
+    b.append("User-Agent: MegaBot")
+    b.append("Disallow: /")
+    b.append("")
+    if h != 7:
+        if h % 4 == 2:
+            b.append("User-agent: graft")
+            b.append("Disallow: /sec" + str((h + 1) % 5) + "/")
+            b.append("")
+        b.append("user-agent: graftbot")
+        if h % 4 == 0:
+            b.append("User-agent: graftbot-news")
+        b.append("Allow: /sec" + str(h % 5) + "/d/" +
+                 (" # the content dir" if h == 3 else ""))
+        b.append("DisAllow: /sec" + str(h % 5) + "/")
+        if h % 3 == 0:
+            b.append("Disallow: /sec*/d/*?a=1")
+        if h % 2 == 1:
+            b.append("Disallow: /*7.html$")
+        b.append("Allow:")
+        b.append("Crawl-delay: 2")
+        b.append("")
+    b.append("User-agent: *")
+    b.append("Disallow: /x-default/")
+    b.append("Sitemap: https://" + rb_host_for(h) + "/sitemap.xml")
+    if h == 5:
+        b.append("")
+        b.append("User-agent: graftbot")
+        b.append("Disallow: /sec*/d/doc*?a=1&b=5$")
+    return eol.join(b)
+
+
+def rb_glob(pat, s):
+    """Anchored glob, '*' = any run (two-pointer backtracking scan)."""
+    pi = si = 0
+    star, mark = -1, 0
+    while si < len(s):
+        if pi < len(pat) and pat[pi] == "*":
+            star, pi, mark = pi, pi + 1, si
+        elif pi < len(pat) and pat[pi] == s[si]:
+            pi += 1
+            si += 1
+        elif star >= 0:
+            mark += 1
+            si = mark
+            pi = star + 1
+        else:
+            return False
+    while pi < len(pat) and pat[pi] == "*":
+        pi += 1
+    return pi == len(pat)
+
+
+def rb_pattern_matches(pattern, path):
+    if not pattern:
+        return False
+    if pattern[-1] == "$":
+        return rb_glob(pattern[:-1], path)
+    return rb_glob(pattern + "*", path)
+
+
+def rb_parse(body, agent):
+    """robots.txt -> selected (allow, pattern) rule list for agent."""
+    if body is None:
+        return []
+    agent_lc = _lg_ascii_lower(agent)
+    groups = []  # (agent tokens, rules)
+    in_ua_run = False
+    for raw in body.split("\n"):
+        if raw.endswith("\r"):
+            raw = raw[:-1]
+        hashpos = raw.find("#")
+        line = raw if hashpos < 0 else raw[:hashpos]
+        colon = line.find(":")
+        if colon < 0:
+            continue
+        name = _lg_ascii_lower(_java_trim(line[:colon]))
+        value = _java_trim(line[colon + 1:])
+        if name == "user-agent":
+            if not in_ua_run:
+                groups.append(([], []))
+                in_ua_run = True
+            if value:
+                groups[-1][0].append(_lg_ascii_lower(value))
+        elif name in ("allow", "disallow"):
+            in_ua_run = False
+            if value and groups:
+                groups[-1][1].append((name == "allow", value))
+        # unknown directives: ignored, do not close the agent run
+
+    def spec(tokens):
+        best = -1
+        for t in tokens:
+            if t == "*":
+                best = max(best, 0)
+            elif agent_lc.startswith(t):
+                best = max(best, len(t))
+        return best
+
+    specs = [spec(g[0]) for g in groups]
+    top = max(specs) if specs else -1
+    if top < 0:
+        return []
+    rules = []
+    for g, sp in zip(groups, specs):
+        if sp == top:
+            rules.extend(g[1])
+    return rules
+
+
+def rb_decide(rules, path):
+    """Longest-match decision -> (allowed, winning pattern or None)."""
+    best_len, best_allow, best_pat = -1, True, None
+    for allow, pattern in rules:
+        if rb_pattern_matches(pattern, path):
+            ln = len(pattern)
+            if ln > best_len or (ln == best_len and allow and not best_allow):
+                best_len, best_allow, best_pat = ln, allow, pattern
+    if best_len < 0:
+        return (True, None)
+    return (best_allow, best_pat)
+
+
+def rb_path_of(url):
+    sep = url.find("://")
+    if sep < 0:
+        return url
+    rest = url[sep + 3:]
+    slash = rest.find("/")
+    return "/" if slash < 0 else rest[slash:]
+
+
+def rb_host_of(url):
+    sep = url.find("://")
+    if sep < 0:
+        return ""
+    rest = url[sep + 3:]
+    slash = rest.find("/")
+    return rest if slash < 0 else rest[:slash]
+
+
+def rb_annotate(urls, agent=RB_AGENT):
+    """Per url: (url, host, allowed, rule) under the RobotsGen fixture."""
+    by_host = {}
+    for h in range(13):
+        body = rb_robots_txt_for(h)
+        if body is not None:
+            by_host[rb_host_for(h)] = rb_parse(body, agent)
+    rows = []
+    for u in urls:
+        host = rb_host_of(u)
+        rules = by_host.get(host)
+        if rules is None:
+            rows.append((u, host, True, None))
+        else:
+            allowed, pat = rb_decide(rules, rb_path_of(u))
+            rows.append((u, host, allowed, pat))
+    return rows
