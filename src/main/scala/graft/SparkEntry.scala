@@ -541,6 +541,38 @@ object SparkEntry {
         iters = 20, damping = 0.85, exactFold = true)
         .orderBy(col("url"))),
 
+    // ---- head-metadata extraction (title / description / og:title /
+    //      canonical / lang) over the MetaGen fixture — map-only parse,
+    //      canonical resolved through the SAME restricted resolver as the
+    //      link graph; parser + fixture mirrored clean-room ----
+    "q_html_meta" -> ((s, dir) => {
+      import s.implicits._
+      val pages = docs(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id").isNotNull)
+        .as[(Long, String)]
+        .map { case (id, t) =>
+          (graft.pipeline.PageGen.urlFor(id),
+            graft.pipeline.MetaGen.pageHtml(id, t)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }.toDF("url", "html")
+      graft.ops.HtmlMeta.headMeta(pages).orderBy(col("url"))
+    }),
+
+    // ---- charset sniff + decode (WHATWG-subset: BOM, meta charset,
+    //      http-equiv content-type, label mapping) over the CharsetGen
+    //      mixed-encoding fixture — the ingest step between raw crawl
+    //      bytes and every text op; mirrored clean-room ----
+    "q_charset" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id").isNotNull)
+        .as[(Long, String)]
+        .map { case (id, t) =>
+          (id, graft.pipeline.CharsetGen.payload(id, t))
+        }.toDF("doc_id", "payload")
+      graft.ops.CharsetSniff.sniffDecode(payloads).orderBy(col("doc_id"))
+    }),
+
     // ---- robots-exclusion decisions (RFC 9309 / Google longest-match
     //      semantics) for every distinct link target under the RobotsGen
     //      fixture (13 hosts, every parser/matcher path bound); parser +
@@ -1848,6 +1880,8 @@ object SparkEntry {
     "q_link_edges" -> golden("q_link_edges"),
     "q_pagerank" -> golden("q_pagerank"),
     "q_robots" -> golden("q_robots"),
+    "q_html_meta" -> golden("q_html_meta"),
+    "q_charset" -> golden("q_charset"),
     "q_frontier" ->
       (s"""WITH e AS (SELECT * FROM '$GoldenDir/q_link_edges.parquet'),
          |r AS (SELECT * FROM '$GoldenDir/q_robots.parquet'),

@@ -240,3 +240,108 @@ object RobotsGen {
   def rows: Seq[(String, String)] =
     (0 until 13).flatMap(h => robotsTxtFor(h).map(t => (hostFor(h), t)))
 }
+
+/** Deterministic head-metadata page synthesis for q_html_meta: per doc id
+  * the head block exercises mixed-case tag names, both quote styles plus
+  * unquoted attribute values, swapped attribute order, entity-encoded
+  * values, ASCII-ci attr-value matching ('Description'), missing fields
+  * (title id%7==3, description id%3==1, og:title unless id%4==0, canonical
+  * id%5==2, lang when the cycle hits ""), absolute vs relative canonical
+  * hrefs, and a BODY <title> decoy after </head> that must never leak into
+  * the result. Mirrored token-for-token clean-room in graftpy.py
+  * (hm_page_html) — shared CONVENTION, separate implementations.
+  */
+object MetaGen {
+  private def fm(x: Long, m: Long): Long = java.lang.Math.floorMod(x, m)
+
+  /** escapeHtml + quote escape (values go inside quoted attributes). */
+  private def escAttr(s: String): String =
+    PageGen.escapeHtml(s).replace("\"", "&quot;").replace("'", "&#39;")
+
+  private val Langs = Array("en", "de", "fr", "la", "")
+
+  def pageHtml(id: Long, text: String): String = {
+    val words: IndexedSeq[String] =
+      if (text == null) IndexedSeq.empty
+      else text.split(" ").iterator.filter(_.nonEmpty).toIndexedSeq
+    def first(k: Int): String = words.take(k).mkString(" ")
+    val sb = new StringBuilder(1024)
+    val lang = Langs(fm(id, 5).toInt)
+    sb ++= (if (lang.isEmpty) "<html>\n"
+            else if (fm(id, 2) == 1) "<HTML LANG='" + lang + "'>\n"
+            else "<html lang=\"" + lang + "\">\n")
+    sb ++= "<head>\n"
+    sb ++= (if (fm(id, 2) == 0) "<meta charset=\"utf-8\">\n"
+            else "<META CHARSET=utf-8>\n")
+    if (fm(id, 7) != 3)
+      sb ++= "<TiTLe>Doc &quot;" + id + "&quot; — " +
+        PageGen.escapeHtml(first(3)) + "</tItLe>\n"
+    if (fm(id, 3) != 1) {
+      val d = escAttr(first(8))
+      sb ++= (if (fm(id, 2) == 0)
+        "<meta name=\"description\" content=\"" + d + " &amp; more\">\n"
+      else "<meta content='" + d + " &amp; more' name='Description'>\n")
+    }
+    if (fm(id, 4) == 0)
+      sb ++= "<meta property=\"og:title\" content=\"OG " +
+        escAttr(first(2)) + "\">\n"
+    if (fm(id, 5) != 2)
+      sb ++= (if (fm(id, 2) == 0)
+        "<link rel=\"canonical\" href=\"" + PageGen.urlFor(id) + "\">\n"
+      else "<link href=/c/doc" + id + ".html rel=canonical>\n")
+    sb ++= "</head>\n<body>\n<p>" + PageGen.escapeHtml(first(5)) + "</p>\n"
+    sb ++= "<title>decoy title</title>\n</body></html>"
+    sb.toString
+  }
+}
+
+/** Deterministic mixed-encoding payload synthesis for q_charset: four
+  * modes by doc id — utf-8 (BOM'd every 8th, else a quoted meta charset),
+  * utf-16le/be (BOM only — the prescan never sees 16-bit content),
+  * windows-1252 declared as iso-8859-1 through an http-equiv content-type
+  * (binds the WHATWG label mapping), and windows-1252 via an unquoted
+  * uppercase `<META CHARSET=...>`. Word content is projected to printable
+  * ASCII so every mode's bytes are valid in its encoding by construction
+  * (the cross-engine decode contract); pinned non-ASCII suffixes bind the
+  * actual decode ("café №✓" wide, "café ±½" cp1252-safe). Mirrored
+  * token-for-token in graftpy.py (cs_payload).
+  */
+object CharsetGen {
+  private def fm(x: Long, m: Long): Long = java.lang.Math.floorMod(x, m)
+
+  private def asciiSlice(text: String): String = {
+    val words: IndexedSeq[String] =
+      if (text == null) IndexedSeq.empty
+      else text.split(" ").iterator.filter(_.nonEmpty).toIndexedSeq
+    words.take(6).mkString(" ").filter(c => c >= ' ' && c <= '~')
+  }
+
+  private def doc(meta: String, body: String): String =
+    "<html><head>" + meta + "</head><body><p>" + body + "</p></body></html>"
+
+  def payload(id: Long, text: String): Array[Byte] = {
+    import java.nio.charset.StandardCharsets._
+    val slice = asciiSlice(text)
+    val wide = slice + " café №✓"
+    val narrow = slice + " café ±½"
+    fm(id, 4) match {
+      case 0 =>
+        val b = doc("<meta charset=\"utf-8\">", wide).getBytes(UTF_8)
+        if (fm(id, 8) == 0)
+          Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ b
+        else b
+      case 1 =>
+        val s = doc("", wide)
+        if (fm(id, 8) == 1)
+          Array(0xFE.toByte, 0xFF.toByte) ++ s.getBytes(UTF_16BE)
+        else Array(0xFF.toByte, 0xFE.toByte) ++ s.getBytes(UTF_16LE)
+      case 2 =>
+        doc("<meta http-equiv=\"Content-Type\" content=\"text/html; " +
+          "charset=iso-8859-1\">", narrow)
+          .getBytes(java.nio.charset.Charset.forName("windows-1252"))
+      case _ =>
+        doc("<META CHARSET=WINDOWS-1252>", narrow)
+          .getBytes(java.nio.charset.Charset.forName("windows-1252"))
+    }
+  }
+}

@@ -205,6 +205,28 @@ def main():
     # ---- q_robots (robots-exclusion decisions for every distinct link
     #      target under the RobotsGen fixture; parser + longest-match glob
     #      mirrored clean-room) ----
+    # ---- q_html_meta (head-metadata extraction over the MetaGen fixture;
+    #      parser + fixture mirrored clean-room) ----
+    _hm = g.hm_rows(doc_items)
+    write("q_html_meta",
+          pa.schema([("url", pa.string()), ("title", pa.string()),
+                     ("description", pa.string()), ("og_title", pa.string()),
+                     ("canonical", pa.string()), ("lang", pa.string())]),
+          {"url": [x[1] for x in _hm], "title": [x[2] for x in _hm],
+           "description": [x[3] for x in _hm], "og_title": [x[4] for x in _hm],
+           "canonical": [x[5] for x in _hm], "lang": [x[6] for x in _hm]})
+
+    # ---- q_charset (BOM/meta-prescan sniff + decode over the CharsetGen
+    #      mixed-encoding fixture; sniffer mirrored clean-room) ----
+    _cs = g.cs_rows(doc_items)
+    write("q_charset",
+          pa.schema([("doc_id", pa.int64()), ("charset", pa.string()),
+                     ("had_bom", pa.bool_()), ("n_chars", pa.int32()),
+                     ("prefix", pa.string())]),
+          {"doc_id": [x[0] for x in _cs], "charset": [x[1] for x in _cs],
+           "had_bom": [x[2] for x in _cs], "n_chars": [x[3] for x in _cs],
+           "prefix": [x[4] for x in _cs]})
+
     _rb = g.rb_annotate(sorted({x[1] for x in _le}))
     write("q_robots",
           pa.schema([("url", pa.string()), ("host", pa.string()),

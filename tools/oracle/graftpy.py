@@ -1609,3 +1609,315 @@ def rb_annotate(urls, agent=RB_AGENT):
             allowed, pat = rb_decide(rules, rb_path_of(u))
             rows.append((u, host, allowed, pat))
     return rows
+
+
+# ---- head-metadata extraction (mirrors graft.ops.HtmlMeta + MetaGen) ----
+
+HM_LANGS = ["en", "de", "fr", "la", ""]
+
+
+def hm_esc_attr(s):
+    return escape_html(s).replace('"', "&quot;").replace("'", "&#39;")
+
+
+def hm_page_html(doc_id, text):
+    """Token-for-token mirror of MetaGen.pageHtml (Pages.scala)."""
+    words = [w for w in (text or "").split(" ") if w]
+
+    def first(k):
+        return " ".join(words[:k])
+
+    i = doc_id
+    out = []
+    lang = HM_LANGS[i % 5]
+    if lang == "":
+        out.append("<html>\n")
+    elif i % 2 == 1:
+        out.append("<HTML LANG='" + lang + "'>\n")
+    else:
+        out.append('<html lang="' + lang + '">\n')
+    out.append("<head>\n")
+    out.append('<meta charset="utf-8">\n' if i % 2 == 0
+               else "<META CHARSET=utf-8>\n")
+    if i % 7 != 3:
+        out.append("<TiTLe>Doc &quot;" + str(i) + "&quot; — " +
+                   escape_html(first(3)) + "</tItLe>\n")
+    if i % 3 != 1:
+        d = hm_esc_attr(first(8))
+        if i % 2 == 0:
+            out.append('<meta name="description" content="' + d +
+                       ' &amp; more">\n')
+        else:
+            out.append("<meta content='" + d +
+                       " &amp; more' name='Description'>\n")
+    if i % 4 == 0:
+        out.append('<meta property="og:title" content="OG ' +
+                   hm_esc_attr(first(2)) + '">\n')
+    if i % 5 != 2:
+        if i % 2 == 0:
+            out.append('<link rel="canonical" href="' + url_for(i) + '">\n')
+        else:
+            out.append("<link href=/c/doc" + str(i) + ".html rel=canonical>\n")
+    out.append("</head>\n<body>\n<p>" + escape_html(first(5)) + "</p>\n")
+    out.append("<title>decoy title</title>\n</body></html>")
+    return "".join(out)
+
+
+def _hm_is_ws(c):
+    return c in " \t\n\r"
+
+
+def hm_index_of_ic(s, needle, from_):
+    """ASCII-ci find (needle lowercase) — mirror of the Scala scan."""
+    i = max(from_, 0)
+    n = len(needle)
+    sl = len(s)
+    while i + n <= sl:
+        j = 0
+        while j < n:
+            c = s[i + j]
+            if "A" <= c <= "Z":
+                c = chr(ord(c) + 32)
+            if c != needle[j]:
+                break
+            j += 1
+        else:
+            return i
+        i += 1
+    return -1
+
+
+def hm_attrs_of(tag_body):
+    out = {}
+    i = 0
+    n = len(tag_body)
+    while i < n and not _hm_is_ws(tag_body[i]):
+        i += 1
+    while i < n:
+        while i < n and _hm_is_ws(tag_body[i]):
+            i += 1
+        if i >= n:
+            return out
+        if tag_body[i] == "/":
+            i += 1
+            continue
+        name_start = i
+        while i < n and not _hm_is_ws(tag_body[i]) and tag_body[i] != "=":
+            i += 1
+        name = _lg_ascii_lower(tag_body[name_start:i])
+        while i < n and _hm_is_ws(tag_body[i]):
+            i += 1
+        value = ""
+        if i < n and tag_body[i] == "=":
+            i += 1
+            while i < n and _hm_is_ws(tag_body[i]):
+                i += 1
+            if i < n and tag_body[i] in "\"'":
+                q = tag_body[i]
+                end = tag_body.find(q, i + 1)
+                if end < 0:
+                    value = tag_body[i + 1:]
+                    i = n
+                else:
+                    value = tag_body[i + 1:end]
+                    i = end + 1
+            else:
+                vs = i
+                while i < n and not _hm_is_ws(tag_body[i]):
+                    i += 1
+                value = tag_body[vs:i]
+        if name and name not in out:
+            out[name] = value
+    return out
+
+
+def hm_tags_of(region, name):
+    needle = "<" + name
+    from_ = 0
+    while True:
+        a = hm_index_of_ic(region, needle, from_)
+        if a < 0:
+            return
+        after = a + len(needle)
+        if after < len(region) and (
+                _hm_is_ws(region[after]) or region[after] in ">/"):
+            gt = region.find(">", a)
+            if gt < 0:
+                return
+            from_ = gt + 1
+            yield region[a + 1:gt]
+        else:
+            from_ = after
+
+
+def hm_clean_text(s):
+    return lg_collapse_ws(decode_entities(lg_strip_tags(s)))
+
+
+def hm_parse(html, page_url):
+    """Mirror of HtmlMeta.parse -> (title, description, og_title,
+    canonical, lang), each None when absent."""
+    if html is None:
+        return (None, None, None, None, None)
+    head_end = hm_index_of_ic(html, "</head>", 0)
+    region = html if head_end < 0 else html[:head_end]
+
+    title = None
+    from_ = 0
+    while True:
+        a = hm_index_of_ic(region, "<title", from_)
+        if a < 0:
+            break
+        after = a + 6
+        valid = after < len(region) and (
+            _hm_is_ws(region[after]) or region[after] in ">/")
+        if not valid:
+            from_ = after
+            continue
+        gt = region.find(">", a)
+        close = -1 if gt < 0 else hm_index_of_ic(region, "</title>", gt + 1)
+        if close >= 0:
+            t = hm_clean_text(region[gt + 1:close])
+            if t:
+                title = t
+        break
+
+    description = None
+    og_title = None
+    for body in hm_tags_of(region, "meta"):
+        attrs = hm_attrs_of(body)
+        name_lc = _lg_ascii_lower(attrs.get("name", ""))
+        prop_lc = _lg_ascii_lower(attrs.get("property", ""))
+        if description is None and "name" in attrs and name_lc == "description":
+            v = hm_clean_text(attrs.get("content", ""))
+            if v:
+                description = v
+        if og_title is None and "property" in attrs and prop_lc == "og:title":
+            v = hm_clean_text(attrs.get("content", ""))
+            if v:
+                og_title = v
+
+    canonical = None
+    for body in hm_tags_of(region, "link"):
+        attrs = hm_attrs_of(body)
+        if "rel" in attrs and _lg_ascii_lower(attrs["rel"]) == "canonical":
+            href = decode_entities(attrs.get("href", "").strip())
+            canonical = lg_resolve(page_url, href)
+            break
+
+    lang = None
+    for body in hm_tags_of(region, "html"):
+        v = _lg_ascii_lower(_java_trim(hm_attrs_of(body).get("lang", "")))
+        if v:
+            lang = v
+        break
+
+    return (title, description, og_title, canonical, lang)
+
+
+def hm_rows(doc_items):
+    rows = []
+    for i, t in doc_items:
+        url = url_for(i)
+        html = hm_page_html(i, t)
+        title, desc, og, canon, lang = hm_parse(html, url)
+        rows.append((i, url, title, desc, og, canon, lang))
+    return rows
+
+
+# ---- charset sniff + decode (mirrors graft.ops.CharsetSniff + CharsetGen) --
+
+CS_LABELS = {
+    "utf-8": "utf-8", "utf8": "utf-8",
+    "iso-8859-1": "windows-1252", "latin1": "windows-1252",
+    "windows-1252": "windows-1252", "cp1252": "windows-1252",
+    "us-ascii": "windows-1252",
+    "utf-16": "utf-8", "utf-16le": "utf-8", "utf-16be": "utf-8",
+}
+
+
+def cs_ascii_slice(text):
+    words = [w for w in (text or "").split(" ") if w][:6]
+    return "".join(c for c in " ".join(words) if " " <= c <= "~")
+
+
+def _cs_doc(meta, body):
+    return ("<html><head>" + meta + "</head><body><p>" + body +
+            "</p></body></html>")
+
+
+def cs_payload(doc_id, text):
+    """Token-for-token mirror of CharsetGen.payload (Pages.scala)."""
+    slice_ = cs_ascii_slice(text)
+    wide = slice_ + " café №✓"
+    narrow = slice_ + " café ±½"
+    m = doc_id % 4
+    if m == 0:
+        b = _cs_doc('<meta charset="utf-8">', wide).encode("utf-8")
+        return (b"\xef\xbb\xbf" + b) if doc_id % 8 == 0 else b
+    if m == 1:
+        s = _cs_doc("", wide)
+        if doc_id % 8 == 1:
+            return b"\xfe\xff" + s.encode("utf-16-be")
+        return b"\xff\xfe" + s.encode("utf-16-le")
+    if m == 2:
+        return _cs_doc('<meta http-equiv="Content-Type" content="text/html; '
+                       'charset=iso-8859-1">', narrow).encode("cp1252")
+    return _cs_doc("<META CHARSET=WINDOWS-1252>", narrow).encode("cp1252")
+
+
+def cs_charset_param(content_type):
+    lc = _lg_ascii_lower(content_type)
+    at = lc.find("charset=")
+    if at < 0:
+        return None
+    v = content_type[at + 8:]
+    semi = v.find(";")
+    if semi >= 0:
+        v = v[:semi]
+    v = _java_trim(v)
+    if len(v) >= 2 and v[0] in "\"'" and v[-1] == v[0]:
+        v = v[1:-1]
+    return v if v else None
+
+
+def cs_sniff(data):
+    """(charset, bom_len) per the pinned WHATWG-subset sniff."""
+    if data is None:
+        return ("windows-1252", 0)
+    if data[:3] == b"\xef\xbb\xbf":
+        return ("utf-8", 3)
+    if data[:2] == b"\xff\xfe":
+        return ("utf-16le", 2)
+    if data[:2] == b"\xfe\xff":
+        return ("utf-16be", 2)
+    prefix = data[:1024].decode("iso-8859-1")
+    for body in hm_tags_of(prefix, "meta"):
+        attrs = hm_attrs_of(body)
+        label = attrs.get("charset")
+        if label is None and "http-equiv" in attrs and \
+                _lg_ascii_lower(attrs["http-equiv"]) == "content-type":
+            label = cs_charset_param(attrs.get("content", ""))
+        if label is not None:
+            cs = CS_LABELS.get(_lg_ascii_lower(_java_trim(label)))
+            if cs is not None:
+                return (cs, 0)
+    return ("windows-1252", 0)
+
+
+def cs_decode(data):
+    """(charset, had_bom, text) — mirror of CharsetSniff.decode."""
+    cs, bom = cs_sniff(data)
+    if data is None:
+        return (cs, False, "")
+    codec = {"utf-8": "utf-8", "utf-16le": "utf-16-le",
+             "utf-16be": "utf-16-be", "windows-1252": "cp1252"}[cs]
+    return (cs, bom > 0, data[bom:].decode(codec, errors="replace"))
+
+
+def cs_rows(doc_items):
+    rows = []
+    for i, t in doc_items:
+        cs, bom, text = cs_decode(cs_payload(i, t))
+        rows.append((i, cs, bom, len(text), text[:48]))
+    return rows
