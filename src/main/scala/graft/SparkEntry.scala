@@ -58,6 +58,37 @@ object SparkEntry {
       }.toDF("archive_id", "data")
   }
 
+  /** Same archive convention, but the payloads are the CharsetGen
+    * mixed-encoding fixtures — q_warc_charset's full-ingest-head input
+    * (Content-Length over utf-16 payload bytes binds the binary-safe
+    * record split hard).
+    */
+  private def charsetArchives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .groupByKey(_._1 / 20L)
+      .mapGroups { (aid: Long, it: Iterator[(Long, String)]) =>
+        val ascii = java.nio.charset.StandardCharsets.US_ASCII
+        val pages = it.toArray.sortBy(_._1)
+        val bos = new java.io.ByteArrayOutputStream()
+        pages.foreach { case (id, t) =>
+          val payload = graft.pipeline.CharsetGen.payload(id, t)
+          val date = java.time.Instant
+            .ofEpochMilli(1767225600000L + id * 1000L).toString
+          val header = s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: ${graft.pipeline.PageGen.urlFor(id)}\r\n" +
+            s"WARC-Date: $date\r\n" +
+            s"Content-Length: ${payload.length}\r\n\r\n"
+          bos.write(header.getBytes(ascii))
+          bos.write(payload)
+          bos.write("\r\n\r\n".getBytes(ascii))
+        }
+        (aid, bos.toByteArray)
+      }.toDF("archive_id", "data")
+  }
+
   /** Sentence-casing fixture convention for q_sentences (mirrored in
     * graftpy.py sent_fixture — the corpus text is flat lowercase, so the
     * splitter needs sentence shape synthesized): tokens are grouped into
@@ -493,6 +524,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- interpolated Kneser-Ney trigram perplexity (the KenLM-shaped
+    //      upgrade of the add-one bigram filter: absolute discounting +
+    //      continuation-count backoff, every level an exact distribution
+    //      over vocab+unk); same %7 train slice, bit-exact golden ----
+    "q_kn_perplexity" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = graft.ops.NgramLm.trainKn(d.filter(col("doc_id") % 7 === 0))
+      graft.ops.NgramLm.scoreKn(d, model).orderBy(col("doc_id"))
+    }),
+
     // ---- fasttext-style hashed linear quality classifier (stateless
     //      map-only inference; dyadic stand-in weights make the logit
     //      bit-exact cross-engine — golden is the clean-room mirror) ----
@@ -616,6 +657,13 @@ object SparkEntry {
     //      mirrored clean-room over the shared archive convention) ----
     "q_warc_records" -> ((s, dir) =>
       graft.ops.Warc.records(warcArchives(s, dir))
+        .orderBy(col("archive_id"), col("rec_offset"))),
+
+    // ---- full ingest-head composition: archive bytes → record split →
+    //      charset sniff + decode (mixed-encoding payloads; utf-16
+    //      Content-Lengths bind the binary-safe split) ----
+    "q_warc_charset" -> ((s, dir) =>
+      graft.ops.Warc.recordsDecoded(charsetArchives(s, dir))
         .orderBy(col("archive_id"), col("rec_offset"))),
 
     // ---- sentence segmentation (punkt-lite) over the sentence-cased
@@ -1872,6 +1920,7 @@ object SparkEntry {
     "q_main_content" -> golden("q_main_content"),
     "q_classifier_score" -> golden("q_classifier_score"),
     "q_lm_perplexity" -> golden("q_lm_perplexity"),
+    "q_kn_perplexity" -> golden("q_kn_perplexity"),
     "q_fix_encoding" -> golden("q_fix_encoding"),
     // ---- link graph: edges + pagerank are clean-room Python goldens;
     //      the three aggregates run DuckDB SQL over the COMMITTED golden
@@ -1901,6 +1950,7 @@ object SparkEntry {
     "q_bm25" -> golden("q_bm25"),
     "q_sentences" -> golden("q_sentences"),
     "q_warc_records" -> golden("q_warc_records"),
+    "q_warc_charset" -> golden("q_warc_charset"),
     "q_rp_reduce" -> golden("q_rp_reduce"),
     "q_link_degrees" ->
       (s"""WITH e AS (SELECT * FROM '$GoldenDir/q_link_edges.parquet'),

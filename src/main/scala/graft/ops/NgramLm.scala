@@ -108,6 +108,162 @@ object NgramLm {
     (ws.length, bits)
   }
 
+  // ==== interpolated Kneser-Ney trigram (Chen & Goodman 1999) ====
+  //
+  // The production perplexity filter is a KenLM-style smoothed n-gram LM,
+  // not add-one; this is the pinned 3-gram interpolated-KN variant with a
+  // single absolute discount D = 0.75:
+  //
+  //   p(c|a,b) = max(c3(abc)-D, 0)/S(ab) + D*T(ab)/S(ab) * p(c|b)
+  //     with S(ab) = sum_c c3(abc)  (the CONTEXT count - trigram starts,
+  //     not the raw bigram count: doc-final bigrams start no trigram, and
+  //     using S keeps every level an exact distribution),
+  //     T(ab) = |{c : c3(abc)>0}|; S(ab)=0 -> back off to p(c|b) entirely.
+  //   p(c|b)  = max(N(.bc)-D, 0)/N(.b.) + D*U(b)/N(.b.) * p1(c)
+  //     with N(.bc) = |{a : c3(abc)>0}| (continuation count),
+  //     N(.b.) = sum_c N(.bc), U(b) = |{c : N(.bc)>0}|; N(.b.)=0 -> p1(c).
+  //   p1(c)   = (N(.c) + 1) / (B + V + 1)
+  //     with N(.c) = |{b : c2(bc)>0}| over BIGRAM types, B = total bigram
+  //     types, V = vocab size - the +1 add-one over the (vocab + unk)
+  //     event space floors every probability above zero (unk included),
+  //     and each level sums to exactly 1 over vocab + unk (0 < D < 1).
+  //
+  // Unk is structural None (repo rule: never an in-band sentinel string).
+  // All lookups with an unk component read count 0 and flow down to p1.
+  // Arithmetic is integer counts + IEEE doubles in a fixed op order +
+  // log2Portable, so the clean-room Python mirror is bit-identical.
+
+  final val KnDiscount = 0.75
+
+  final case class KnModel(
+      vocab: Set[String],
+      tri: Map[(String, String, String), Long],
+      biTypes: Set[(String, String)]) {
+    val v: Long = vocab.size.toLong
+    // context count S(ab) and distinct-continuation count T(ab)
+    val s3: Map[(String, String), Long] =
+      tri.groupBy(e => (e._1._1, e._1._2)).view.mapValues(_.values.sum).toMap
+    val t3: Map[(String, String), Long] =
+      tri.groupBy(e => (e._1._1, e._1._2)).view.mapValues(_.size.toLong).toMap
+    // continuation counts N(.bc), their context sums N(.b.) and U(b)
+    val mid: Map[(String, String), Long] =
+      tri.keysIterator.map(k => ((k._2, k._3), k._1)).toSeq.distinct
+        .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val midCtx: Map[String, Long] =
+      mid.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val midU: Map[String, Long] =
+      mid.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    // unigram continuation N(.c) over bigram types, and B
+    val contUni: Map[String, Long] =
+      biTypes.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val bTypes: Long = biTypes.size.toLong
+  }
+
+  /** Train the pinned KN-trigram model: two distributed type/count
+    * aggregations (trigram counts, bigram types) + the vocab, collected
+    * under the same hard broadcast-model cap as [[train]].
+    */
+  def trainKn(refDocs: DataFrame, maxModelEntries: Long = 2000000L): KnModel = {
+    val spark = refDocs.sparkSession
+    import spark.implicits._
+    val texts = refDocs.select(col("text")).as[String]
+    val tri = texts.flatMap { t =>
+        val ws = Option(t).getOrElse("").split(" ").filter(_.nonEmpty)
+        (0 until math.max(0, ws.length - 2)).iterator
+          .map(i => (ws(i), ws(i + 1), ws(i + 2)))
+      }.toDF("w1", "w2", "w3")
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c"))
+    val bi = texts.flatMap { t =>
+        val ws = Option(t).getOrElse("").split(" ").filter(_.nonEmpty)
+        (0 until math.max(0, ws.length - 1)).iterator
+          .map(i => (ws(i), ws(i + 1)))
+      }.toDF("w1", "w2").distinct()
+    val uni = refDocs.select(
+      explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+      .distinct()
+    val nEntries = tri.count() + bi.count() + uni.count()
+    require(nEntries <= maxModelEntries,
+      s"KN model has $nEntries entries > cap $maxModelEntries — prune the " +
+        "training slice or raise the cap (broadcast-model contract)")
+    KnModel(
+      uni.as[String].collect().toSet,
+      tri.collect().map(r =>
+        ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3))).toMap,
+      bi.as[(String, String)].collect().toSet)
+  }
+
+  /** p1 / p(c|b) / p(c|a,b) per the pinned formulas (None = unk). */
+  def knP1(c: Option[String], m: KnModel): Double = {
+    val n = c.flatMap(m.contUni.get).getOrElse(0L)
+    (n + 1L).toDouble / (m.bTypes + m.v + 1L).toDouble
+  }
+
+  def knP2(b: Option[String], c: Option[String], m: KnModel): Double = {
+    val ctx = b.flatMap(m.midCtx.get).getOrElse(0L)
+    if (ctx == 0L) return knP1(c, m)
+    val nbc = (b, c) match {
+      case (Some(bb), Some(cc)) => m.mid.getOrElse((bb, cc), 0L)
+      case _ => 0L
+    }
+    val u = b.flatMap(m.midU.get).getOrElse(0L)
+    math.max(nbc.toDouble - KnDiscount, 0.0) / ctx.toDouble +
+      KnDiscount * u.toDouble / ctx.toDouble * knP1(c, m)
+  }
+
+  def knP3(
+      a: Option[String], b: Option[String], c: Option[String],
+      m: KnModel): Double = {
+    val s = (a, b) match {
+      case (Some(aa), Some(bb)) => m.s3.getOrElse((aa, bb), 0L)
+      case _ => 0L
+    }
+    if (s == 0L) return knP2(b, c, m)
+    val c3 = (a, b, c) match {
+      case (Some(aa), Some(bb), Some(cc)) => m.tri.getOrElse((aa, bb, cc), 0L)
+      case _ => 0L
+    }
+    val t = (a, b) match {
+      case (Some(aa), Some(bb)) => m.t3.getOrElse((aa, bb), 0L)
+      case _ => 0L
+    }
+    math.max(c3.toDouble - KnDiscount, 0.0) / s.toDouble +
+      KnDiscount * t.toDouble / s.toDouble * knP2(b, c, m)
+  }
+
+  /** Bits of one document under the KN model: sum over trigram
+    * transitions i=2..n-1 of -log2 p(t_i | t_{i-2}, t_{i-1}), in token
+    * order.
+    */
+  def scoreTextKn(text: String, m: KnModel): (Int, Double) = {
+    val ws = Option(text).getOrElse("").split(" ").filter(_.nonEmpty)
+    val mapped: Array[Option[String]] =
+      ws.map(w => if (m.vocab.contains(w)) Some(w) else None)
+    var bits = 0.0
+    var i = 2
+    while (i < mapped.length) {
+      bits += -log2Portable(knP3(mapped(i - 2), mapped(i - 1), mapped(i), m))
+      i += 1
+    }
+    (ws.length, bits)
+  }
+
+  /** Score a corpus under the KN model:
+    * (doc_id, n_tokens, n_trans, bits, bits_per_trans) — map-only with the
+    * broadcast model; docs with < 3 tokens have no transitions (bits 0).
+    */
+  def scoreKn(docs: DataFrame, model: KnModel): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mB = spark.sparkContext.broadcast(model)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val (n, bits) = scoreTextKn(t, mB.value)
+        val trans = math.max(0, n - 2)
+        (id, n, trans, bits,
+          if (trans > 0) bits / trans.toDouble else 0.0)
+      }.toDF("doc_id", "n_tokens", "n_trans", "bits", "bits_per_trans")
+  }
+
   /** Score a corpus: (doc_id, n_tokens, bits, bits_per_token, bucket).
     * Buckets (CCNet head/middle/tail) use fixed thresholds on
     * bits-per-token; empty/1-token docs have no transitions and bucket as

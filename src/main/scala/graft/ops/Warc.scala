@@ -139,4 +139,27 @@ object Warc {
       }.toDF("archive_id", "rec_offset", "rec_type", "uri", "warc_date",
         "content_length", "extracted")
   }
+
+  /** Archive table → per-record rows with the payload run through the
+    * charset sniff + decode instead of assuming UTF-8 — the full ingest
+    * head (archive bytes → record split → typed text) for a crawl whose
+    * payloads carry mixed encodings. Content-Length is a BYTE count, so
+    * utf-16 payloads (NUL-dense, 2 bytes/char) bind the binary-safe split
+    * hard. Map-only; null rows dropped.
+    */
+  def recordsDecoded(archives: DataFrame): DataFrame = {
+    val spark = archives.sparkSession
+    import spark.implicits._
+    archives.select(col("archive_id"), col("data"))
+      .filter(col("archive_id").isNotNull && col("data").isNotNull)
+      .as[(Long, Array[Byte])]
+      .flatMap { case (aid, blob) =>
+        parse(blob).iterator.map { r =>
+          val (cs, bom, text) = CharsetSniff.decode(r.payload)
+          (aid, r.offset, r.uri, r.contentLength, cs, bom, text.length,
+            text.substring(0, math.min(48, text.length)))
+        }
+      }.toDF("archive_id", "rec_offset", "uri", "content_length",
+        "charset", "had_bom", "n_chars", "prefix")
+  }
 }

@@ -75,4 +75,67 @@ class NgramLmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[IllegalArgumentException](
       NgramLm.train(ref, maxModelEntries = 10L))
   }
+
+  // ==== Kneser-Ney trigram ====
+
+  private def knModel(texts: Seq[String]): NgramLm.KnModel = {
+    import spark.implicits._
+    NgramLm.trainKn(texts.toDF("text"))
+  }
+
+  test("KN derived tables match hand counts") {
+    val m = knModel(Seq("a b c a b d", "a b c e", "x y"))
+    assert(m.tri === Map(("a", "b", "c") -> 2L, ("a", "b", "d") -> 1L,
+      ("b", "c", "a") -> 1L, ("b", "c", "e") -> 1L, ("c", "a", "b") -> 1L))
+    assert(m.s3 === Map(("a", "b") -> 3L, ("b", "c") -> 2L, ("c", "a") -> 1L))
+    assert(m.t3 === Map(("a", "b") -> 2L, ("b", "c") -> 2L, ("c", "a") -> 1L))
+    assert(m.mid === Map(("a", "b") -> 1L, ("b", "c") -> 1L,
+      ("b", "d") -> 1L, ("c", "a") -> 1L, ("c", "e") -> 1L))
+    assert(m.midCtx === Map("a" -> 1L, "b" -> 2L, "c" -> 2L))
+    assert(m.midU === Map("a" -> 1L, "b" -> 2L, "c" -> 2L))
+    assert(m.contUni === Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 1L,
+      "e" -> 1L, "y" -> 1L))
+    assert(m.bTypes === 6L && m.v === 7L)
+    // pinned-arithmetic point values (computed independently by the mirror)
+    assert(NgramLm.knP3(Some("a"), Some("b"), Some("c"), m)
+      === 0.5327380952380952)
+    assert(NgramLm.knP3(Some("a"), Some("b"), None, m)
+      === 0.026785714285714284)
+    assert(NgramLm.knP2(Some("b"), Some("c"), m) === 0.23214285714285715)
+    assert(NgramLm.scoreTextKn("a b c a b q z", m)
+      === ((7, 12.628888647850298)))
+  }
+
+  test("KN: every level sums to exactly 1 over vocab + unk") {
+    val m = knModel(Seq("a b c a b d", "a b c e", "x y"))
+    val events: Seq[Option[String]] =
+      m.vocab.toSeq.sorted.map(Some(_)) :+ None
+    def close(x: Double) = math.abs(x - 1.0) < 1e-12
+    assert(close(events.map(c => NgramLm.knP1(c, m)).sum))
+    for (b <- Seq(Some("a"), Some("b"), Some("x"), Some("zz"), None))
+      assert(close(events.map(c => NgramLm.knP2(b, c, m)).sum), s"p2 ctx $b")
+    for ((a, b) <- Seq((Some("a"), Some("b")), (Some("b"), Some("c")),
+        (Some("x"), Some("y")), (None, Some("b")), (Some("zz"), Some("q"))))
+      assert(close(events.map(c => NgramLm.knP3(a, b, c, m)).sum),
+        s"p3 ctx ($a,$b)")
+  }
+
+  test("KN: unseen contexts back off; short docs score zero transitions") {
+    val m = knModel(Seq("a b c a b d"))
+    // context (x, y) unseen -> p3 == p2(y, .) -> mid_ctx(y)=0 -> p1
+    assert(NgramLm.knP3(Some("x"), Some("y"), Some("c"), m)
+      === NgramLm.knP1(Some("c"), m))
+    assert(NgramLm.scoreTextKn("a b", m) === ((2, 0.0)))
+    assert(NgramLm.scoreTextKn("", m) === ((0, 0.0)))
+    assert(NgramLm.scoreTextKn(null, m) === ((0, 0.0)))
+  }
+
+  test("KN model cap fails loudly") {
+    import spark.implicits._
+    val ex = intercept[IllegalArgumentException] {
+      NgramLm.trainKn(Seq("a b c d e f g h").toDF("text"),
+        maxModelEntries = 3L)
+    }
+    assert(ex.getMessage.contains("broadcast-model contract"))
+  }
 }

@@ -227,6 +227,17 @@ def main():
            "had_bom": [x[2] for x in _cs], "n_chars": [x[3] for x in _cs],
            "prefix": [x[4] for x in _cs]})
 
+    # ---- q_kn_perplexity (interpolated Kneser-Ney trigram filter LM;
+    #      formulas + portable log2 mirrored clean-room, bit-exact) ----
+    _kn = g.kn_rows(doc_items)
+    write("q_kn_perplexity",
+          pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int32()),
+                     ("n_trans", pa.int32()), ("bits", pa.float64()),
+                     ("bits_per_trans", pa.float64())]),
+          {"doc_id": [x[0] for x in _kn], "n_tokens": [x[1] for x in _kn],
+           "n_trans": [x[2] for x in _kn], "bits": [x[3] for x in _kn],
+           "bits_per_trans": [x[4] for x in _kn]})
+
     _rb = g.rb_annotate(sorted({x[1] for x in _le}))
     write("q_robots",
           pa.schema([("url", pa.string()), ("host", pa.string()),
@@ -291,6 +302,30 @@ def main():
            "warc_date": [x[4] for x in _wrows],
            "content_length": [x[5] for x in _wrows],
            "extracted": [x[6] for x in _wrows]})
+
+    # ---- q_warc_charset (archive -> record split -> charset sniff +
+    #      decode over mixed-encoding payloads; full ingest head) ----
+    _wc = []
+    for aid in sorted(_by_arc):
+        pages = [(i, g.cs_payload(i, t), g.url_for(i))
+                 for i, t in sorted(_by_arc[aid])]
+        blob = g.warc_archive(pages)
+        for (off, _rt, uri, _dt, cl, payload) in g.warc_parse(blob):
+            cs, bom, text = g.cs_decode(payload)
+            _wc.append((aid, off, uri, cl, cs, bom, len(text), text[:48]))
+    write("q_warc_charset",
+          pa.schema([("archive_id", pa.int64()), ("rec_offset", pa.int64()),
+                     ("uri", pa.string()), ("content_length", pa.int64()),
+                     ("charset", pa.string()), ("had_bom", pa.bool_()),
+                     ("n_chars", pa.int32()), ("prefix", pa.string())]),
+          {"archive_id": [x[0] for x in _wc],
+           "rec_offset": [x[1] for x in _wc],
+           "uri": [x[2] for x in _wc],
+           "content_length": [x[3] for x in _wc],
+           "charset": [x[4] for x in _wc],
+           "had_bom": [x[5] for x in _wc],
+           "n_chars": [x[6] for x in _wc],
+           "prefix": [x[7] for x in _wc]})
 
     # ---- q_align_spans ----
     rows = [(r["url"],) + sp for r in results for sp in r["spans"]]

@@ -1921,3 +1921,85 @@ def cs_rows(doc_items):
         cs, bom, text = cs_decode(cs_payload(i, t))
         rows.append((i, cs, bom, len(text), text[:48]))
     return rows
+
+
+# ---- interpolated Kneser-Ney trigram (mirrors graft.ops.NgramLm kn*) ----
+
+KN_D = 0.75
+
+
+def kn_train(texts):
+    """-> model dict with the same derived tables as NgramLm.KnModel."""
+    tri = {}
+    bi = set()
+    vocab = set()
+    for t in texts:
+        ws = [w for w in (t or "").split(" ") if w]
+        vocab.update(ws)
+        for i in range(len(ws) - 1):
+            bi.add((ws[i], ws[i + 1]))
+        for i in range(len(ws) - 2):
+            k = (ws[i], ws[i + 1], ws[i + 2])
+            tri[k] = tri.get(k, 0) + 1
+    s3 = {}
+    t3 = {}
+    mid = {}
+    for (a, b, c), n in tri.items():
+        s3[(a, b)] = s3.get((a, b), 0) + n
+        t3[(a, b)] = t3.get((a, b), 0) + 1
+        mid[(b, c)] = mid.get((b, c), 0) + 1
+    mid_ctx = {}
+    mid_u = {}
+    for (b, c), n in mid.items():
+        mid_ctx[b] = mid_ctx.get(b, 0) + n
+        mid_u[b] = mid_u.get(b, 0) + 1
+    cont = {}
+    for (_b, c) in bi:
+        cont[c] = cont.get(c, 0) + 1
+    return {"tri": tri, "s3": s3, "t3": t3, "mid": mid, "mid_ctx": mid_ctx,
+            "mid_u": mid_u, "cont": cont, "b_types": len(bi),
+            "v": len(vocab), "vocab": vocab}
+
+
+def kn_p1(c, m):
+    n = m["cont"].get(c, 0) if c is not None else 0
+    return (n + 1) / (m["b_types"] + m["v"] + 1)
+
+
+def kn_p2(b, c, m):
+    ctx = m["mid_ctx"].get(b, 0) if b is not None else 0
+    if ctx == 0:
+        return kn_p1(c, m)
+    nbc = m["mid"].get((b, c), 0) if (b is not None and c is not None) else 0
+    u = m["mid_u"].get(b, 0)
+    return max(nbc - KN_D, 0.0) / ctx + KN_D * u / ctx * kn_p1(c, m)
+
+
+def kn_p3(a, b, c, m):
+    s = m["s3"].get((a, b), 0) if (a is not None and b is not None) else 0
+    if s == 0:
+        return kn_p2(b, c, m)
+    c3 = m["tri"].get((a, b, c), 0) if c is not None else 0
+    t = m["t3"].get((a, b), 0)
+    return max(c3 - KN_D, 0.0) / s + KN_D * t / s * kn_p2(b, c, m)
+
+
+def kn_score(text, m):
+    ws = [w for w in (text or "").split(" ") if w]
+    mapped = [w if w in m["vocab"] else None for w in ws]
+    bits = 0.0
+    for i in range(2, len(mapped)):
+        bits += -lm_log2(kn_p3(mapped[i - 2], mapped[i - 1], mapped[i], m))
+    return (len(ws), bits)
+
+
+def kn_rows(doc_items):
+    train = [t for i, t in doc_items if i % 7 == 0]
+    m = kn_train(train)
+    rows = []
+    for i, t in doc_items:
+        n, bits = kn_score(t, m)
+        trans = max(0, n - 2)
+        rows.append((i, n, trans, bits,
+                     bits / trans if trans > 0 else 0.0))
+    return rows
