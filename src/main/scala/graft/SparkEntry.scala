@@ -614,6 +614,21 @@ object SparkEntry {
       graft.ops.CharsetSniff.sniffDecode(payloads).orderBy(col("doc_id"))
     }),
 
+    // ---- streaming ingest head: the SAME Warc.recordsDecoded kernel per
+    //      micro-batch (shared code, shared golden — the anti-drift
+    //      contract used by q_decontam_stream) ----
+    "q_ingest_stream" -> ((s, dir) => {
+      val tmp = scratchDir(s, "ingest_stream")
+      charsetArchives(s, dir).write.parquet(s"$tmp/archives")
+      graft.streaming.StreamingJobs.withShufflePartitions(s, 4) {
+        graft.streaming.StreamingJobs.runAvailableNow(
+          graft.streaming.StreamingJobs.ingestStream(s, s"$tmp/archives"),
+          s"$tmp/out")
+      }
+      s.read.parquet(s"$tmp/out/data")
+        .orderBy(col("archive_id"), col("rec_offset"))
+    }),
+
     // ---- robots-exclusion decisions (RFC 9309 / Google longest-match
     //      semantics) for every distinct link target under the RobotsGen
     //      fixture (13 hosts, every parser/matcher path bound); parser +
@@ -1951,6 +1966,9 @@ object SparkEntry {
     "q_sentences" -> golden("q_sentences"),
     "q_warc_records" -> golden("q_warc_records"),
     "q_warc_charset" -> golden("q_warc_charset"),
+    // stream and batch share ONE golden — any drift between the streaming
+    // micro-batch path and the batch kernel fails this row
+    "q_ingest_stream" -> golden("q_warc_charset"),
     "q_rp_reduce" -> golden("q_rp_reduce"),
     "q_link_degrees" ->
       (s"""WITH e AS (SELECT * FROM '$GoldenDir/q_link_edges.parquet'),

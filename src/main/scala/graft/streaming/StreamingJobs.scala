@@ -405,6 +405,21 @@ object StreamingJobs {
     * deployment keeps its own count — state scales with open keys, not with
     * this knob.
     */
+  /** Streaming form of the full ingest head: archive blobs arrive as a
+    * stream and each micro-batch runs the SAME record-split +
+    * charset-decode kernel as the batch op ([[graft.ops.Warc
+    * .recordsDecoded]] — shared code, so stream and batch CANNOT drift;
+    * the oracle row is literally the batch query's golden). Stateless
+    * map-only: no watermark, no state store — a crawl's ingest tier is
+    * the textbook always-on stream.
+    */
+  def ingestStream(spark: SparkSession, archivesDir: String): DataFrame = {
+    val in = spark.readStream
+      .schema("archive_id LONG, data BINARY")
+      .parquet(archivesDir)
+    graft.ops.Warc.recordsDecoded(in)
+  }
+
   def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
