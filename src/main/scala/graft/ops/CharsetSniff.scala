@@ -116,9 +116,20 @@ object CharsetSniff {
       .as[(Long, Array[Byte])]
       .map { case (id, b) =>
         val (cs, bom, text) = decode(b)
-        (id, cs, bom, text.length,
-          text.substring(0, math.min(48, text.length)))
+        val (n, prefix) = codePointStats(text, 48)
+        (id, cs, bom, n, prefix)
       }
       .toDF("doc_id", "charset", "had_bom", "n_chars", "prefix")
+  }
+
+  /** (code-point count, first-k-code-points prefix) — CODE POINTS, not
+    * UTF-16 units, so the stats match the Python mirror's len/slice even
+    * for astral characters and a prefix cut can never split a surrogate
+    * pair.
+    */
+  private[ops] def codePointStats(text: String, k: Int): (Int, String) = {
+    val n = text.codePointCount(0, text.length)
+    val end = text.offsetByCodePoints(0, math.min(k, n))
+    (n, text.substring(0, end))
   }
 }

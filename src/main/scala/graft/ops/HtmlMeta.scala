@@ -179,14 +179,20 @@ object HtmlMeta {
         ogTitle = attrs.get("content").map(cleanText).filter(_.nonEmpty)
     }
 
+    // the FIRST rel=canonical link DECIDES — even when its href is
+    // missing or unresolvable (mirror parity: a second canonical on the
+    // page never rescues a broken first one)
     var canonical: Option[String] = None
-    tagsOf(region, "link").foreach { body =>
-      if (canonical.isEmpty) {
-        val attrs = attrsOf(body)
-        if (attrs.get("rel").map(LinkGraph.asciiLower).contains("canonical"))
-          canonical = attrs.get("href")
-            .map(h => ExtractHtml.decodeEntities(h.trim))
-            .flatMap(h => LinkGraph.resolve(pageUrl, h))
+    var canonicalSeen = false
+    val linkIt = tagsOf(region, "link")
+    while (!canonicalSeen && linkIt.hasNext) {
+      val attrs = attrsOf(linkIt.next())
+      if (attrs.get("rel").map(LinkGraph.asciiLower).contains("canonical")) {
+        canonicalSeen = true
+        canonical = attrs.get("href")
+          .map(h => ExtractHtml.decodeEntities(h.trim)) // Java trim —
+          // mirrored by graftpy._java_trim, NOT Python's Unicode strip
+          .flatMap(h => LinkGraph.resolve(pageUrl, h))
       }
     }
 

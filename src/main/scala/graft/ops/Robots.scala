@@ -179,6 +179,13 @@ object Robots {
       agent: String,
       saltBuckets: Int = 1): DataFrame = {
     require(saltBuckets > 0, s"saltBuckets must be positive: $saltBuckets")
+    // the op ADDS host/allowed/rule — a caller's own column of one of
+    // those names would be silently clobbered and then duplicated in the
+    // output (AMBIGUOUS_REFERENCE downstream); fail loudly instead
+    Seq("host", "allowed", "rule").foreach { c =>
+      require(!urls.columns.contains(c),
+        s"annotate adds a '$c' column — rename the input's '$c' first")
+    }
     val spark = urls.sparkSession
     import spark.implicits._
 

@@ -156,8 +156,8 @@ object Warc {
       .flatMap { case (aid, blob) =>
         parse(blob).iterator.map { r =>
           val (cs, bom, text) = CharsetSniff.decode(r.payload)
-          (aid, r.offset, r.uri, r.contentLength, cs, bom, text.length,
-            text.substring(0, math.min(48, text.length)))
+          val (n, prefix) = CharsetSniff.codePointStats(text, 48)
+          (aid, r.offset, r.uri, r.contentLength, cs, bom, n, prefix)
         }
       }.toDF("archive_id", "rec_offset", "uri", "content_length",
         "charset", "had_bom", "n_chars", "prefix")

@@ -405,6 +405,13 @@ object StreamingJobs {
     * deployment keeps its own count — state scales with open keys, not with
     * this knob.
     */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Streaming form of the full ingest head: archive blobs arrive as a
     * stream and each micro-batch runs the SAME record-split +
     * charset-decode kernel as the batch op ([[graft.ops.Warc
@@ -418,13 +425,6 @@ object StreamingJobs {
       .schema("archive_id LONG, data BINARY")
       .parquet(archivesDir)
     graft.ops.Warc.recordsDecoded(in)
-  }
-
-  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
   }
 
   /** Run a streaming query to completion over the currently-available input

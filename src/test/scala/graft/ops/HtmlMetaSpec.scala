@@ -73,6 +73,30 @@ class HtmlMetaSpec extends AnyFunSuite {
       .title === None)
   }
 
+  test("parse: the FIRST rel=canonical decides, even when broken") {
+    // a second canonical never rescues a missing/unresolvable first one
+    // (mirror-parity regression: graftpy breaks on the first occurrence)
+    val broken = "<head><link rel=canonical href=\"mailto:x@y.z\">" +
+      "<link rel=canonical href=\"/real.html\"></head>"
+    assert(HtmlMeta.parse(broken, Base).canonical === None)
+    val noHref = "<head><link rel=canonical>" +
+      "<link rel=canonical href=\"/real.html\"></head>"
+    assert(HtmlMeta.parse(noHref, Base).canonical === None)
+    val ok = "<head><link rel=canonical href=\"/a\">" +
+      "<link rel=canonical href=\"/b\"></head>"
+    assert(HtmlMeta.parse(ok, Base).canonical ===
+      Some("https://ex.org/a"))
+  }
+
+  test("codePointStats counts code points and never splits surrogates") {
+    val astral = "x" + new String(Character.toChars(0x1F600)) + "y" // x😀y
+    assert(CharsetSniff.codePointStats(astral, 48) === ((3, astral)))
+    // cut at k=2 keeps the full surrogate pair, not half of it
+    assert(CharsetSniff.codePointStats(astral, 2) ===
+      ((3, "x" + new String(Character.toChars(0x1F600)))))
+    assert(CharsetSniff.codePointStats("", 48) === ((0, "")))
+  }
+
   // ---- charset sniff ----
 
   test("sniff: BOMs win and are stripped") {

@@ -148,6 +148,16 @@ class RobotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a === b)
   }
 
+  test("annotate rejects inputs that already carry its output columns") {
+    import spark.implicits._
+    val robots = RobotsGen.rows.toDF("host", "robots_txt")
+    val clashing = Seq(("https://x.org/", "h")).toDF("url", "host")
+    val ex = intercept[IllegalArgumentException] {
+      Robots.annotate(clashing, robots, RobotsGen.Agent)
+    }
+    assert(ex.getMessage.contains("rename the input's"))
+  }
+
   // ---- frontier ----
 
   test("nextWave: semi/anti join + robots gate + exact per-host top-k") {

@@ -1801,7 +1801,9 @@ def hm_parse(html, page_url):
     for body in hm_tags_of(region, "link"):
         attrs = hm_attrs_of(body)
         if "rel" in attrs and _lg_ascii_lower(attrs["rel"]) == "canonical":
-            href = decode_entities(attrs.get("href", "").strip())
+            # the FIRST rel=canonical decides (even if href is missing or
+            # unresolvable); Java-trim semantics, not Unicode strip
+            href = decode_entities(_java_trim(attrs.get("href", "")))
             canonical = lg_resolve(page_url, href)
             break
 
