@@ -540,6 +540,18 @@ object SparkEntry {
     "q_classifier_score" -> ((s, dir) =>
       graft.ops.Classifier.score(docs(s, dir)).orderBy(col("doc_id"))),
 
+    // ---- classifier TRAINING (the RefinedWeb/FineWeb pattern: distill a
+    //      heuristic label — here lang=='en' — into the hashed linear
+    //      model): pinned full-batch logistic regression through the
+    //      portable exp; golden retrains independently and compares
+    //      per-doc probabilities bit-exactly ----
+    "q_classifier_train" -> ((s, dir) => {
+      val labeled = docs(s, dir).select(col("doc_id"), col("text"),
+        when(col("lang") === "en", 1).otherwise(0).as("y"))
+      val m = graft.ops.Classifier.trainLogistic(labeled)
+      graft.ops.Classifier.predict(labeled, m).orderBy(col("doc_id"))
+    }),
+
     // ---- density-based main-content extraction (jusText-simplified):
     //      block segmentation + link/stopword-density rules remove chrome
     //      divs that carry NO semantic tag (the tag-name path q_extract_text
@@ -1936,6 +1948,7 @@ object SparkEntry {
     "q_classifier_score" -> golden("q_classifier_score"),
     "q_lm_perplexity" -> golden("q_lm_perplexity"),
     "q_kn_perplexity" -> golden("q_kn_perplexity"),
+    "q_classifier_train" -> golden("q_classifier_train"),
     "q_fix_encoding" -> golden("q_fix_encoding"),
     // ---- link graph: edges + pagerank are clean-room Python goldens;
     //      the three aggregates run DuckDB SQL over the COMMITTED golden

@@ -238,6 +238,18 @@ def main():
            "n_trans": [x[2] for x in _kn], "bits": [x[3] for x in _kn],
            "bits_per_trans": [x[4] for x in _kn]})
 
+    # ---- q_classifier_train (distill the lang=='en' heuristic label into
+    #      the hashed linear model; pinned full-batch logistic regression
+    #      through the portable exp — bit-exact predictions) ----
+    _ct = g.cls_train_rows(doc_items, docs.lang.tolist())
+    write("q_classifier_train",
+          pa.schema([("doc_id", pa.int64()), ("y", pa.int32()),
+                     ("p", pa.float64()), ("pred", pa.int32()),
+                     ("correct", pa.bool_())]),
+          {"doc_id": [x[0] for x in _ct], "y": [x[1] for x in _ct],
+           "p": [x[2] for x in _ct], "pred": [x[3] for x in _ct],
+           "correct": [x[4] for x in _ct]})
+
     _rb = g.rb_annotate(sorted({x[1] for x in _le}))
     write("q_robots",
           pa.schema([("url", pa.string()), ("host", pa.string()),

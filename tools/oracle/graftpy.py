@@ -2005,3 +2005,95 @@ def kn_rows(doc_items):
         rows.append((i, n, trans, bits,
                      bits / trans if trans > 0 else 0.0))
     return rows
+
+
+# ---- logistic-regression training (mirrors graft.ops.Classifier train) ----
+
+CLS_LN2 = 0.6931471805599453
+CLS_INV_LN2 = 1.4426950408889634
+
+
+def cls_exp(x):
+    """Portable exp — exponent split + 13-term Taylor Horner, mirror of
+    Classifier.expPortable (bit-identical IEEE ops)."""
+    k = math.floor(x * CLS_INV_LN2 + 0.5)
+    r = x - k * CLS_LN2
+    s = 1.0 / 479001600.0
+    s = s * r + 1.0 / 39916800.0
+    s = s * r + 1.0 / 3628800.0
+    s = s * r + 1.0 / 362880.0
+    s = s * r + 1.0 / 40320.0
+    s = s * r + 1.0 / 5040.0
+    s = s * r + 1.0 / 720.0
+    s = s * r + 1.0 / 120.0
+    s = s * r + 1.0 / 24.0
+    s = s * r + 1.0 / 6.0
+    s = s * r + 0.5
+    s = s * r + 1.0
+    s = s * r + 1.0
+    return math.ldexp(s, int(k))
+
+
+def cls_sigmoid(z):
+    if z > 30.0:
+        z = 30.0
+    elif z < -30.0:
+        z = -30.0
+    return 1.0 / (1.0 + cls_exp(-z))
+
+
+def cls_features(text):
+    """Sorted (bucket, tf) — mirror of Classifier.featuresOf."""
+    toks = [t for t in (text or "").split(" ") if t]
+    counts = {}
+    for i, t in enumerate(toks):
+        b = string_hash64(t) & (CLS_DIM - 1)
+        counts[b] = counts.get(b, 0) + 1
+        if i + 1 < len(toks):
+            b2 = string_hash64(t + " " + toks[i + 1]) & (CLS_DIM - 1)
+            counts[b2] = counts.get(b2, 0) + 1
+    return sorted(counts.items())
+
+
+def _cls_dot(w, bias, feats):
+    z = bias
+    for b, tf in feats:
+        wb = w.get(b, 0.0)
+        if wb != 0.0:
+            z += wb * tf
+    return z
+
+
+def cls_train(feats_list, ys, epochs=20, lr=1.0):
+    """Pinned full-batch logistic regression — mirror of trainLocal."""
+    nd = float(len(feats_list))
+    w = {}
+    bias = 0.0
+    for _ in range(epochs):
+        grad = {}
+        g_bias = 0.0
+        for feats, y in zip(feats_list, ys):
+            e = cls_sigmoid(_cls_dot(w, bias, feats)) - y
+            for b, tf in feats:
+                grad[b] = grad.get(b, 0.0) + e * tf
+            g_bias += e
+        for b in sorted(grad):
+            w[b] = w.get(b, 0.0) - lr * (grad[b] / nd)
+        bias -= lr * (g_bias / nd)
+    return w, bias
+
+
+def cls_train_rows(doc_items, langs):
+    """Train on y = (lang == 'en') over the whole corpus (docs sorted by
+    id), then predict every doc: (doc_id, y, p, pred, correct)."""
+    rows = sorted(zip(doc_items, langs), key=lambda x: x[0][0])
+    feats = [cls_features(t) for (_i, t), _l in rows]
+    ys = [1.0 if l == "en" else 0.0 for _it, l in rows]
+    w, bias = cls_train(feats, ys)
+    out = []
+    for ((i, _t), l), f in zip(rows, feats):
+        p = cls_sigmoid(_cls_dot(w, bias, f))
+        pred = 1 if p >= 0.5 else 0
+        y = 1 if l == "en" else 0
+        out.append((i, y, p, pred, pred == y))
+    return out
