@@ -641,6 +641,33 @@ object SparkEntry {
         .orderBy(col("archive_id"), col("rec_offset"))
     }),
 
+    // ---- mixed-language detection: sentence segmentation × per-sentence
+    //      language-ID → per-doc plurality language + purity fraction
+    //      (the "drop mixed-language docs" cleaning gate). Pure kernel
+    //      composition on public contracts — splitSentences over the
+    //      q_sentences casing fixture, langIdOf per sentence — mirrored
+    //      end-to-end in the golden ----
+    "q_sent_langid" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id").isNotNull)
+        .as[(Long, String)]
+        .map { case (id, t) =>
+          val sents =
+            graft.ops.Sentences.splitSentences(sentenceizeText(id, t))
+          val langs = sents.map(graft.ops.TextOps.langIdOf)
+          val n = langs.length
+          if (n == 0) (id, 0, "und", 0.0, 0)
+          else {
+            val counts = langs.groupBy(identity).view.mapValues(_.size).toMap
+            // plurality, lexicographic tie-break (pinned)
+            val (main, c) = counts.toSeq.sortBy { case (l, k) => (-k, l) }.head
+            (id, n, main, c.toDouble / n.toDouble, counts.size)
+          }
+        }.toDF("doc_id", "n_sents", "main_lang", "main_frac", "n_langs")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- robots-exclusion decisions (RFC 9309 / Google longest-match
     //      semantics) for every distinct link target under the RobotsGen
     //      fixture (13 hosts, every parser/matcher path bound); parser +
@@ -1949,6 +1976,7 @@ object SparkEntry {
     "q_lm_perplexity" -> golden("q_lm_perplexity"),
     "q_kn_perplexity" -> golden("q_kn_perplexity"),
     "q_classifier_train" -> golden("q_classifier_train"),
+    "q_sent_langid" -> golden("q_sent_langid"),
     "q_fix_encoding" -> golden("q_fix_encoding"),
     // ---- link graph: edges + pagerank are clean-room Python goldens;
     //      the three aggregates run DuckDB SQL over the COMMITTED golden

@@ -250,6 +250,17 @@ def main():
            "p": [x[2] for x in _ct], "pred": [x[3] for x in _ct],
            "correct": [x[4] for x in _ct]})
 
+    # ---- q_sent_langid (sentence segmentation x per-sentence lang-ID ->
+    #      per-doc plurality/purity; kernel composition mirrored) ----
+    _sl = g.sent_langid_rows(doc_items)
+    write("q_sent_langid",
+          pa.schema([("doc_id", pa.int64()), ("n_sents", pa.int32()),
+                     ("main_lang", pa.string()), ("main_frac", pa.float64()),
+                     ("n_langs", pa.int32())]),
+          {"doc_id": [x[0] for x in _sl], "n_sents": [x[1] for x in _sl],
+           "main_lang": [x[2] for x in _sl], "main_frac": [x[3] for x in _sl],
+           "n_langs": [x[4] for x in _sl]})
+
     _rb = g.rb_annotate(sorted({x[1] for x in _le}))
     write("q_robots",
           pa.schema([("url", pa.string()), ("host", pa.string()),

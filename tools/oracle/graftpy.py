@@ -2097,3 +2097,24 @@ def cls_train_rows(doc_items, langs):
         y = 1 if l == "en" else 0
         out.append((i, y, p, pred, pred == y))
     return out
+
+
+# ---- mixed-language detection (q_sent_langid composition mirror) ----
+
+def sent_langid_rows(doc_items):
+    """sentences x per-sentence lang_id -> per-doc plurality + purity."""
+    rows = []
+    for i, t in doc_items:
+        f = sent_fixture(i, t)
+        sents = sent_split(f) if f is not None else []
+        langs = [lang_id(x) for x in sents]
+        n = len(langs)
+        if n == 0:
+            rows.append((i, 0, "und", 0.0, 0))
+        else:
+            counts = {}
+            for l in langs:
+                counts[l] = counts.get(l, 0) + 1
+            main, c = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            rows.append((i, n, main, c / n, len(counts)))
+    return rows
