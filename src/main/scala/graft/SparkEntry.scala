@@ -43,7 +43,8 @@ object SparkEntry {
         val ascii = java.nio.charset.StandardCharsets.US_ASCII
         val pages = it.toArray.sortBy(_._1)
         val bos = new java.io.ByteArrayOutputStream()
-        pages.foreach { case (id, t, lang) =>
+        pages.foreach { case (id, t0, lang) =>
+          val t = if (t0 == null) "" else t0 // null-text rows archive empty
           val page = graft.pipeline.PageGen.pageFor(id, t, lang)
           val date = java.time.Instant
             .ofEpochMilli(1767225600000L + id * 1000L).toString
@@ -725,6 +726,7 @@ object SparkEntry {
     "q_sentences" -> ((s, dir) => {
       import s.implicits._
       val cased = docs(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id").isNotNull) // non-nullable tuple encoder
         .as[(Long, String)]
         .map { case (id, t) => (id, sentenceizeText(id, t)) }
         .toDF("doc_id", "text")

@@ -299,14 +299,27 @@ object LinkGraph {
     * structural signal, never a truncated-but-plausible string).
     */
   def anchorStats(edges: DataFrame, maxAnchors: Int = 10000): DataFrame = {
-    val agg = edges.filter(col("anchor") =!= "")
-      .groupBy(col("dst"))
+    // count-first, list-second: the cap must bound the AGGREGATION's
+    // memory, not just null the output — a collect_list in the same
+    // aggregate would still buffer a hot target's 10^8 anchors in one
+    // task before the when() hid them. Pass 1 counts (partial-aggregating,
+    // bounded); pass 2 collect_lists ONLY the under-cap targets (each
+    // list ≤ maxAnchors by construction, semi-join keeps hot targets out
+    // of the buffering aggregate entirely).
+    val anchored = edges.filter(col("anchor") =!= "")
+      .select(col("dst"), col("anchor"))
+    val counts = anchored.groupBy(col("dst"))
       .agg(count(lit(1)).as("n_links"),
-        countDistinct(col("anchor")).as("n_uniq_anchors"),
-        sort_array(collect_list(col("anchor"))).as("__as"))
-    agg.select(col("dst"), col("n_links"), col("n_uniq_anchors"),
-      when(col("n_links") <= maxAnchors, array_join(col("__as"), " | "))
-        .otherwise(lit(null)).as("anchors"))
+        countDistinct(col("anchor")).as("n_uniq_anchors"))
+    val under = counts.filter(col("n_links") <= maxAnchors).select(col("dst"))
+    val lists = anchored
+      .join(under, Seq("dst"), "left_semi")
+      .groupBy(col("dst"))
+      .agg(array_join(sort_array(collect_list(col("anchor"))), " | ")
+        .as("anchors"))
+    counts.join(lists, Seq("dst"), "left")
+      .select(col("dst"), col("n_links"), col("n_uniq_anchors"),
+        col("anchors"))
   }
 
   /** Host-level aggregated graph (Common Crawl publishes exactly this):
@@ -316,9 +329,15 @@ object LinkGraph {
     */
   def hostGraph(edges: DataFrame): DataFrame = {
     // codegen'd host projection (resolver output always carries a scheme):
-    // take everything after "://", then everything before the first '/'
+    // strip the LEADING scheme with an anchored regex, then take
+    // everything before the first '/'. NOT substring_index(c, "://", -1):
+    // that splits on the LAST "://", so a dst whose QUERY embeds a url
+    // ("/redirect?u=https://evil.com/p" — the resolver passes queries
+    // through untouched) would mis-attribute the edge to the embedded
+    // host, diverging from [[hostOf]] and the first-occurrence SQL oracle.
     def hostCol(c: org.apache.spark.sql.Column) =
-      substring_index(substring_index(c, "://", -1), "/", 1)
+      substring_index(
+        regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://", ""), "/", 1)
     edges.select(hostCol(col("src")).as("src_host"),
         hostCol(col("dst")).as("dst_host"), col("src"))
       .groupBy(col("src_host"), col("dst_host"))

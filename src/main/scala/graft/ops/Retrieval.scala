@@ -55,6 +55,8 @@ object Retrieval {
       k: Int = 10,
       maxQueryTerms: Long = 100000L): DataFrame = {
     require(k > 0)
+    require(maxQueryTerms > 0 && maxQueryTerms < Int.MaxValue,
+      s"maxQueryTerms must fit limit()'s Int bound: $maxQueryTerms")
     val spark = documents.sparkSession
     import spark.implicits._
 
@@ -62,16 +64,19 @@ object Retrieval {
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(col("doc_id"), col("text"))
 
-    // the broadcast contract, enforced cheaply: one count (fully
-    // parallel) + one collect bounded by it — an over-cap workload never
-    // materializes on the driver
-    val nQueryTerms = queries.count()
-    require(nQueryTerms <= maxQueryTerms,
-      s"query workload has $nQueryTerms terms > cap $maxQueryTerms — the " +
-        "query side is broadcast by contract; use invertedIndex candidates " +
-        "for corpus-scale query sets")
+    // the broadcast contract, enforced in ONE action: limit(cap+1) bounds
+    // the collect REGARDLESS of workload size (an over-cap set never
+    // materializes past cap+1 rows), and the length check replaces what a
+    // separate count() would learn — which would re-scan the whole query
+    // frame (for q_bm25 that frame is a flatMap over the full corpus, so
+    // count-then-collect doubled a corpus-sized scan)
     val qTerms = queries.select(col("query_id"), col("term"), col("term_pos"))
+      .limit((maxQueryTerms + 1).toInt)
       .as[(Long, String, Int)].collect()
+    require(qTerms.length <= maxQueryTerms,
+      s"query workload exceeds cap $maxQueryTerms terms — the query side " +
+        "is broadcast by contract; use invertedIndex candidates for " +
+        "corpus-scale query sets")
     val termSet = qTerms.iterator.map(_._2).toSet
     val bTermSet = spark.sparkContext.broadcast(termSet)
 

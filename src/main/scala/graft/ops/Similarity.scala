@@ -164,12 +164,20 @@ object Similarity {
   def reduceDims(
       embeddings: DataFrame,
       outDim: Int = 16,
-      inDim: Int = 64,
+      inDim: Int = 0, // 0 = derive from the data (lshTopK's discipline) —
+      // a hardcoded width would silently TRUNCATE wider embeddings: the
+      // jlProject dot runs over min(vec, plane) length, so planes built
+      // for 64 dims against 128-dim vectors would project only the first
+      // 64 components with no error anywhere
       seed: Long = 0x01dfacadeL): DataFrame = {
-    require(outDim > 0 && inDim > 0)
+    require(outDim > 0 && inDim >= 0)
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val planes = hyperplanes(outDim, inDim, seed)
+    val dim =
+      if (inDim > 0) inDim
+      else embeddings.filter(col("embedding").isNotNull)
+        .select(size(col("embedding"))).as[Int].head()
+    val planes = hyperplanes(outDim, dim, seed)
     val invSqrtM = 1.0 / math.sqrt(outDim.toDouble)
     embeddings.filter(col("vec_id").isNotNull && col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]

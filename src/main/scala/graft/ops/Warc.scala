@@ -89,10 +89,16 @@ object Warc {
                   case "warc-target-uri" => uri = value
                   case "warc-date"       => date = value
                   case "content-length" =>
+                    // digits-only; >18 digits cannot fit the remaining
+                    // archive anyway — saturate instead of letting toLong
+                    // throw (the never-throw valid-prefix contract; the
+                    // arbitrary-precision Python mirror reaches the same
+                    // drop-the-tail outcome through the length guard)
                     contentLength =
-                      if (value.nonEmpty && value.forall(c => c >= '0' && c <= '9'))
-                        value.toLong
-                      else -1L
+                      if (value.isEmpty || !value.forall(c => c >= '0' && c <= '9'))
+                        -1L
+                      else if (value.length > 18) Long.MaxValue
+                      else value.toLong
                   case _ => ()
                 }
               } // header lines without ':' are ignored (not fatal)
@@ -100,8 +106,10 @@ object Warc {
             }
           }
         }
+        // subtraction form: `p + contentLength + 4` would overflow Long
+        // for a saturated length and slip past the bound
         if (badHeader || contentLength < 0 ||
-            p + contentLength + 4 > data.length) { done = true }
+            contentLength > data.length.toLong - p - 4) { done = true }
         else {
           val payload = java.util.Arrays.copyOfRange(data, p, p + contentLength.toInt)
           val after = p + contentLength.toInt

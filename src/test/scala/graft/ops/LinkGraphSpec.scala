@@ -143,6 +143,20 @@ class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       a.map(r => (r.getString(0), r.getLong(1))).sorted)
   }
 
+  test("hostGraph: host split on the FIRST ://, not one embedded in a query") {
+    import spark.implicits._
+    // the resolver passes queries through untouched, so a dst can embed a
+    // full url after '?' — the edge must still attribute to the real host
+    val edges = Seq(
+      ("https://h.org/a.html",
+        "https://h.org/redirect?u=https://evil.com/p", "x", 0))
+      .toDF("src", "dst", "anchor", "pos")
+    val g = LinkGraph.hostGraph(edges).collect()
+    assert(g.length === 1)
+    assert(g.head.getString(0) === "h.org")
+    assert(g.head.getString(1) === "h.org") // NOT evil.com
+  }
+
   test("pagerank: mass conserved, dangling redistributed, order-independent") {
     val edges = LinkGraph.edges(tinyPages())
     val pr = LinkGraph.pagerank(edges, iters = 10).collect()

@@ -58,5 +58,14 @@ class WarcSpec extends AnyFunSuite {
     // garbage prefix yields nothing
     assert(Warc.parse("not a warc".getBytes(US_ASCII)) === IndexedSeq())
     assert(Warc.parse(null) === IndexedSeq())
+    // oversized Content-Length values: 20 digits (> Long range) and
+    // Long.MaxValue (would overflow `p + len + 4`) both drop the tail
+    // exactly like the arbitrary-precision Python mirror — never throw
+    val huge = ("WARC/1.0\r\nContent-Length: 18446744073709551616\r\n\r\nabc")
+      .getBytes(US_ASCII)
+    assert(Warc.parse(good ++ huge).map(_.uri) === Seq("https://a/1"))
+    val maxLong = ("WARC/1.0\r\nContent-Length: 9223372036854775807\r\n\r\nabc")
+      .getBytes(US_ASCII)
+    assert(Warc.parse(good ++ maxLong).map(_.uri) === Seq("https://a/1"))
   }
 }

@@ -307,6 +307,7 @@ def main():
         pages = []
         for i, t in sorted(_by_arc[aid]):
             _lang = None  # html depends only on (text, id, url)
+            t = t if t is not None else ""  # null-text rows archive empty
             html = g.wrap_html(g.noisy_render(t, i), g.url_for(i), i).encode("utf-8")
             pages.append((i, html, g.url_for(i)))
         blob = g.warc_archive(pages)
