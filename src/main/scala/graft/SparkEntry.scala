@@ -642,6 +642,22 @@ object SparkEntry {
         .orderBy(col("archive_id"), col("rec_offset"))
     }),
 
+    // ---- PDF text extraction (the north rule's "PDF/layout parse"
+    //      input next to HTML): literal/hex strings with full escape
+    //      handling, TJ kerning word-gaps, Td/TD/T* layout newlines,
+    //      FlateDecode streams via zlib — map-only, never throws,
+    //      mirrored clean-room over the PdfGen fixture ----
+    "q_pdf_text" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id").isNotNull)
+        .as[(Long, String)]
+        .map { case (id, t) =>
+          (id, graft.pipeline.PdfGen.pdfBytes(id, t))
+        }.toDF("doc_id", "pdf")
+      graft.ops.Pdf.pdfText(payloads).orderBy(col("doc_id"))
+    }),
+
     // ---- mixed-language detection: sentence segmentation × per-sentence
     //      language-ID → per-doc plurality language + purity fraction
     //      (the "drop mixed-language docs" cleaning gate). Pure kernel
@@ -1979,6 +1995,7 @@ object SparkEntry {
     "q_kn_perplexity" -> golden("q_kn_perplexity"),
     "q_classifier_train" -> golden("q_classifier_train"),
     "q_sent_langid" -> golden("q_sent_langid"),
+    "q_pdf_text" -> golden("q_pdf_text"),
     "q_fix_encoding" -> golden("q_fix_encoding"),
     // ---- link graph: edges + pagerank are clean-room Python goldens;
     //      the three aggregates run DuckDB SQL over the COMMITTED golden

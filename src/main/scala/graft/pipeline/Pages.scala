@@ -345,3 +345,77 @@ object CharsetGen {
     }
   }
 }
+
+/** Deterministic PDF payload synthesis for q_pdf_text: two content
+  * streams per document — a raw one exercising literal-string escapes
+  * (escaped parens, octal, backslash-newline continuation), TJ kerning
+  * arrays (every 3rd doc), hex strings and Td/T* line moves, and a second
+  * stream FlateDecode-compressed on odd ids (JDK Deflater(6) and CPython
+  * zlib both wrap zlib — and even if bytes differed, each engine inflates
+  * its OWN fixture, so /Length stays self-consistent). Word content is
+  * printable-ASCII-projected, PDF-escaped on the way in. Mirrored
+  * token-for-token in graftpy.py (pdf_bytes).
+  */
+object PdfGen {
+  private def fm(x: Long, m: Long): Long = java.lang.Math.floorMod(x, m)
+
+  private def asciiSlice(text: String, k: Int): String = {
+    val words: IndexedSeq[String] =
+      if (text == null) IndexedSeq.empty
+      else text.split(" ").iterator.filter(_.nonEmpty).toIndexedSeq
+    words.take(k).mkString(" ").filter(c => c >= ' ' && c <= '~')
+  }
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+  def content1(id: Long, text: String): String =
+    "BT\n/F1 12 Tf\n72 720 Td\n" +
+      "(" + esc(asciiSlice(text, 5)) + " \\(p\\) \\101 ok) Tj\n" +
+      "0 -14 Td\n" +
+      (if (fm(id, 3) == 0) "[(ker) -200 (ned) 10 (!)] TJ\n"
+       else "(plain line) Tj\n") +
+      "T*\n" +
+      "<48656C6C 6F21> Tj\n" +
+      "(con\\\ntinued) Tj\n" +
+      "ET\n"
+
+  def content2(id: Long, text: String): String =
+    "BT 1 0 0 1 72 700 Tm (second " + esc(asciiSlice(text, 3)) +
+      ") Tj 0 -14 TD (tail) ' ET\n"
+
+  private def deflate(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(b)
+      d.finish()
+      val bos = new java.io.ByteArrayOutputStream(b.length)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) {
+        val k = d.deflate(buf)
+        bos.write(buf, 0, k)
+      }
+      bos.toByteArray
+    } finally d.end()
+  }
+
+  def pdfBytes(id: Long, text: String): Array[Byte] = {
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    val bos = new java.io.ByteArrayOutputStream(2048)
+    def w(s: String): Unit = bos.write(s.getBytes(latin1))
+    val c1 = content1(id, text).getBytes(latin1)
+    val c2raw = content2(id, text).getBytes(latin1)
+    val flate = fm(id, 2) == 1
+    val c2 = if (flate) deflate(c2raw) else c2raw
+    w("%PDF-1.4\n")
+    w("1 0 obj\n<< /Length " + c1.length + " >>\nstream\n")
+    bos.write(c1)
+    w("\nendstream\nendobj\n")
+    w("2 0 obj\n<< /Length " + c2.length +
+      (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+    bos.write(c2)
+    w("\nendstream\nendobj\n")
+    w("trailer\n<< /Root 3 0 R >>\n%%EOF\n")
+    bos.toByteArray
+  }
+}

@@ -261,6 +261,16 @@ def main():
            "main_lang": [x[2] for x in _sl], "main_frac": [x[3] for x in _sl],
            "n_langs": [x[4] for x in _sl]})
 
+    # ---- q_pdf_text (PDF/layout parse over the PdfGen fixture: literal/
+    #      hex strings, escapes, TJ kerning, Td/T* layout, FlateDecode;
+    #      parser + fixture mirrored clean-room) ----
+    _pdf = g.pdf_rows(doc_items)
+    write("q_pdf_text",
+          pa.schema([("doc_id", pa.int64()), ("n_streams", pa.int32()),
+                     ("n_chars", pa.int32()), ("text", pa.string())]),
+          {"doc_id": [x[0] for x in _pdf], "n_streams": [x[1] for x in _pdf],
+           "n_chars": [x[2] for x in _pdf], "text": [x[3] for x in _pdf]})
+
     _rb = g.rb_annotate(sorted({x[1] for x in _le}))
     write("q_robots",
           pa.schema([("url", pa.string()), ("host", pa.string()),

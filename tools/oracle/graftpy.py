@@ -2118,3 +2118,301 @@ def sent_langid_rows(doc_items):
             main, c = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
             rows.append((i, n, main, c / n, len(counts)))
     return rows
+
+
+# ---- PDF text extraction (mirrors graft.ops.Pdf + pipeline.PdfGen) ----
+
+import zlib
+
+
+def _pdf_is_ws(c):
+    return c in " \t\n\r\f\x00"
+
+
+def pdf_literal_string(s, start):
+    """Decode a (...) literal starting AT '('; -> (decoded, index after)."""
+    out = []
+    depth = 1
+    i = start + 1
+    n = len(s)
+    while i < n and depth > 0:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            e = s[i + 1]
+            if e == "n":
+                out.append("\n"); i += 2
+            elif e == "r":
+                out.append("\r"); i += 2
+            elif e == "t":
+                out.append("\t"); i += 2
+            elif e == "b":
+                out.append("\b"); i += 2
+            elif e == "f":
+                out.append("\f"); i += 2
+            elif e in "()\\":
+                out.append(e); i += 2
+            elif e == "\n":
+                i += 2
+            elif e == "\r":
+                i += 2
+                if i < n and s[i] == "\n":
+                    i += 1
+            elif "0" <= e <= "7":
+                v = 0
+                k = 0
+                i += 1
+                while k < 3 and i < n and "0" <= s[i] <= "7":
+                    v = v * 8 + (ord(s[i]) - 48)
+                    i += 1
+                    k += 1
+                out.append(chr(v & 0xFF))
+            else:
+                out.append(e); i += 2
+        elif c == "(":
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == ")":
+            depth -= 1
+            if depth > 0:
+                out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return ("".join(out), i)
+
+
+def pdf_hex_string(s, start):
+    out = []
+    i = start + 1
+    hi = -1
+    n = len(s)
+    while i < n and s[i] != ">":
+        c = s[i]
+        v = -1
+        if "0" <= c <= "9":
+            v = ord(c) - 48
+        elif "a" <= c <= "f":
+            v = ord(c) - 87
+        elif "A" <= c <= "F":
+            v = ord(c) - 55
+        if v >= 0:
+            if hi < 0:
+                hi = v
+            else:
+                out.append(chr((hi << 4) | v))
+                hi = -1
+        i += 1
+    if hi >= 0:
+        out.append(chr(hi << 4))
+    return ("".join(out), i + 1 if i < n else i)
+
+
+_PDF_DELIM = "()<>[]{}/%"
+
+
+def pdf_parse_content(s):
+    """Mirror of Pdf.parseContent (operand-stack scan)."""
+    out = []
+
+    def newline():
+        j = "".join(out)
+        if j and not j.endswith("\n"):
+            out.append("\n")
+
+    stack = []
+    arr = None  # open array or None
+
+    def push(t):
+        nonlocal arr
+        if arr is not None:
+            arr.append(t)
+        else:
+            stack.append(t)
+
+    i = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if _pdf_is_ws(c):
+            i += 1
+        elif c == "(":
+            v, i = pdf_literal_string(s, i)
+            push(("s", v))
+        elif c == "<" and i + 1 < n and s[i + 1] == "<":
+            end = s.find(">>", i + 2)
+            i = n if end < 0 else end + 2
+        elif c == "<":
+            v, i = pdf_hex_string(s, i)
+            push(("s", v))
+        elif c == "[":
+            arr = []
+            i += 1
+        elif c == "]":
+            a = arr if arr is not None else []
+            arr = None
+            stack.append(("a", a))
+            i += 1
+        elif c == "/":
+            i += 1
+            while i < n and not _pdf_is_ws(s[i]) and s[i] not in _PDF_DELIM:
+                i += 1
+        elif c == "%":
+            while i < n and s[i] != "\n":
+                i += 1
+        elif c.isdigit() or c in "+-.":
+            b = i
+            i += 1
+            while i < n and (s[i].isdigit() or s[i] == "."):
+                i += 1
+            try:
+                push(("n", float(s[b:i])))
+            except ValueError:
+                pass
+        else:
+            b = i
+            while (i < n and not _pdf_is_ws(s[i]) and s[i] not in _PDF_DELIM
+                   and not s[i].isdigit() and s[i] not in "+-."):
+                i += 1
+            op = s[b:max(i, b + 1)]
+            if i == b:
+                i += 1
+            if op == "Tj":
+                if stack and stack[-1][0] == "s":
+                    out.append(stack[-1][1])
+            elif op in ("'", '"'):
+                newline()
+                if stack and stack[-1][0] == "s":
+                    out.append(stack[-1][1])
+            elif op == "TJ":
+                if stack and stack[-1][0] == "a":
+                    for kind, v in stack[-1][1]:
+                        if kind == "s":
+                            out.append(v)
+                        elif kind == "n" and v < -150.0:
+                            out.append(" ")
+            elif op in ("Td", "TD"):
+                if len(stack) >= 2 and stack[-1][0] == "n" and \
+                        stack[-1][1] != 0.0:
+                    newline()
+            elif op == "T*":
+                newline()
+            stack = []
+    return "".join(out)
+
+
+def pdf_length_of(dict_s):
+    at = dict_s.find("/Length")
+    if at < 0:
+        return -1
+    i = at + 7
+    n = len(dict_s)
+    while i < n and _pdf_is_ws(dict_s[i]):
+        i += 1
+    b = i
+    while i < n and dict_s[i].isdigit():
+        i += 1
+    if i == b or i - b > 18:
+        return -1
+    return int(dict_s[b:i])
+
+
+def pdf_extract_text(pdf_bytes_):
+    """Mirror of Pdf.extractText -> (n_streams, text)."""
+    if pdf_bytes_ is None:
+        return (0, "")
+    doc = pdf_bytes_.decode("iso-8859-1")
+    parts = []
+    i = 0
+    n = len(doc)
+    while True:
+        at = doc.find("stream", i)
+        if at < 0:
+            break
+        if at >= 3 and doc[at - 3:at] == "end":
+            i = at + 6
+            continue
+        if doc.startswith("stream\r\n", at):
+            data_start = at + 8
+        elif doc.startswith("stream\n", at):
+            data_start = at + 7
+        else:
+            i = at + 6
+            continue
+        dict_start = doc.rfind("<<", 0, at)
+        dict_s = "" if dict_start < 0 else doc[dict_start:at]
+        ln = pdf_length_of(dict_s)
+        if ln < 0 or data_start + ln > n:
+            i = at + 6
+            continue
+        raw = pdf_bytes_[data_start:data_start + ln]
+        if "/FlateDecode" in dict_s:
+            try:
+                content = zlib.decompress(raw).decode("iso-8859-1")
+            except Exception:
+                content = None
+        else:
+            content = raw.decode("iso-8859-1")
+        if content is not None:
+            parsed = pdf_parse_content(content)
+            if parsed:
+                parts.append(parsed)
+        i = data_start + ln
+    return (len(parts), "\n".join(parts))
+
+
+def _pdf_ascii_slice(text, k):
+    words = [w for w in (text or "").split(" ") if w][:k]
+    return "".join(c for c in " ".join(words) if " " <= c <= "~")
+
+
+def _pdf_esc(s):
+    return s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+
+def pdf_content1(doc_id, text):
+    return ("BT\n/F1 12 Tf\n72 720 Td\n" +
+            "(" + _pdf_esc(_pdf_ascii_slice(text, 5)) +
+            " \\(p\\) \\101 ok) Tj\n" +
+            "0 -14 Td\n" +
+            ("[(ker) -200 (ned) 10 (!)] TJ\n" if doc_id % 3 == 0
+             else "(plain line) Tj\n") +
+            "T*\n" +
+            "<48656C6C 6F21> Tj\n" +
+            "(con\\\ntinued) Tj\n" +
+            "ET\n")
+
+
+def pdf_content2(doc_id, text):
+    return ("BT 1 0 0 1 72 700 Tm (second " +
+            _pdf_esc(_pdf_ascii_slice(text, 3)) +
+            ") Tj 0 -14 TD (tail) ' ET\n")
+
+
+def pdf_bytes(doc_id, text):
+    """Token-for-token mirror of PdfGen.pdfBytes."""
+    c1 = pdf_content1(doc_id, text).encode("iso-8859-1")
+    c2raw = pdf_content2(doc_id, text).encode("iso-8859-1")
+    flate = doc_id % 2 == 1
+    c2 = zlib.compress(c2raw, 6) if flate else c2raw
+    parts = [b"%PDF-1.4\n"]
+    parts.append(("1 0 obj\n<< /Length %d >>\nstream\n" % len(c1))
+                 .encode("ascii"))
+    parts.append(c1)
+    parts.append(b"\nendstream\nendobj\n")
+    parts.append(("2 0 obj\n<< /Length %d%s >>\nstream\n" %
+                  (len(c2), " /Filter /FlateDecode" if flate else ""))
+                 .encode("ascii"))
+    parts.append(c2)
+    parts.append(b"\nendstream\nendobj\n")
+    parts.append(b"trailer\n<< /Root 3 0 R >>\n%%EOF\n")
+    return b"".join(parts)
+
+
+def pdf_rows(doc_items):
+    rows = []
+    for i, t in doc_items:
+        k, text = pdf_extract_text(pdf_bytes(i, t))
+        rows.append((i, k, len(text), text))
+    return rows
