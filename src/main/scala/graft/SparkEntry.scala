@@ -658,6 +658,25 @@ object SparkEntry {
       graft.ops.Pdf.pdfText(payloads).orderBy(col("doc_id"))
     }),
 
+    // ---- format-dispatch extraction: magic-byte routing between the
+    //      PDF extractor and charset-sniff→HTML extraction in ONE map
+    //      pass — the ingest dispatch a mixed crawl runs (odd ids carry
+    //      PDF payloads, even ids mixed-encoding HTML) ----
+    "q_extract_route" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id").isNotNull)
+        .as[(Long, String)]
+        .map { case (id, t) =>
+          val b =
+            if (java.lang.Math.floorMod(id, 2L) == 1L)
+              graft.pipeline.PdfGen.pdfBytes(id, t)
+            else graft.pipeline.CharsetGen.payload(id, t)
+          (id, b)
+        }.toDF("doc_id", "payload")
+      graft.ops.Pdf.extractAny(payloads).orderBy(col("doc_id"))
+    }),
+
     // ---- mixed-language detection: sentence segmentation × per-sentence
     //      language-ID → per-doc plurality language + purity fraction
     //      (the "drop mixed-language docs" cleaning gate). Pure kernel
@@ -1996,6 +2015,7 @@ object SparkEntry {
     "q_classifier_train" -> golden("q_classifier_train"),
     "q_sent_langid" -> golden("q_sent_langid"),
     "q_pdf_text" -> golden("q_pdf_text"),
+    "q_extract_route" -> golden("q_extract_route"),
     "q_fix_encoding" -> golden("q_fix_encoding"),
     // ---- link graph: edges + pagerank are clean-room Python goldens;
     //      the three aggregates run DuckDB SQL over the COMMITTED golden

@@ -270,6 +270,33 @@ object Pdf {
     (count, parts.result().mkString("\n"))
   }
 
+  /** Format-dispatch extraction — the ingest stage a mixed crawl actually
+    * runs: sniff the payload's magic bytes and route to the matching
+    * extractor in ONE map pass. `%PDF-` → [[extractText]]; anything else
+    * decodes through [[CharsetSniff]] and extracts as HTML
+    * ([[graft.align.ExtractHtml]]). Output kind ∈ {pdf, html}.
+    */
+  def extractAny(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    val magic = "%PDF-".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    payloads.select(col("doc_id"), col("payload"))
+      .filter(col("doc_id").isNotNull && col("payload").isNotNull)
+      .as[(Long, Array[Byte])]
+      .map { case (id, b) =>
+        val isPdf = b.length >= magic.length &&
+          magic.indices.forall(j => b(j) == magic(j))
+        if (isPdf) {
+          val (_, text) = extractText(b)
+          (id, "pdf", text.length, text)
+        } else {
+          val (_, _, decoded) = CharsetSniff.decode(b)
+          val text = graft.align.ExtractHtml.extractText(decoded)
+          (id, "html", text.length, text)
+        }
+      }.toDF("doc_id", "kind", "n_chars", "text")
+  }
+
   /** Corpus form over (doc_id, pdf: binary):
     * (doc_id, n_streams, n_chars, text) — one map pass, null rows dropped.
     */

@@ -271,6 +271,14 @@ def main():
           {"doc_id": [x[0] for x in _pdf], "n_streams": [x[1] for x in _pdf],
            "n_chars": [x[2] for x in _pdf], "text": [x[3] for x in _pdf]})
 
+    # ---- q_extract_route (magic-byte dispatch: pdf vs charset->html) ----
+    _rt = g.route_rows(doc_items)
+    write("q_extract_route",
+          pa.schema([("doc_id", pa.int64()), ("kind", pa.string()),
+                     ("n_chars", pa.int32()), ("text", pa.string())]),
+          {"doc_id": [x[0] for x in _rt], "kind": [x[1] for x in _rt],
+           "n_chars": [x[2] for x in _rt], "text": [x[3] for x in _rt]})
+
     _rb = g.rb_annotate(sorted({x[1] for x in _le}))
     write("q_robots",
           pa.schema([("url", pa.string()), ("host", pa.string()),

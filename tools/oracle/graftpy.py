@@ -2416,3 +2416,21 @@ def pdf_rows(doc_items):
         k, text = pdf_extract_text(pdf_bytes(i, t))
         rows.append((i, k, len(text), text))
     return rows
+
+
+# ---- format-dispatch extraction (q_extract_route mirror) ----
+
+def route_rows(doc_items):
+    """Magic-byte dispatch: %PDF- -> pdf extractor, else charset-sniff ->
+    HTML extraction — mirror of Pdf.extractAny over the mixed fixture."""
+    rows = []
+    for i, t in doc_items:
+        b = pdf_bytes(i, t) if i % 2 == 1 else cs_payload(i, t)
+        if b[:5] == b"%PDF-":
+            _k, text = pdf_extract_text(b)
+            rows.append((i, "pdf", len(text), text))
+        else:
+            _cs, _bom, decoded = cs_decode(b)
+            text = extract_text(decoded)
+            rows.append((i, "html", len(text), text))
+    return rows
