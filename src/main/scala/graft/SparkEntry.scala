@@ -547,8 +547,10 @@ object SparkEntry {
     //      portable exp; golden retrains independently and compares
     //      per-doc probabilities bit-exactly ----
     "q_classifier_train" -> ((s, dir) => {
-      val labeled = docs(s, dir).select(col("doc_id"), col("text"),
-        when(col("lang") === "en", 1).otherwise(0).as("y"))
+      val labeled = docs(s, dir)
+        .filter(col("doc_id").isNotNull) // non-nullable tuple encoder
+        .select(col("doc_id"), col("text"),
+          when(col("lang") === "en", 1).otherwise(0).as("y"))
       val m = graft.ops.Classifier.trainLogistic(labeled)
       graft.ops.Classifier.predict(labeled, m).orderBy(col("doc_id"))
     }),

@@ -50,22 +50,19 @@ object Classifier {
     * (post-hashing support — collisions collapse, as in the real model).
     */
   def scoreText(docId: Long, text: String, salt: Long = WeightSalt): Score = {
-    val toks = Option(text).getOrElse("").split(" ").filter(_.nonEmpty)
-    val counts = new java.util.HashMap[Int, Int]()
+    // ONE featurization shared with training/predict (featuresOf) — the
+    // "same hashed tf buckets" claim is enforced by shared code, not by
+    // parallel copies of the loop. The fold order changed from hash-map
+    // iteration to sorted buckets; the stand-in weights are DYADIC, so
+    // every partial sum is exact and the logit is identical in any order.
+    val feats = featuresOf(text)
+    var logit = Bias
     var i = 0
-    while (i < toks.length) {
-      counts.merge(bucketOf(toks(i)), 1, Integer.sum _)
-      if (i + 1 < toks.length)
-        counts.merge(bucketOf(toks(i) + " " + toks(i + 1)), 1, Integer.sum _)
+    while (i < feats.length) {
+      logit += feats(i)._2 * weight(feats(i)._1, salt)
       i += 1
     }
-    var logit = Bias
-    val it = counts.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      logit += e.getValue * weight(e.getKey, salt)
-    }
-    Score(docId, logit, counts.size(), if (logit >= 0.0) "keep" else "drop")
+    Score(docId, logit, feats.length, if (logit >= 0.0) "keep" else "drop")
   }
 
   /** DataFrame form over (doc_id, text). */
@@ -156,7 +153,7 @@ object Classifier {
 
   final case class LogisticModel(weights: Map[Int, Double], bias: Double)
 
-  private def dot(m: scala.collection.mutable.HashMap[Int, Double],
+  private def dot(m: scala.collection.Map[Int, Double],
       bias: Double, feats: Array[(Int, Int)]): Double = {
     var z = bias
     var i = 0
@@ -183,12 +180,18 @@ object Classifier {
       maxDocs: Long = 1000000L): LogisticModel = {
     val spark = labeled.sparkSession
     import spark.implicits._
-    val n = labeled.count()
-    require(n > 0 && n <= maxDocs,
-      s"trainLogistic exact path: $n docs outside (0, $maxDocs] — the " +
-        "oracle path collects the labeled corpus (broadcast-model contract)")
+    require(maxDocs > 0 && maxDocs < Int.MaxValue,
+      s"maxDocs must fit limit()'s Int bound: $maxDocs")
+    // cap enforced in ONE action: limit(cap+1) bounds the collect
+    // regardless of corpus size and the length check replaces a separate
+    // count() — which would scan the labeled frame a second time (the
+    // same fix as Retrieval.bm25TopK's broadcast-cap check)
     val rows = labeled.select(col("doc_id"), col("text"), col("y"))
+      .limit((maxDocs + 1).toInt)
       .as[(Long, String, Int)].collect().sortBy(_._1)
+    require(rows.nonEmpty && rows.length <= maxDocs,
+      s"trainLogistic exact path: corpus outside (0, $maxDocs] docs — the " +
+        "oracle path collects the labeled corpus (broadcast-model contract)")
     val feats = rows.map(r => featuresOf(r._2))
     val ys = rows.map(_._3.toDouble)
     trainLocal(feats, ys, epochs, lr)
@@ -238,15 +241,7 @@ object Classifier {
       .as[(Long, String, Int)]
       .map { case (id, t, y) =>
         val m = mB.value
-        val feats = featuresOf(t)
-        var z = m.bias
-        var i = 0
-        while (i < feats.length) {
-          val w = m.weights.getOrElse(feats(i)._1, 0.0)
-          if (w != 0.0) z += w * feats(i)._2
-          i += 1
-        }
-        val p = sigmoidPortable(z)
+        val p = sigmoidPortable(dot(m.weights, m.bias, featuresOf(t)))
         val pred = if (p >= 0.5) 1 else 0
         (id, y, p, pred, pred == y)
       }.toDF("doc_id", "y", "p", "pred", "correct")

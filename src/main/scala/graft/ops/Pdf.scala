@@ -288,11 +288,12 @@ object Pdf {
           magic.indices.forall(j => b(j) == magic(j))
         if (isPdf) {
           val (_, text) = extractText(b)
-          (id, "pdf", text.length, text)
+          // code points, not UTF-16 units — mirror-parity for astral chars
+          (id, "pdf", text.codePointCount(0, text.length), text)
         } else {
           val (_, _, decoded) = CharsetSniff.decode(b)
           val text = graft.align.ExtractHtml.extractText(decoded)
-          (id, "html", text.length, text)
+          (id, "html", text.codePointCount(0, text.length), text)
         }
       }.toDF("doc_id", "kind", "n_chars", "text")
   }
@@ -308,7 +309,7 @@ object Pdf {
       .as[(Long, Array[Byte])]
       .map { case (id, b) =>
         val (k, text) = extractText(b)
-        (id, k, text.length, text)
+        (id, k, text.codePointCount(0, text.length), text)
       }
       .toDF("doc_id", "n_streams", "n_chars", "text")
   }

@@ -175,8 +175,17 @@ object Similarity {
     import spark.implicits._
     val dim =
       if (inDim > 0) inDim
-      else embeddings.filter(col("embedding").isNotNull)
-        .select(size(col("embedding"))).as[Int].head()
+      else {
+        // max over the frame, not one arbitrary row — deterministic, and
+        // an empty/all-null frame yields an empty RESULT instead of the
+        // head() NoSuchElementException the first derivation had
+        val m = embeddings.filter(col("embedding").isNotNull)
+          .agg(max(size(col("embedding")))).collect()(0)
+        if (m.isNullAt(0)) 0 else m.getInt(0)
+      }
+    if (dim <= 0)
+      return spark.emptyDataset[(Long, Int, Double)]
+        .toDF("vec_id", "dim", "value")
     val planes = hyperplanes(outDim, dim, seed)
     val invSqrtM = 1.0 / math.sqrt(outDim.toDouble)
     embeddings.filter(col("vec_id").isNotNull && col("embedding").isNotNull)

@@ -2261,10 +2261,10 @@ def pdf_parse_content(s):
         elif c == "%":
             while i < n and s[i] != "\n":
                 i += 1
-        elif c.isdigit() or c in "+-.":
+        elif "0" <= c <= "9" or c in "+-.":
             b = i
             i += 1
-            while i < n and (s[i].isdigit() or s[i] == "."):
+            while i < n and ("0" <= s[i] <= "9" or s[i] == "."):
                 i += 1
             try:
                 push(("n", float(s[b:i])))
@@ -2273,7 +2273,7 @@ def pdf_parse_content(s):
         else:
             b = i
             while (i < n and not _pdf_is_ws(s[i]) and s[i] not in _PDF_DELIM
-                   and not s[i].isdigit() and s[i] not in "+-."):
+                   and not ("0" <= s[i] <= "9") and s[i] not in "+-."):
                 i += 1
             op = s[b:max(i, b + 1)]
             if i == b:
@@ -2311,7 +2311,7 @@ def pdf_length_of(dict_s):
     while i < n and _pdf_is_ws(dict_s[i]):
         i += 1
     b = i
-    while i < n and dict_s[i].isdigit():
+    while i < n and "0" <= dict_s[i] <= "9":
         i += 1
     if i == b or i - b > 18:
         return -1
