@@ -711,11 +711,23 @@ object SparkEntry {
     //      fixture (13 hosts, every parser/matcher path bound); parser +
     //      glob matcher mirrored clean-room in graftpy.py; salt FORCED to
     //      4 so the replicated-build-side join path genuinely binds ----
-    "q_robots" -> ((s, dir) =>
+    "q_robots" -> ((s, dir) => {
+      import s.implicits._
+      // distinct link targets PLUS the host-extraction pinning urls
+      // (query-embedded absolute url → OUTER host; scheme-less url →
+      // host '' — ADVICE r5)
+      val urls = linkEdgesFor(s, dir).select(col("dst").as("url")).distinct()
+        .union(graft.pipeline.RobotsGen.ExtraUrls.toDF("url"))
       graft.ops.Robots.annotate(
-        linkEdgesFor(s, dir).select(col("dst").as("url")).distinct(),
-        robotsTable(s), graft.pipeline.RobotsGen.Agent, saltBuckets = 4)
-        .orderBy(col("url"))),
+        urls, robotsTable(s), graft.pipeline.RobotsGen.Agent, saltBuckets = 4)
+        .orderBy(col("url"))
+    }),
+
+    // ---- per-host robots metadata: the selected crawl-delay (group-
+    //      scoped, first-wins) and the document-global sitemap list ----
+    "q_robots_meta" -> ((s, dir) =>
+      graft.ops.Robots.hostMeta(robotsTable(s), graft.pipeline.RobotsGen.Agent)
+        .orderBy(col("host"))),
 
     // ---- crawl-frontier composition: edges of the even-doc_id crawl
     //      wave → uncrawled, robots-allowed targets, top-5 per host by
@@ -731,7 +743,7 @@ object SparkEntry {
         .map(graft.pipeline.LinkGen.linkUrlFor).toDF("url")
       graft.ops.Frontier.nextWave(linkEdgesFor(s, dir), crawled,
         robotsTable(s), graft.pipeline.RobotsGen.Agent, k = 5,
-        saltBuckets = 4)
+        saltBuckets = 4, crawlWindowSec = 7.0)
         .orderBy(col("host"), col("rnk"))
     }),
 
@@ -2026,6 +2038,7 @@ object SparkEntry {
     "q_link_edges" -> golden("q_link_edges"),
     "q_pagerank" -> golden("q_pagerank"),
     "q_robots" -> golden("q_robots"),
+    "q_robots_meta" -> golden("q_robots_meta"),
     "q_html_meta" -> golden("q_html_meta"),
     "q_charset" -> golden("q_charset"),
     "q_frontier" ->
@@ -2038,11 +2051,15 @@ object SparkEntry {
          |cand AS (SELECT e.dst AS url, count(DISTINCT e.src) AS refs
          |  FROM e WHERE e.src IN (SELECT url FROM c)
          |    AND e.dst NOT IN (SELECT url FROM c) GROUP BY e.dst),
-         |al AS (SELECT cand.url, r.host, cand.refs FROM cand
+         |al AS (SELECT cand.url, r.host, cand.refs, r.crawl_delay FROM cand
          |  JOIN r ON cand.url = r.url WHERE r.allowed),
          |rk AS (SELECT url, host, refs, row_number() OVER
-         |  (PARTITION BY host ORDER BY refs DESC, url) AS rnk FROM al)
-         |SELECT url, host, refs, rnk FROM rk WHERE rnk <= 5"""
+         |  (PARTITION BY host ORDER BY refs DESC, url) AS rnk,
+         |  CASE WHEN crawl_delay IS NULL OR crawl_delay <= 0 THEN 5
+         |       ELSE least(5, greatest(1,
+         |         CAST(floor(7.0 / crawl_delay) AS BIGINT))) END AS bud
+         |  FROM al)
+         |SELECT url, host, refs, rnk FROM rk WHERE rnk <= bud"""
         .stripMargin.replace("\n", " ")),
     "q_bm25" -> golden("q_bm25"),
     "q_sentences" -> golden("q_sentences"),

@@ -23,15 +23,23 @@ object Frontier {
     *     partial-aggregating shuffle on dst);
     *   - gate = robots decision for `agent` (missing robots row → allowed,
     *     the RFC default);
-    *   - budget = top-`k` per host by (refs DESC, url ASC) — a pinned
-    *     total order — via the two-phase salted top-k: rank within
+    *   - budget = top-`b(host)` per host by (refs DESC, url ASC) — a
+    *     pinned total order — via the two-phase salted top-k: rank within
     *     (host, salt) first, then rank the ≤ k·saltBuckets survivors
     *     within host, so a hot host (half the frontier on one CDN) never
     *     sorts in a single task. Result equals the single-window form
     *     exactly (top-k of a union of per-salt top-k IS the global top-k
-    *     under one total order).
+    *     under one total order);
+    *   - when `crawlWindowSec > 0`, a host that published a crawl-delay
+    *     shrinks its budget to the fetches that fit the window:
+    *     `b = min(k, max(1, floor(crawlWindowSec / crawl_delay)))` —
+    *     ignoring crawl-delay in the frontier would be impolite at fetch
+    *     time. Null or non-positive delay (none published, unparseable, or
+    *     `0`) keeps `b = k`. Default `crawlWindowSec = 0` disables the
+    *     modifier. `b ≤ k` always, so the phase-1 per-salt `k` cap stays
+    *     exact.
     *
-    * Output: (url, host, refs, rnk), rnk in 1..k per host.
+    * Output: (url, host, refs, rnk), rnk in 1..b(host) per host.
     */
   def nextWave(
       edges: DataFrame,
@@ -39,7 +47,8 @@ object Frontier {
       robots: DataFrame,
       agent: String,
       k: Int,
-      saltBuckets: Int = 16): DataFrame = {
+      saltBuckets: Int = 16,
+      crawlWindowSec: Double = 0.0): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(saltBuckets > 0, s"saltBuckets must be positive: $saltBuckets")
     val crawledUrls = crawled.select(col("url")).filter(col("url").isNotNull)
@@ -53,7 +62,16 @@ object Frontier {
 
     val allowed = Robots.annotate(cand, robots, agent)
       .filter(col("allowed"))
-      .select(col("url"), col("host"), col("refs"))
+      .select(col("url"), col("host"), col("refs"), col("crawl_delay"))
+
+    // per-host budget (a column, not a collect — hosts never hit the
+    // driver); floor() of an IEEE division, pinned in the DuckDB oracle
+    // as the same literal expression
+    val budget =
+      if (crawlWindowSec <= 0.0) lit(k)
+      else when(col("crawl_delay").isNull || col("crawl_delay") <= 0.0, lit(k))
+        .otherwise(least(lit(k.toLong),
+          greatest(lit(1L), floor(lit(crawlWindowSec) / col("crawl_delay")))))
 
     val w = Window
     val local = allowed
@@ -65,7 +83,7 @@ object Frontier {
     local
       .withColumn("rnk", row_number().over(
         w.partitionBy(col("host")).orderBy(col("refs").desc, col("url"))))
-      .filter(col("rnk") <= k)
+      .filter(col("rnk") <= budget)
       .select(col("url"), col("host"), col("refs"), col("rnk"))
   }
 }

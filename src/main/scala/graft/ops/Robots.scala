@@ -18,9 +18,19 @@ import org.apache.spark.sql.functions._
   *   - consecutive `user-agent` lines open ONE group (RFC 9309 §2.1);
   *     the first `allow`/`disallow` line closes the agent run and rules
   *     append to that group; rules before any group are ignored; unknown
-  *     directives (crawl-delay, sitemap, host…) are ignored and do NOT
-  *     close an agent run; empty-value allow/disallow rules are dropped
-  *     (an empty Disallow means "allow all" — it matches nothing);
+  *     directives (host…) are ignored and do NOT close an agent run;
+  *     empty-value allow/disallow rules are dropped (an empty Disallow
+  *     means "allow all" — it matches nothing);
+  *   - `crawl-delay` (the Bing/Yandex politeness extension) attaches to
+  *     the CURRENT group like a rule but — matching its previous
+  *     ignored-directive treatment — neither opens nor closes an agent
+  *     run; the value must be a plain non-negative decimal
+  *     (`[0-9]+(\.[0-9]+)?` after trim) or the line is ignored. The
+  *     selected delay is the FIRST delay in the selected groups'
+  *     concatenation order (same merge as rules); none → absent;
+  *   - `sitemap` is document-global (RFC 9309 §2.3 "other records"):
+  *     non-empty values collect in document order, first-occurrence
+  *     deduplicated, independent of any group;
   *   - group selection for product token `agent`: a group token `t`
   *     matches with specificity `t.length` when lowercase(agent) starts
   *     with lowercase(t); `*` matches with specificity 0. The rules of
@@ -73,14 +83,22 @@ object Robots {
     else globMatch(pattern + "*", path)
   }
 
-  /** Parse one robots.txt body and select the rule list for `agent`. */
-  def parseRules(body: String, agent: String): IndexedSeq[Rule] = {
-    if (body == null) return IndexedSeq.empty
-    val agentLc = LinkGraph.asciiLower(agent)
-    // groups: (agent tokens, rules)
-    val groups = scala.collection.mutable.ArrayBuffer
-      .empty[(scala.collection.mutable.ArrayBuffer[String],
-              scala.collection.mutable.ArrayBuffer[Rule])]
+  private final class Group {
+    val tokens = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Double]
+  }
+
+  private val DelayValue = "[0-9]+(\\.[0-9]+)?".r
+
+  /** Parse one body into its groups plus the document-global sitemap list
+    * (first-occurrence deduplicated, document order).
+    */
+  private def parseBody(body: String)
+      : (IndexedSeq[Group], IndexedSeq[String]) = {
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+    val sitemaps = scala.collection.mutable.LinkedHashSet.empty[String]
+    if (body == null) return (IndexedSeq.empty, IndexedSeq.empty)
     var inUaRun = false
     body.split("\n", -1).foreach { raw0 =>
       val noCr =
@@ -95,22 +113,33 @@ object Robots {
         val value = line.substring(colon + 1).trim
         name match {
           case "user-agent" =>
-            if (!inUaRun) {
-              groups += ((scala.collection.mutable.ArrayBuffer.empty[String],
-                scala.collection.mutable.ArrayBuffer.empty[Rule]))
-              inUaRun = true
-            }
+            if (!inUaRun) { groups += new Group; inUaRun = true }
             if (value.nonEmpty)
-              groups.last._1 += LinkGraph.asciiLower(value)
+              groups.last.tokens += LinkGraph.asciiLower(value)
           case "allow" | "disallow" =>
             inUaRun = false
             if (value.nonEmpty && groups.nonEmpty)
-              groups.last._2 += Rule(name == "allow", value)
+              groups.last.rules += Rule(name == "allow", value)
+          case "crawl-delay" =>
+            // attaches to the current group; like its previous unknown-
+            // directive treatment it does NOT close the agent run
+            if (groups.nonEmpty && DelayValue.pattern.matcher(value).matches())
+              groups.last.delays += value.toDouble
+          case "sitemap" =>
+            if (value.nonEmpty) sitemaps += value
           case _ => () // unknown directive: ignored, does not close the run
         }
       }
       // non-directive lines (blank, comment-only) are ignored entirely
     }
+    (groups.toIndexedSeq, sitemaps.toIndexedSeq)
+  }
+
+  /** Indices of the groups selected for `agent` (maximal matching
+    * specificity; RFC: same-token groups merge), or empty when none match.
+    */
+  private def selectGroups(groups: IndexedSeq[Group], agent: String): IndexedSeq[Int] = {
+    val agentLc = LinkGraph.asciiLower(agent)
     // specificity per group = max over its tokens
     def spec(tokens: Seq[String]): Int = {
       var best = -1
@@ -120,11 +149,29 @@ object Robots {
       }
       best
     }
-    val specs = groups.map(g => spec(g._1.toSeq))
+    val specs = groups.map(g => spec(g.tokens.toSeq))
     val top = if (specs.isEmpty) -1 else specs.max
     if (top < 0) IndexedSeq.empty
-    else groups.iterator.zip(specs.iterator)
-      .filter(_._2 == top).flatMap(_._1._2).toIndexedSeq
+    else groups.indices.filter(i => specs(i) == top)
+  }
+
+  /** Parse one robots.txt body and select the rule list for `agent`. */
+  def parseRules(body: String, agent: String): IndexedSeq[Rule] = {
+    val (groups, _) = parseBody(body)
+    selectGroups(groups, agent).flatMap(i => groups(i).rules)
+  }
+
+  /** Selected rules plus the selected crawl-delay (first delay in the
+    * selected groups' concatenation order) and the document's sitemaps.
+    */
+  def parseAgent(body: String, agent: String)
+      : (IndexedSeq[Rule], Option[Double], IndexedSeq[String]) = {
+    val (groups, sitemaps) = parseBody(body)
+    val sel = selectGroups(groups, agent)
+    val rules = sel.flatMap(i => groups(i).rules)
+    val delay = sel.iterator.flatMap(i => groups(i).delays.iterator)
+      .take(1).toList.headOption
+    (rules, delay, sitemaps)
   }
 
   /** Longest-match decision: (allowed, winning pattern or null). */
@@ -152,8 +199,21 @@ object Robots {
     if (slash < 0) "/" else rest.substring(slash)
   }
 
-  private def hostCol(c: Column): Column =
-    substring_index(substring_index(c, "://", -1), "/", 1)
+  /** Host with FIRST-occurrence "://" semantics, '' when the url has no
+    * scheme separator — exactly [[LinkGraph.hostOf]] / the mirror's
+    * rb_host_of. NOT substring_index(c, "://", -1): that splits on the
+    * LAST occurrence, so a url whose query embeds an absolute url
+    * ("/redirect?u=https://evil.com/p" — passed through untouched by
+    * LinkGraph.resolve) would key to the EMBEDDED host, miss its robots
+    * row, and default to allowed — silently bypassing the politeness gate
+    * (ADVICE r5). Pure expression: instr is the first occurrence.
+    */
+  private def hostCol(c: Column): Column = {
+    val pos = instr(c, "://")
+    when(pos === 0, lit(""))
+      .otherwise(substring_index(
+        c.substr(pos + lit(3), lit(Int.MaxValue)), "/", 1))
+  }
 
   /** Annotate a url table with the robots decision for `agent`.
     *
@@ -167,7 +227,8 @@ object Robots {
     * `saltBuckets` times and keys the url side by
     * (host, xxhash64(url) % saltBuckets) — the standard replicated-
     * build-side salt, exact by construction. Urls whose host has no
-    * robots row are allowed with a null rule (RFC default).
+    * robots row are allowed with a null rule and null crawl_delay (RFC
+    * default); output adds (host, allowed, rule, crawl_delay).
     *
     * The decision itself is a scala lambda over (rules, path) — a
     * genuinely non-expression kernel with bounded input (rule lists are
@@ -182,7 +243,7 @@ object Robots {
     // the op ADDS host/allowed/rule — a caller's own column of one of
     // those names would be silently clobbered and then duplicated in the
     // output (AMBIGUOUS_REFERENCE downstream); fail loudly instead
-    Seq("host", "allowed", "rule").foreach { c =>
+    Seq("host", "allowed", "rule", "crawl_delay").foreach { c =>
       require(!urls.columns.contains(c),
         s"annotate adds a '$c' column — rename the input's '$c' first")
     }
@@ -193,12 +254,12 @@ object Robots {
       .filter(col("host").isNotNull && col("robots_txt").isNotNull)
       .select(col("host"), col("robots_txt")).as[(String, String)]
       .flatMap { case (h, body) =>
-        val rules = parseRules(body, agent)
+        val (rules, delay, _) = parseAgent(body, agent)
         (0 until saltBuckets).iterator.map { salt =>
-          (h, salt, rules.map(r => (r.allow, r.pattern)))
+          (h, salt, rules.map(r => (r.allow, r.pattern)), delay)
         }
       }
-      .toDF("__rhost", "__rsalt", "__rules")
+      .toDF("__rhost", "__rsalt", "__rules", "__delay")
 
     val keyed = urls
       .filter(col("url").isNotNull)
@@ -221,6 +282,26 @@ object Robots {
         "left")
       .withColumn("__d", decideUdf(col("__rules"), col("url")))
       .select(outCols :+
-        col("__d._1").as("allowed") :+ col("__d._2").as("rule"): _*)
+        col("__d._1").as("allowed") :+ col("__d._2").as("rule") :+
+        col("__delay").as("crawl_delay"): _*)
+  }
+
+  /** Per-host robots metadata for `agent`: the selected crawl-delay and
+    * the document's sitemap list — (host, crawl_delay, n_sitemaps,
+    * sitemaps). Map-only (one parse per host row). `sitemaps` joins with a
+    * single space (a url cannot contain a literal space — it would be
+    * percent-encoded), first-occurrence order; empty list → ''.
+    */
+  def hostMeta(robots: DataFrame, agent: String): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots
+      .filter(col("host").isNotNull && col("robots_txt").isNotNull)
+      .select(col("host"), col("robots_txt")).as[(String, String)]
+      .map { case (h, body) =>
+        val (_, delay, sitemaps) = parseAgent(body, agent)
+        (h, delay, sitemaps.length, sitemaps.mkString(" "))
+      }
+      .toDF("host", "crawl_delay", "n_sitemaps", "sitemaps")
   }
 }

@@ -222,19 +222,43 @@ object RobotsGen {
       if (h % 3 == 0) b += "Disallow: /sec*/d/*?a=1"
       if (h % 2 == 1) b += "Disallow: /*7.html$"
       b += "Allow:"
-      b += "Crawl-delay: 2"
+      // crawl-delay variation: plain integer, decimal, and an unparseable
+      // value (ignored by the pinned [0-9]+(\.[0-9]+)? rule)
+      b += "Crawl-delay: " +
+        (if (h == 9) "soon" else if (h % 4 == 1) "2.5" else "2")
       b += ""
     }
     b += "User-agent: *"
     b += "Disallow: /x-default/"
+    // h == 7 has no graftbot group, so the * group is the selected one —
+    // binds crawl-delay selection THROUGH the fallback group
+    if (h == 7) b += "Crawl-delay: 4"
     b += "Sitemap: https://" + hostFor(h) + "/sitemap.xml"
+    // second sitemap (h % 5 == 0) and an exact duplicate (h == 10) bind
+    // the document-order first-occurrence dedup
+    if (h % 5 == 0) b += "Sitemap: https://" + hostFor(h) + "/sitemap2.xml"
+    if (h == 10) b += "Sitemap: https://" + hostFor(h) + "/sitemap.xml"
     if (h == 5) {
       b += ""
       b += "User-agent: graftbot"
       b += "Disallow: /sec*/d/doc*?a=1&b=5$"
+      // a SECOND delay in a later same-token group: the selected delay is
+      // the FIRST in concatenation order (2.5 from the main group wins)
+      b += "Crawl-delay: 99"
     }
     Some(b.mkString(eol))
   }
+
+  /** Extra annotate-input urls pinning the host-extraction contract
+    * (ADVICE r5): a query-embedded absolute url must key to the OUTER
+    * host (first-occurrence "://" split), and a scheme-less url keys to
+    * host '' (no robots row → allowed, null rule). Shared literal list
+    * with the golden generator.
+    */
+  val ExtraUrls: Seq[String] = Seq(
+    "https://site1.example.org/redirect?u=https://site0.example.org/sec0/d/x",
+    "https://site0.example.org/sec0/redir?to=https://site3.example.org/x-default/p",
+    "site2.example.org/sec2/d/doc4.html")
 
   /** All (host, robots_txt) rows (hosts that publish one). */
   def rows: Seq[(String, String)] =

@@ -104,6 +104,95 @@ class RobotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Robots.decide(realTie, "/p") === ((true, "/p$")))
   }
 
+  // ---- crawl-delay / sitemap directives ----
+
+  test("parseAgent: crawl-delay is group-scoped, first-wins, regex-gated") {
+    val body = Seq(
+      "User-agent: megabot", "Crawl-delay: 9", "Disallow: /",
+      "User-agent: graftbot", "Allow: /a", "Crawl-delay: 2.5",
+      "Crawl-delay: 7", // second delay in the same group: first wins
+      "Sitemap: https://x.org/sm.xml",
+      "User-agent: *", "Crawl-delay: 4", "Disallow: /z",
+      "Sitemap: https://x.org/sm2.xml",
+      "Sitemap: https://x.org/sm.xml" // duplicate: first-occurrence dedup
+    ).mkString("\n")
+    val (rules, delay, sitemaps) = Robots.parseAgent(body, "graftbot")
+    assert(rules === IndexedSeq(Robots.Rule(true, "/a")))
+    assert(delay === Some(2.5))
+    assert(sitemaps === IndexedSeq(
+      "https://x.org/sm.xml", "https://x.org/sm2.xml"))
+    // * group selected for an unrelated agent -> its delay
+    assert(Robots.parseAgent(body, "other")._2 === Some(4.0))
+    // unparseable / empty values are ignored; delay before any group drops
+    val bad = "Crawl-delay: 3\nUser-agent: g\nCrawl-delay: soon\n" +
+      "Crawl-delay:\nDisallow: /q"
+    assert(Robots.parseAgent(bad, "g") === ((
+      IndexedSeq(Robots.Rule(false, "/q")), None, IndexedSeq.empty)))
+    // crawl-delay does NOT close a user-agent run
+    val run = "User-agent: a\nCrawl-delay: 1\nUser-agent: graftbot\n" +
+      "Disallow: /r"
+    assert(Robots.parseAgent(run, "graftbot")._1 ===
+      IndexedSeq(Robots.Rule(false, "/r")))
+  }
+
+  test("hostMeta: fixture delays and sitemap dedup") {
+    import spark.implicits._
+    val robots = RobotsGen.rows.toDF("host", "robots_txt")
+    val out = Robots.hostMeta(robots, RobotsGen.Agent).orderBy("host")
+      .collect()
+      .map(r => r.getString(0) -> ((
+        if (r.isNullAt(1)) null else r.getDouble(1).toString,
+        r.getInt(2)))).toMap
+    assert(out("site0.example.org") === (("2.0", 2)))  // h%5==0: 2 sitemaps
+    assert(out("site1.example.org") === (("2.5", 1)))  // h%4==1 decimal
+    assert(out("site5.example.org") === (("2.5", 2)))  // first-wins over 99
+    assert(out("site7.example.org") === (("4.0", 1)))  // * group selected
+    assert(out("site9.example.org") === ((null, 1)))   // unparseable delay
+    assert(out("site10.example.org") === (("2.0", 2))) // duplicate deduped
+    assert(!out.contains("site11.example.org"))        // publishes none
+  }
+
+  test("annotate: host uses FIRST '://' and scheme-less urls key to ''") {
+    import spark.implicits._
+    val robots = RobotsGen.rows.toDF("host", "robots_txt")
+    val out = Robots.annotate(RobotsGen.ExtraUrls.toDF("url"), robots,
+        RobotsGen.Agent, saltBuckets = 3)
+      .orderBy("url")
+      .select("url", "host", "allowed", "rule")
+      .collect()
+      .map(r => (r.getString(1), r.getBoolean(2), r.getString(3))).toSeq
+    assert(out === Seq(
+      // query embeds site3 but the OUTER host is site0: /sec0/ disallows
+      ("site0.example.org", false, "/sec0/"),
+      // query embeds site0 but the OUTER host is site1: no match, allowed
+      ("site1.example.org", true, null),
+      // no scheme separator: host '' has no robots row -> RFC default
+      ("", true, null)))
+  }
+
+  test("nextWave: crawl-delay budget binds per host") {
+    import spark.implicits._
+    def u(h: Int, d: Int) = s"https://site$h.example.org/sec$h/d/doc$d.html"
+    val robots = RobotsGen.rows.toDF("host", "robots_txt")
+    val crawled = Seq(u(0, 0), u(1, 1)).toDF("url")
+    // 5 candidates each on host 0 (delay 2 -> budget floor(7/2)=3) and
+    // host 11 (no robots -> budget k=5); sec0 allow dir for host 0
+    def a0(d: Int) = s"https://site0.example.org/sec0/d/doc$d.html"
+    def a11(d: Int) = s"https://site11.example.org/p/doc$d.html"
+    val edges = (
+      (1 to 5).flatMap(d => Seq((u(0, 0), a0(100 + d), "", 0),
+        (u(1, 1), a0(100 + d), "", 0))) ++
+      (1 to 5).map(d => (u(0, 0), a11(d), "", 0))
+    ).toDF("src", "dst", "anchor", "pos")
+    val out = Frontier.nextWave(edges, crawled, robots, RobotsGen.Agent,
+        k = 5, saltBuckets = 4, crawlWindowSec = 7.0)
+      .collect().map(r => (r.getString(1), r.getInt(3))).toSeq
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    assert(out === Map(
+      "site0.example.org" -> 3,   // delay 2, floor(7/2)=3 of 5 candidates
+      "site11.example.org" -> 5)) // no robots row: full k
+  }
+
   // ---- Spark annotate (incl. salted replicate join + missing-robots) ----
 
   test("annotate matches per-row parse+decide; missing host allowed") {

@@ -279,12 +279,25 @@ def main():
           {"doc_id": [x[0] for x in _rt], "kind": [x[1] for x in _rt],
            "n_chars": [x[2] for x in _rt], "text": [x[3] for x in _rt]})
 
-    _rb = g.rb_annotate(sorted({x[1] for x in _le}))
+    # distinct link targets PLUS the host-extraction pinning urls
+    # (query-embedded absolute url, scheme-less url — RobotsGen.ExtraUrls)
+    _rb = g.rb_annotate(sorted({x[1] for x in _le} | set(g.RB_EXTRA_URLS)))
     write("q_robots",
           pa.schema([("url", pa.string()), ("host", pa.string()),
-                     ("allowed", pa.bool_()), ("rule", pa.string())]),
+                     ("allowed", pa.bool_()), ("rule", pa.string()),
+                     ("crawl_delay", pa.float64())]),
           {"url": [x[0] for x in _rb], "host": [x[1] for x in _rb],
-           "allowed": [x[2] for x in _rb], "rule": [x[3] for x in _rb]})
+           "allowed": [x[2] for x in _rb], "rule": [x[3] for x in _rb],
+           "crawl_delay": [x[4] for x in _rb]})
+
+    # ---- q_robots_meta (per-host crawl-delay + sitemap list; directive
+    #      parsing mirrored clean-room) ----
+    _rm = g.rb_hostmeta()
+    write("q_robots_meta",
+          pa.schema([("host", pa.string()), ("crawl_delay", pa.float64()),
+                     ("n_sitemaps", pa.int32()), ("sitemaps", pa.string())]),
+          {"host": [x[0] for x in _rm], "crawl_delay": [x[1] for x in _rm],
+           "n_sitemaps": [x[2] for x in _rm], "sitemaps": [x[3] for x in _rm]})
 
     # ---- q_bm25 (Okapi BM25 top-10; query fixture convention = every
     #      25th doc's first 3 distinct >=5-char tokens; pinned portable ln

@@ -1471,16 +1471,32 @@ def rb_robots_txt_for(h):
         if h % 2 == 1:
             b.append("Disallow: /*7.html$")
         b.append("Allow:")
-        b.append("Crawl-delay: 2")
+        b.append("Crawl-delay: " +
+                 ("soon" if h == 9 else "2.5" if h % 4 == 1 else "2"))
         b.append("")
     b.append("User-agent: *")
     b.append("Disallow: /x-default/")
+    if h == 7:
+        b.append("Crawl-delay: 4")
     b.append("Sitemap: https://" + rb_host_for(h) + "/sitemap.xml")
+    if h % 5 == 0:
+        b.append("Sitemap: https://" + rb_host_for(h) + "/sitemap2.xml")
+    if h == 10:
+        b.append("Sitemap: https://" + rb_host_for(h) + "/sitemap.xml")
     if h == 5:
         b.append("")
         b.append("User-agent: graftbot")
         b.append("Disallow: /sec*/d/doc*?a=1&b=5$")
+        b.append("Crawl-delay: 99")
     return eol.join(b)
+
+
+# annotate-input urls pinning host extraction (mirrors RobotsGen.ExtraUrls)
+RB_EXTRA_URLS = [
+    "https://site1.example.org/redirect?u=https://site0.example.org/sec0/d/x",
+    "https://site0.example.org/sec0/redir?to=https://site3.example.org/x-default/p",
+    "site2.example.org/sec2/d/doc4.html",
+]
 
 
 def rb_glob(pat, s):
@@ -1512,12 +1528,16 @@ def rb_pattern_matches(pattern, path):
     return rb_glob(pattern + "*", path)
 
 
-def rb_parse(body, agent):
-    """robots.txt -> selected (allow, pattern) rule list for agent."""
+_RB_DELAY_RE = __import__("re").compile(r"^[0-9]+(\.[0-9]+)?$")
+
+
+def rb_parse_body(body):
+    """body -> (groups [(tokens, rules, delays)], sitemaps first-occ dedup)."""
+    groups = []
+    sitemaps = []
+    seen_sm = set()
     if body is None:
-        return []
-    agent_lc = _lg_ascii_lower(agent)
-    groups = []  # (agent tokens, rules)
+        return groups, sitemaps
     in_ua_run = False
     for raw in body.split("\n"):
         if raw.endswith("\r"):
@@ -1531,7 +1551,7 @@ def rb_parse(body, agent):
         value = _java_trim(line[colon + 1:])
         if name == "user-agent":
             if not in_ua_run:
-                groups.append(([], []))
+                groups.append(([], [], []))
                 in_ua_run = True
             if value:
                 groups[-1][0].append(_lg_ascii_lower(value))
@@ -1539,7 +1559,21 @@ def rb_parse(body, agent):
             in_ua_run = False
             if value and groups:
                 groups[-1][1].append((name == "allow", value))
+        elif name == "crawl-delay":
+            # attaches to the current group; does NOT close the agent run
+            if groups and _RB_DELAY_RE.match(value):
+                groups[-1][2].append(float(value))
+        elif name == "sitemap":
+            if value and value not in seen_sm:
+                seen_sm.add(value)
+                sitemaps.append(value)
         # unknown directives: ignored, do not close the agent run
+    return groups, sitemaps
+
+
+def rb_select(groups, agent):
+    """Indices of the selected groups (max matching specificity)."""
+    agent_lc = _lg_ascii_lower(agent)
 
     def spec(tokens):
         best = -1
@@ -1554,11 +1588,28 @@ def rb_parse(body, agent):
     top = max(specs) if specs else -1
     if top < 0:
         return []
+    return [i for i, sp in enumerate(specs) if sp == top]
+
+
+def rb_parse(body, agent):
+    """robots.txt -> selected (allow, pattern) rule list for agent."""
+    groups, _ = rb_parse_body(body)
     rules = []
-    for g, sp in zip(groups, specs):
-        if sp == top:
-            rules.extend(g[1])
+    for i in rb_select(groups, agent):
+        rules.extend(groups[i][1])
     return rules
+
+
+def rb_parse_agent(body, agent):
+    """robots.txt -> (rules, crawl_delay or None, sitemaps) for agent."""
+    groups, sitemaps = rb_parse_body(body)
+    sel = rb_select(groups, agent)
+    rules = []
+    delays = []
+    for i in sel:
+        rules.extend(groups[i][1])
+        delays.extend(groups[i][2])
+    return rules, (delays[0] if delays else None), sitemaps
 
 
 def rb_decide(rules, path):
@@ -1593,21 +1644,35 @@ def rb_host_of(url):
 
 
 def rb_annotate(urls, agent=RB_AGENT):
-    """Per url: (url, host, allowed, rule) under the RobotsGen fixture."""
+    """Per url: (url, host, allowed, rule, crawl_delay) under RobotsGen."""
     by_host = {}
     for h in range(13):
         body = rb_robots_txt_for(h)
         if body is not None:
-            by_host[rb_host_for(h)] = rb_parse(body, agent)
+            rules, delay, _ = rb_parse_agent(body, agent)
+            by_host[rb_host_for(h)] = (rules, delay)
     rows = []
     for u in urls:
         host = rb_host_of(u)
-        rules = by_host.get(host)
-        if rules is None:
-            rows.append((u, host, True, None))
+        ent = by_host.get(host)
+        if ent is None:
+            rows.append((u, host, True, None, None))
         else:
-            allowed, pat = rb_decide(rules, rb_path_of(u))
-            rows.append((u, host, allowed, pat))
+            allowed, pat = rb_decide(ent[0], rb_path_of(u))
+            rows.append((u, host, allowed, pat, ent[1]))
+    return rows
+
+
+def rb_hostmeta(agent=RB_AGENT):
+    """Per host with a robots body: (host, crawl_delay, n_sitemaps,
+    sitemaps space-joined) — mirrors graft.ops.Robots.hostMeta."""
+    rows = []
+    for h in range(13):
+        body = rb_robots_txt_for(h)
+        if body is None:
+            continue
+        _, delay, sitemaps = rb_parse_agent(body, agent)
+        rows.append((rb_host_for(h), delay, len(sitemaps), " ".join(sitemaps)))
     return rows
 
 
