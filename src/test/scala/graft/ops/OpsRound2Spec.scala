@@ -317,6 +317,49 @@ class OpsRound2Spec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head === "school.act.edu.au")
   }
 
+  test("registeredDomain: PSL wildcard and exception rules (full semantics)") {
+    import spark.implicits._
+    def rd(u: String): String =
+      Seq(Tuple1(u)).toDF("u")
+        .select(Domains.registeredDomain(col("u"))).as[String].collect().head
+    // wildcard *.ck: one label under ck is a public suffix, so the
+    // registered domain keeps TWO extra labels
+    assert(rd("https://www.shop.anything.ck/p") === "shop.anything.ck")
+    assert(rd("https://deep.sub.shop.anything.ck/p") === "shop.anything.ck")
+    // exception !www.ck punches through *.ck: registered domain = www.ck
+    assert(rd("https://www.ck/") === "www.ck")
+    assert(rd("https://foo.www.ck/p") === "www.ck")
+    assert(rd("https://a.b.foo.www.ck/p") === "www.ck")
+    // Japanese city wildcard + its exception
+    assert(rd("https://x.suburb.kawasaki.jp/") === "x.suburb.kawasaki.jp")
+    assert(rd("https://shop.city.kawasaki.jp/") === "city.kawasaki.jp")
+    // multi-label wildcard base from the private section
+    assert(rd("https://vm.zone1.compute.amazonaws.com/") ===
+      "vm.zone1.compute.amazonaws.com")
+    // bare wildcard-derived suffix (no registrable label): degenerate
+    // fallback to the last two labels, same as bare plain suffixes
+    assert(rd("https://anything.ck/") === "anything.ck")
+    // case-insensitive matching (PSL rules are lowercase)
+    assert(rd("https://WWW.Example.CO.UK/p") === "example.co.uk")
+  }
+
+  test("parsePsl: official format — comments, whitespace, rule kinds") {
+    val psl = Domains.parsePsl(Iterator(
+      "// comment", "", "com", "co.uk", "  ac.jp  trailing ignored",
+      "*.ck", "!www.ck", "*.kawasaki.jp", "UPPER.case"))
+    assert(psl.multiLabel === Seq("co.uk", "ac.jp", "upper.case"))
+    assert(psl.wildcardBases === Seq("ck", "kawasaki.jp"))
+    assert(psl.exceptions === Seq("www.ck"))
+    // the committed snapshot loads and carries all three rule kinds
+    assert(Domains.DefaultPsl.multiLabel.contains("co.uk"))
+    assert(Domains.DefaultPsl.wildcardBases.contains("ck"))
+    assert(Domains.DefaultPsl.exceptions.contains("www.ck"))
+    // non-leading wildcards are rejected loudly
+    intercept[IllegalArgumentException] {
+      Domains.parsePsl(Iterator("a.*.b"))
+    }
+  }
+
   test("upsample gate is domain-separated: drop-then-upsample realizes ~w, not 2w") {
     import spark.implicits._
     val docs = (0L until 10000L).map(i => (i, "en")).toDF("doc_id", "lang")

@@ -503,24 +503,40 @@ def main():
     #      holds the fixture-relevant subset plus decoys that must NOT match.
     psl_multi = ["co.uk", "org.uk", "ac.uk", "com.au", "net.au", "edu.au",
                  "ac.jp", "co.jp", "or.jp", "com.br", "co.in", "co.za"]
+    # PSL wildcard bases (*.base: one label matched by the star) and
+    # exception rules (!rule), label-walked independently of the Spark
+    # side's regex cascade — fixture-relevant subset plus decoys.
+    psl_wild = ["ck", "bd", "kawasaki.jp"]
+    psl_exc = ["www.ck", "city.kawasaki.jp"]
     def registered_domain(doc_id, source):
         sub = "www." if doc_id % 3 == 0 else ("cdn." if doc_id % 3 == 1 else "")
-        tld = [".org", ".co.uk", ".com.au", ".ac.jp"][doc_id % 4]
+        tld = [".org", ".co.uk", ".com.au", ".ac.jp",
+               ".xx.ck", ".www.ck"][doc_id % 6]
         host = sub + source + "-site" + tld
         labels = host.split(".")
-        best = None
+        # exception rules take priority over everything: the registered
+        # domain of a host ending in the rule is the rule itself
+        for e in psl_exc:
+            el = e.split(".")
+            if len(labels) >= len(el) and labels[-len(el):] == el:
+                return e
+        # prevailing rule = most labels (wildcard counts its star label)
+        best_n = 0
         for s in psl_multi:
             sl = s.split(".")
             if len(labels) > len(sl) and labels[-len(sl):] == sl:
-                if best is None or len(sl) > len(best.split(".")):
-                    best = s
-        if best is not None:
-            n = len(best.split(".")) + 1
-            return ".".join(labels[-n:])
+                best_n = max(best_n, len(sl))
+        for w in psl_wild:
+            wl = w.split(".")
+            if len(labels) > len(wl) + 1 and labels[-len(wl):] == wl:
+                best_n = max(best_n, len(wl) + 1)
+        if best_n > 0:
+            return ".".join(labels[-(best_n + 1):])
         return ".".join(labels[-2:])
     dquotas = {"src0-site.org": 0.5, "src7-site.co.uk": 1.0,
                "src13-site.co.uk": 0.25, "src19-site.ac.jp": 0.125,
-               "src2-site.com.au": 0.5}
+               "src2-site.com.au": 0.5, "src8-site.xx.ck": 0.5,
+               "www.ck": 0.25}
     dthresholds = {k: int(math.floor(q * 1e6 + 0.5)) for k, q in dquotas.items()}
     dsrc = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "source"]).to_pandas()
