@@ -68,12 +68,33 @@ class NgramLmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(2)._3 !== "empty")
   }
 
-  test("model cap fails loudly instead of collecting unbounded state") {
+  test("over-cap model degrades by min-count pruning (KenLM behavior)") {
     import spark.implicits._
-    val ref = Seq((1L, (1 to 100).map(i => s"w$i").mkString(" ")))
-      .toDF("doc_id", "text")
-    assertThrows[IllegalArgumentException](
-      NgramLm.train(ref, maxModelEntries = 10L))
+    // "a a a a b b x" per doc + one singleton doc: counts a=12, b=6, x=3,
+    // y=1; bigrams (a,a)=9, (a,b)=3, (b,b)=3, (b,x)=3, (x,y)=1 ... entries
+    // total well over a cap of 4 -> threshold rises until <=4 survive
+    val ref = Seq((1L, "a a a a b b x"), (2L, "a a a a b b x"),
+      (3L, "a a a a b b x y")).toDF("doc_id", "text")
+    val m = NgramLm.train(ref, maxModelEntries = 4L)
+    assert(m.minCount > 1L)
+    assert(m.unigram.size + m.bigram.size <= 4)
+    assert(m.unigram.values.forall(_ >= m.minCount))
+    assert(m.bigram.values.forall(_ >= m.minCount))
+    // ctx sums derive from the KEPT bigrams only
+    assert(m.ctx === m.bigram.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap)
+    // an under-cap model is untouched (threshold 1)
+    assert(NgramLm.train(ref, maxModelEntries = 1000L).minCount === 1L)
+  }
+
+  test("pruneThreshold: smallest t with <= cap survivors") {
+    // hist: count 1 x5, count 2 x3, count 7 x2
+    val h = Map(1L -> 5L, 2L -> 3L, 7L -> 2L)
+    assert(NgramLm.pruneThreshold(h, 10L) === 1L) // all 10 fit
+    assert(NgramLm.pruneThreshold(h, 9L) === 2L)  // drop c=1 -> 5 left
+    assert(NgramLm.pruneThreshold(h, 4L) === 3L)  // drop c<=2 -> 2 left
+    assert(NgramLm.pruneThreshold(h, 1L) === 8L)  // drop everything
+    assert(NgramLm.pruneThreshold(Map.empty, 0L) === 1L)
   }
 
   // ==== Kneser-Ney trigram ====
@@ -130,12 +151,25 @@ class NgramLmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(NgramLm.scoreTextKn(null, m) === ((0, 0.0)))
   }
 
-  test("KN model cap fails loudly") {
+  test("over-cap KN model prunes all three levels with one threshold") {
     import spark.implicits._
-    val ex = intercept[IllegalArgumentException] {
-      NgramLm.trainKn(Seq("a b c d e f g h").toDF("text"),
-        maxModelEntries = 3L)
-    }
-    assert(ex.getMessage.contains("broadcast-model contract"))
+    // 15 entries; cap 9 -> drop count-1 (z,q,(z,q)) then count-3 (d,
+    // (a,b,d),(b,d)) -> 9 survivors at threshold 4: the repeated a-b-c
+    // spine only
+    val texts = Seq.fill(3)("a b c a b c a b d") :+ "z q"
+    val m = NgramLm.trainKn(texts.toDF("text"), maxModelEntries = 9L)
+    assert(m.vocab === Set("a", "b", "c"))
+    assert(m.tri.values.forall(_ >= 4L))
+    assert(m.biTypes.forall { case (x, y) =>
+      Set("a", "b", "c").contains(x) || Set("a", "b", "c").contains(y) })
+    // pruned-model distributions still sum to exactly 1 over vocab+unk
+    val events: Seq[Option[String]] =
+      m.vocab.toSeq.sorted.map(Some(_)) :+ None
+    val s1 = events.map(c => NgramLm.knP1(c, m)).sum
+    assert(math.abs(s1 - 1.0) < 1e-12, s"p1 sums to $s1")
+    val s2 = events.map(c => NgramLm.knP2(Some("a"), c, m)).sum
+    assert(math.abs(s2 - 1.0) < 1e-12, s"p2 sums to $s2")
+    val s3 = events.map(c => NgramLm.knP3(Some("a"), Some("b"), c, m)).sum
+    assert(math.abs(s3 - 1.0) < 1e-12, s"p3 sums to $s3")
   }
 }

@@ -145,6 +145,29 @@ def main():
            "bits_per_token": [x[3] for x in _lm_rows],
            "bucket": [x[4] for x in _lm_rows]})
 
+    # ---- q_lm_pruned (same slice FORCED over a small entry cap: min-count
+    #      pruning degrades the model instead of failing; pruned vocab
+    #      scores as unk) ----
+    _lp_u, _lp_b, _lp_ctx = g.lm_train(
+        [t for i, t in doc_items if i % 7 == 0], cap=800)
+    _lp_rows = []
+    for i, t in doc_items:
+        n, bits = g.lm_score(t, _lp_u, _lp_b, _lp_ctx)
+        bpt = bits / float(n - 1) if n > 1 else 0.0
+        bucket = ("empty" if n <= 1 else
+                  "head" if bpt < 4.97 else
+                  "middle" if bpt < 5.08 else "tail")
+        _lp_rows.append((i, n, bits, bpt, bucket))
+    write("q_lm_pruned",
+          pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int32()),
+                     ("bits", pa.float64()), ("bits_per_token", pa.float64()),
+                     ("bucket", pa.string())]),
+          {"doc_id": [x[0] for x in _lp_rows],
+           "n_tokens": [x[1] for x in _lp_rows],
+           "bits": [x[2] for x in _lp_rows],
+           "bits_per_token": [x[3] for x in _lp_rows],
+           "bucket": [x[4] for x in _lp_rows]})
+
     # ---- q_classifier_score (hashed linear inference; dyadic weights make
     #      the logit double bit-exact across engines) ----
     _cls_rows = [g.cls_score(i, t) for i, t in doc_items]

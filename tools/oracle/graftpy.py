@@ -758,7 +758,20 @@ def lm_log2(x):
     return float(e) + (2.0 * z * s) * 1.4426950408889634
 
 
-def lm_train(texts):
+def lm_prune_threshold(hist, cap):
+    """Smallest min-count t with <= cap surviving entries (KenLM-style
+    pruning rule; mirrors NgramLm.pruneThreshold)."""
+    total = sum(hist.values())
+    t = 1
+    for c in sorted(hist):
+        if total <= cap:
+            break
+        total -= hist[c]
+        t = c + 1
+    return t
+
+
+def lm_train(texts, cap=None):
     u, b = {}, {}
     for t in texts:
         ws = [w for w in (t or "").split(" ") if w]
@@ -767,6 +780,14 @@ def lm_train(texts):
         for i in range(len(ws) - 1):
             key = (ws[i], ws[i + 1])
             b[key] = b.get(key, 0) + 1
+    if cap is not None:
+        hist = {}
+        for c in list(u.values()) + list(b.values()):
+            hist[c] = hist.get(c, 0) + 1
+        t = lm_prune_threshold(hist, cap)
+        if t > 1:
+            u = {k: v for k, v in u.items() if v >= t}
+            b = {k: v for k, v in b.items() if v >= t}
     ctx = {}
     for (a, _), c in b.items():
         ctx[a] = ctx.get(a, 0) + c
