@@ -72,13 +72,42 @@ class ClassifierTrainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.forall(_.getBoolean(4)))
   }
 
-  test("trainLogistic doc cap fails loudly") {
+  test("over-cap corpus routes to the distributed trainer (dispatch)") {
     import spark.implicits._
-    val labeled = Seq((1L, "a", 1), (2L, "b", 0)).toDF("doc_id", "text", "y")
-    val ex = intercept[IllegalArgumentException] {
-      Classifier.trainLogistic(labeled, maxDocs = 1L)
+    val labeled = (0L until 60L).map { i =>
+      val y = (i % 2).toInt
+      val t = if (y == 1) s"good fine solid w$i" else s"bad junk noisy w$i"
+      (i, t, y)
+    }.toDF("doc_id", "text", "y").repartition(8)
+    // maxDocs = 10 forces the dispatch to trainLogisticDistributed
+    val m = Classifier.trainLogistic(labeled, epochs = 15, maxDocs = 10L)
+    val out = Classifier.predict(labeled, m).collect()
+    assert(out.forall(_.getBoolean(4)), "distributed model must separate")
+  }
+
+  test("distributed trainer agrees with the local path under float-sum tolerance") {
+    import spark.implicits._
+    val labeled = (0L until 80L).map { i =>
+      val y = (i % 2).toInt
+      val t = if (y == 1) s"alpha beta gamma t${i % 7}"
+              else s"zeta eta theta t${i % 7}"
+      (i, t, y)
+    }.toDF("doc_id", "text", "y").repartition(8)
+    val local = Classifier.trainLogistic(labeled, epochs = 20)
+    val dist = Classifier.trainLogisticDistributed(labeled, epochs = 20)
+    // same featurization/sigmoid; only the gradient summation ORDER
+    // differs -> reassociation-level agreement, identical support
+    assert(dist.weights.keySet === local.weights.keySet)
+    assert(math.abs(dist.bias - local.bias) < 1e-9)
+    local.weights.foreach { case (b, wv) =>
+      assert(math.abs(dist.weights(b) - wv) < 1e-9, s"bucket $b")
     }
-    assert(ex.getMessage.contains("broadcast-model contract"))
+    // and identical predictions on the training frame
+    val pl = Classifier.predict(labeled, local).orderBy("doc_id")
+      .collect().map(_.getInt(3)).toSeq
+    val pd = Classifier.predict(labeled, dist).orderBy("doc_id")
+      .collect().map(_.getInt(3)).toSeq
+    assert(pl === pd)
   }
 
   test("features skip w==0 buckets exactly like the mirror dot fold") {
