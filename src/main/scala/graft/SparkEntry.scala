@@ -1552,6 +1552,25 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- hierarchical (two-codebook) SemDedup over the SAME perturbed
+    //      union, k1/k2 FORCED so the coarse×fine cell path genuinely
+    //      binds (the 10^12-row extension: two small codebooks express
+    //      k1·k2 cells with MB-scale broadcasts) ----
+    "q_semdedup_hier" -> ((s, dir) => {
+      import s.implicits._
+      val e = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val perturbed = e.filter(col("vec_id") % 20 === 0)
+        .as[(Long, Seq[Float])]
+        .map { case (id, v) =>
+          val rng = new PageGen.Rng(id ^ 0x3141592653L)
+          (id + 1000000L,
+            v.map(x => x + (rng.nextDouble().toFloat - 0.5f) * 0.01f))
+        }.toDF("vec_id", "embedding")
+      Similarity.semDedupHier(e.unionAll(perturbed), threshold = 0.95,
+        k1 = 6, k2 = 5)
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- multimodal stub pipeline ----
     "q_media_features" -> ((s, dir) => {
       import s.implicits._
@@ -2346,6 +2365,7 @@ object SparkEntry {
     "q_embed_cluster" -> golden("q_embed_cluster"),
     "q_embed_near_dups" -> golden("q_embed_near_dups"),
     "q_semdedup" -> golden("q_semdedup"),
+    "q_semdedup_hier" -> golden("q_semdedup_hier"),
 
     // ---- exact-cosine brute force: computable directly in DuckDB (double
     //      dot/norms in input order — bit-identical to CosineSimilarity) ----

@@ -552,4 +552,69 @@ object Similarity {
         when(col("__pruned").isNotNull, lit("pruned")).otherwise(lit("kept"))
           .as("status"))
   }
+
+  /** Hierarchical (two-level) SemDedup — the 10^12-row extension
+    * [[semDedup]]'s scaladoc names: vectors assign to the CROSS PRODUCT of
+    * two independently-trained codebooks (coarse `k1` × fine `k2`), and
+    * the pairwise prune runs within (coarse, fine) cells. Why two levels:
+    * at 10^12 rows a flat clustering needs ~10^6 cells to keep E[cell]
+    * bounded — a 10^6-centroid codebook is a multi-GB broadcast and a
+    * 10^6-way nearest scan per vector — while two ~10^3 codebooks express
+    * the same cell count with MB-scale broadcasts and 2·10^3 distance
+    * evaluations per vector (the IVF-PQ coarse-quantizer shape). Both
+    * assignments are map-side in ONE pass; everything downstream is the
+    * same count-first, cap-and-surface discipline as [[semDedup]].
+    *
+    * Semantics difference from the flat form (by design, like any
+    * clustering choice in SemDedup): a ≥τ pair is only pruned when BOTH
+    * assignments agree. Defaults size each codebook at N^(1/4) (cells
+    * ≈ √N, the flat default's cell count).
+    *
+    * Output: (vec_id, coarse, fine, status kept|pruned).
+    */
+  def semDedupHier(
+      embeddings: DataFrame,
+      threshold: Double = 0.95,
+      k1: Int = 0,
+      k2: Int = 0,
+      seed: Long = 42L,
+      maxClusterSize: Int = 10000): DataFrame = {
+    val spark = embeddings.sparkSession
+    val n = embeddings.count()
+    val side = math.max(4, math.round(math.sqrt(math.sqrt(n.toDouble))).toInt)
+    val kc = if (k1 > 0) k1 else side
+    val kf = if (k2 > 0) k2 else side
+    val coarseB = spark.sparkContext.broadcast(
+      trainCentroids(embeddings, kc, seed))
+    val fineB = spark.sparkContext.broadcast(
+      trainCentroids(embeddings, kf, seed + 1))
+    val assignCoarse = udf((v: Seq[Float]) =>
+      nearestLists(v.toArray, coarseB.value, 1)(0))
+    val assignFine = udf((v: Seq[Float]) =>
+      nearestLists(v.toArray, fineB.value, 1)(0))
+    val assigned = CacheRegistry.register(
+      embeddings.select(col("vec_id"), col("embedding"))
+        .withColumn("coarse", assignCoarse(col("embedding")))
+        .withColumn("fine", assignFine(col("embedding")))
+        .persist())
+    val sizes = assigned.groupBy(col("coarse"), col("fine"))
+      .agg(count(lit(1)).as("sz"))
+    val joinable = assigned
+      .join(sizes.filter(col("sz") > 1 && col("sz") <= maxClusterSize),
+        Seq("coarse", "fine"))
+      .select(col("coarse"), col("fine"), col("vec_id"), col("embedding"))
+    val pruned = joinable.as("l").join(joinable.as("r"),
+        col("l.coarse") === col("r.coarse") &&
+          col("l.fine") === col("r.fine") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .withColumn("cos", cosineCol(col("l.embedding"), col("r.embedding")))
+      .filter(col("cos") >= threshold)
+      .select(col("r.vec_id").as("vec_id")).distinct()
+      .withColumn("__pruned", lit(true))
+    assigned.select(col("vec_id"), col("coarse"), col("fine"))
+      .join(pruned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("coarse"), col("fine"),
+        when(col("__pruned").isNotNull, lit("pruned")).otherwise(lit("kept"))
+          .as("status"))
+  }
 }

@@ -65,4 +65,45 @@ class SemDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L) === "kept")
     assert(out(4L) === "pruned") // cos(1,4) ≈ 0.96 ≥ 0.5
   }
+
+  // ==== hierarchical (two-codebook) form ====
+
+  test("hier: degenerate 1x1 codebooks equal the flat k=1 statuses") {
+    val flat = Similarity.semDedup(fixture(), threshold = 0.999, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val hier = Similarity.semDedupHier(fixture(), threshold = 0.999,
+        k1 = 1, k2 = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(hier === flat) // one cell == one cluster
+  }
+
+  test("hier: near-dups prune within (coarse, fine) cells; all rows out") {
+    val out = Similarity.semDedupHier(fixture(), threshold = 0.999,
+      k1 = 2, k2 = 2).collect()
+    assert(out.length === 6)
+    val st = out.map(r => r.getLong(0) -> r.getString(3)).toMap
+    // near-copies land in the same coarse AND fine cell (they are nearly
+    // identical vectors) and prune to the min id
+    assert(st(1L) === "kept")
+    assert(st(2L) === "pruned")
+    assert(st(3L) === "pruned")
+    assert(st(10L) === "kept")
+    assert(st(11L) === "pruned")
+    assert(st(4L) === "kept")
+    // the cell columns are genuine assignments: copies share their
+    // keeper's cell
+    val cells = out.map(r =>
+      r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(cells(2L) === cells(1L))
+    assert(cells(3L) === cells(1L))
+    assert(cells(11L) === cells(10L))
+  }
+
+  test("hier: oversized cells skip pairing like the flat cap") {
+    val out = Similarity.semDedupHier(fixture(), threshold = 0.999,
+        k1 = 1, k2 = 1, maxClusterSize = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out.size === 6)
+    assert(out.values.forall(_ == "kept"))
+  }
 }

@@ -1196,6 +1196,40 @@ def main():
            "cluster": [x[1] for x in sd_rows],
            "status": [x[2] for x in sd_rows]})
 
+    # q_semdedup_hier: two independently-seeded codebooks (k1=6 seed 42,
+    # k2=5 seed 43 — mirrors trainCentroids' hash-gate sample, which is
+    # seed-independent, then Lloyd x5); prune within (coarse, fine) cells
+    target_h = 256  # max(256, k*8) for both k=6 and k=5
+    rate_h = max(1, n2 // target_h)
+    sample_h = [union[i] for i in sorted(union) if g.mix(i) % rate_h == 0]
+    cents_c = g.kmeans(sample_h, 6, 5, 42)
+    cents_f = g.kmeans(sample_h, 5, 5, 43)
+    sh_coarse = {i: g.nearest_lists(union[i], cents_c, 1)[0] for i in union}
+    sh_fine = {i: g.nearest_lists(union[i], cents_f, 1)[0] for i in union}
+    sh_cells = {}
+    for i in union:
+        sh_cells.setdefault((sh_coarse[i], sh_fine[i]), []).append(i)
+    sh_pruned = set()
+    for cell, mem in sh_cells.items():
+        if len(mem) < 2 or len(mem) > 10000:
+            continue
+        mem = sorted(mem)
+        for ai in range(len(mem)):
+            for bi in range(ai + 1, len(mem)):
+                if g.cosine(union[mem[ai]], union[mem[bi]]) >= 0.95:
+                    sh_pruned.add(mem[bi])
+    sh_rows = [(i, sh_coarse[i], sh_fine[i],
+                "pruned" if i in sh_pruned else "kept")
+               for i in sorted(union)]
+    assert any(x[3] == "pruned" for x in sh_rows), "semdedup_hier inert"
+    write("q_semdedup_hier",
+          pa.schema([("vec_id", pa.int64()), ("coarse", pa.int32()),
+                     ("fine", pa.int32()), ("status", pa.string())]),
+          {"vec_id": [x[0] for x in sh_rows],
+           "coarse": [x[1] for x in sh_rows],
+           "fine": [x[2] for x in sh_rows],
+           "status": [x[3] for x in sh_rows]})
+
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     gen_mei_and_gtxml(results, out_dir, repo_root)
 
