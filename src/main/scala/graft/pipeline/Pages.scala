@@ -408,6 +408,32 @@ object PdfGen {
     "BT 1 0 0 1 72 700 Tm (second " + esc(asciiSlice(text, 3)) +
       ") Tj 0 -14 TD (tail) ' ET\n"
 
+  /** Third content stream: shows text through the F2 /ToUnicode font
+    * (1-byte codes via bfchar + bfrange, an unmapped identity code) and
+    * BOM'd UTF-16BE hex strings (BMP + astral), then resets to F1.
+    */
+  def content3(id: Long, text: String): String =
+    "BT\n/F2 10 Tf\n" +
+      "<0102> Tj\n" + // bfchar: 01 -> 'A', 02 -> U+1D504 (astral)
+      "(\\020\\021\\022) Tj\n" + // bfrange 10..12 -> a,b,c (octal literals)
+      "<FF> Tj\n" + // unmapped code: identity 0xFF
+      (if (fm(id, 2) == 0) "<2021> Tj\n" else "") + // array-dst bfrange
+      "0 -14 Td\n" +
+      "<FEFF004800490021> Tj\n" + // BOM'd UTF-16BE bypasses the CMap
+      (if (fm(id, 5) == 0) "<FEFFD835DD04> Tj\n" else "") + // astral BOM
+      "/F1 9 Tf\n(back to latin1) Tj\nET\n"
+
+  /** The F2 /ToUnicode CMap stream body (1-byte codes). */
+  def cmapStream(id: Long): String =
+    "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
+      "1 begincodespacerange\n<00> <FF>\nendcodespacerange\n" +
+      "2 beginbfchar\n<01> <0041>\n<02> <D835DD04>\nendbfchar\n" +
+      "1 beginbfrange\n<10> <12> <0061>\nendbfrange\n" +
+      (if (fm(id, 2) == 0)
+        "1 beginbfrange\n<20> <22> [<0058> <0059005A> <005A>]\nendbfrange\n"
+      else "") +
+      "endcmap\nend\nend\n"
+
   private def deflate(b: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater(6)
     try {
@@ -423,22 +449,45 @@ object PdfGen {
     } finally d.end()
   }
 
+  /** Filter selection: (encoded bytes, dict /Filter suffix). `sel`: 0 =
+    * raw, 1 = FlateDecode, 2 = LZWDecode.
+    */
+  private def encode(raw: Array[Byte], sel: Long): (Array[Byte], String) =
+    sel match {
+      case 1 => (deflate(raw), " /Filter /FlateDecode")
+      case 2 => (graft.ops.Pdf.lzwEncode(raw), " /Filter /LZWDecode")
+      case _ => (raw, "")
+    }
+
   def pdfBytes(id: Long, text: String): Array[Byte] = {
     val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
     val bos = new java.io.ByteArrayOutputStream(2048)
     def w(s: String): Unit = bos.write(s.getBytes(latin1))
+    def streamObj(num: Int, raw: Array[Byte], sel: Long): Unit = {
+      val (data, filter) = encode(raw, sel)
+      w(num + " 0 obj\n<< /Length " + data.length + filter + " >>\nstream\n")
+      bos.write(data)
+      w("\nendstream\nendobj\n")
+    }
     val c1 = content1(id, text).getBytes(latin1)
-    val c2raw = content2(id, text).getBytes(latin1)
-    val flate = fm(id, 2) == 1
-    val c2 = if (flate) deflate(c2raw) else c2raw
+    val c2 = content2(id, text).getBytes(latin1)
+    val c3 = content3(id, text).getBytes(latin1)
+    val cm = cmapStream(id).getBytes(latin1)
     w("%PDF-1.4\n")
-    w("1 0 obj\n<< /Length " + c1.length + " >>\nstream\n")
-    bos.write(c1)
-    w("\nendstream\nendobj\n")
-    w("2 0 obj\n<< /Length " + c2.length +
-      (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
-    bos.write(c2)
-    w("\nendstream\nendobj\n")
+    streamObj(1, c1, 0)
+    // c2 filter: ids %4==1 Flate (the r5 shape), %4==3 LZW, even raw
+    streamObj(2, c2, if (fm(id, 4) == 1) 1 else if (fm(id, 4) == 3) 2 else 0)
+    w("3 0 obj\n<< /Type /Page /Resources << /Font << /F1 4 0 R " +
+      "/F2 6 0 R >> >> >>\nendobj\n")
+    w("4 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n" +
+      "endobj\n")
+    // the F2-using content stream appears BEFORE its CMap object — binds
+    // the extractor's order-independence
+    streamObj(5, c3, 0)
+    w("6 0 obj\n<< /Type /Font /Subtype /TrueType /BaseFont " +
+      "/AAAAAA+Custom /ToUnicode 7 0 R >>\nendobj\n")
+    // CMap stream filter rotates raw/Flate/LZW
+    streamObj(7, cm, fm(id, 3))
     w("trailer\n<< /Root 3 0 R >>\n%%EOF\n")
     bos.toByteArray
   }

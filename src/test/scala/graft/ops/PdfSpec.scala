@@ -48,26 +48,41 @@ class PdfSpec extends AnyFunSuite {
 
   private val Text = "alpha beta gamma delta epsilon zeta"
 
+  private val Astral = "𝔄" // U+1D504 via the fixture CMap/BOM
+
   test("extractText: raw + FlateDecode streams, escapes, kerning, layout") {
-    // even id: both streams raw; exercises TJ (id%3==0)
+    // id 0: streams raw; TJ (id%3==0); CMap with array bfrange (%2==0);
+    // astral BOM string (%5==0); cmap stream raw (%3==0)
     val (k0, t0) = Pdf.extractText(graft.pipeline.PdfGen.pdfBytes(0, Text))
-    assert(k0 === 2)
+    assert(k0 === 3) // CMap stream excluded from the count
     assert(t0 === "alpha beta gamma delta epsilon (p) A ok\nker ned!\n" +
-      "Hello!continued\nsecond alpha beta gamma\ntail")
-    // odd id: second stream FlateDecode
+      "Hello!continued\nsecond alpha beta gamma\ntail\n" +
+      s"A${Astral}abcÿXYZ\nHI!${Astral}back to latin1")
+    // id 1: c2 FlateDecode (%4==1), cmap Flate (%3==1), no array range
     val (k1, t1) = Pdf.extractText(graft.pipeline.PdfGen.pdfBytes(1, Text))
-    assert(k1 === 2)
+    assert(k1 === 3)
     assert(t1 === "alpha beta gamma delta epsilon (p) A ok\nplain line\n" +
-      "Hello!continued\nsecond alpha beta gamma\ntail")
+      "Hello!continued\nsecond alpha beta gamma\ntail\n" +
+      s"A${Astral}abcÿ\nHI!back to latin1")
+    // id 3: c2 LZWDecode (%4==3); TJ (id%3==0); cmap raw
+    val (k3, t3) = Pdf.extractText(graft.pipeline.PdfGen.pdfBytes(3, Text))
+    assert(k3 === 3)
+    assert(t3 === "alpha beta gamma delta epsilon (p) A ok\nker ned!\n" +
+      "Hello!continued\nsecond alpha beta gamma\ntail\n" +
+      s"A${Astral}abcÿ\nHI!back to latin1")
+    // id 2: cmap stream LZW-compressed (%3==2) still feeds the font map
+    val (k2, t2) = Pdf.extractText(graft.pipeline.PdfGen.pdfBytes(2, Text))
+    assert(k2 === 3)
+    assert(t2.contains(s"A${Astral}abcÿXYZ"))
   }
 
   test("extractText: damage never throws — valid subset survives") {
     val good = graft.pipeline.PdfGen.pdfBytes(2, Text)
-    // truncation mid-second-stream: first stream still extracts
+    // truncation mid-document: the leading streams still extract
     val truncated = java.util.Arrays.copyOfRange(good, 0, good.length * 2 / 3)
     val (k, t) = Pdf.extractText(truncated)
     assert(k >= 1 && t.startsWith("alpha beta gamma"))
-    // corrupt flate payload: that stream is skipped, the raw one survives
+    // corrupt flate payload: that stream is skipped, the others survive
     val odd = graft.pipeline.PdfGen.pdfBytes(1, Text)
     val doc = new String(odd, java.nio.charset.StandardCharsets.ISO_8859_1)
     val flateStart = doc.indexOf("stream\n", doc.indexOf("FlateDecode")) + 7
@@ -75,7 +90,16 @@ class PdfSpec extends AnyFunSuite {
     corrupted(flateStart) = 0x00.toByte
     corrupted(flateStart + 1) = 0x00.toByte
     val (kc, tc) = Pdf.extractText(corrupted)
-    assert(kc === 1 && tc.startsWith("alpha beta gamma"))
+    assert(kc === 2 && tc.startsWith("alpha beta gamma"))
+    // corrupt LZW payload likewise (id 3's c2 is LZW)
+    val lzw = graft.pipeline.PdfGen.pdfBytes(3, Text)
+    val doc3 = new String(lzw, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val lzwStart = doc3.indexOf("stream\n", doc3.indexOf("LZWDecode")) + 7
+    val corrupted3 = lzw.clone()
+    corrupted3(lzwStart) = 0xFF.toByte
+    corrupted3(lzwStart + 1) = 0xFF.toByte
+    val (kl, tl) = Pdf.extractText(corrupted3)
+    assert(kl >= 2 && tl.startsWith("alpha beta gamma"))
     // garbage / null
     assert(Pdf.extractText("not a pdf".getBytes) === ((0, "")))
     assert(Pdf.extractText(null) === ((0, "")))
@@ -83,6 +107,59 @@ class PdfSpec extends AnyFunSuite {
     val noLen = "%PDF-1.4\n<< >>\nstream\n(x) Tj\nendstream\n"
       .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     assert(Pdf.extractText(noLen) === ((0, "")))
+  }
+
+  test("lzw: round-trips arbitrary data across width growth and clears") {
+    val rnd = new scala.util.Random(7)
+    Seq(0, 1, 5, 300, 5000, 40000).foreach { n =>
+      val data = new Array[Byte](n)
+      rnd.nextBytes(data)
+      assert(Pdf.lzwDecode(Pdf.lzwEncode(data)).map(_.toSeq) ===
+        Some(data.toSeq), s"random n=$n")
+      // highly repetitive data grows the table fastest
+      val rep = Array.tabulate(n)(i => ((i / 7) % 3).toByte)
+      assert(Pdf.lzwDecode(Pdf.lzwEncode(rep)).map(_.toSeq) ===
+        Some(rep.toSeq), s"repetitive n=$n")
+    }
+    // damage: impossible code -> None, never throws
+    assert(Pdf.lzwDecode(Array(0xFF.toByte, 0xFF.toByte, 0xFF.toByte)) === None)
+    assert(Pdf.lzwDecode(null) === None)
+  }
+
+  test("decodeShownString: BOM beats CMap; identity fallback; widths") {
+    val cmap1 = Pdf.CMap(1, Map(0x01 -> "A", 0x02 -> Astral))
+    // mapped codes + unmapped identity byte
+    assert(Pdf.decodeShownString("\u0001\u0002\u00FF", cmap1) ===
+      s"A$Astral\u00FF")
+    // BOM'd bytes bypass the cmap entirely: FE FF 00 48 00 69 -> "Hi"
+    assert(Pdf.decodeShownString("\u00FE\u00FF\u0000H\u0000i", cmap1) === "Hi")
+    // BOM with a dangling trailing byte: the byte drops
+    assert(Pdf.decodeShownString("\u00FE\u00FF\u0000H\u0000", cmap1) === "H")
+    // 2-byte codes: 01 02 maps, dangling byte drops
+    val cmap2 = Pdf.CMap(2, Map(0x0102 -> "XY"))
+    assert(Pdf.decodeShownString("\u0001\u0002\u0003", cmap2) === "XY")
+    // unmapped 2-byte code -> its UTF-16 code unit (0x0041 = 'A')
+    assert(Pdf.decodeShownString("\u0000A", cmap2) === "A")
+    // no cmap: byte-transparent
+    assert(Pdf.decodeShownString("\u00E9x", null) === "\u00E9x")
+  }
+
+  test("parseCMap: bfchar, scalar and array bfrange, width, tolerance") {
+    val cm = Pdf.parseCMap(graft.pipeline.PdfGen.cmapStream(0))
+    assert(cm.codeBytes === 1)
+    assert(cm.map(0x01) === "A")
+    assert(cm.map(0x02) === Astral)
+    assert(cm.map(0x10) === "a" && cm.map(0x11) === "b" && cm.map(0x12) === "c")
+    assert(cm.map(0x20) === "X" && cm.map(0x21) === "YZ" && cm.map(0x22) === "Z")
+    // 2-byte src width; scalar range bumps the LAST code unit
+    val cm2 = Pdf.parseCMap(
+      "beginbfrange\n<0100> <0102> <00410042>\nendbfrange")
+    assert(cm2.codeBytes === 2)
+    assert(cm2.map(0x0100) === "AB" && cm2.map(0x0102) === "AD")
+    // malformed sections never throw, oversized ranges are skipped
+    assert(Pdf.parseCMap("beginbfchar <01 endbfchar").map.isEmpty)
+    assert(Pdf.parseCMap(
+      "beginbfrange <0000> <FFFF0> <0041> endbfrange").map.isEmpty)
   }
 
   test("lengthOf: digits after /Length, oversized rejected") {

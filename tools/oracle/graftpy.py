@@ -2298,8 +2298,312 @@ def pdf_hex_string(s, start):
 _PDF_DELIM = "()<>[]{}/%"
 
 
-def pdf_parse_content(s):
-    """Mirror of Pdf.parseContent (operand-stack scan)."""
+def pdf_lzw_decode(data):
+    """PDF LZW inflate (EarlyChange=1): MSB-first, 9->12-bit codes, 256
+    clear / 257 EOD; decoder width bumps when the next assignable code
+    reaches 2^width - 1. Damage -> None. Mirrors Pdf.lzwDecode."""
+    if data is None:
+        return None
+    out = bytearray()
+    table = []
+
+    def reset():
+        table.clear()
+        for i in range(256):
+            table.append(bytes([i]))
+        table.append(None)  # 256 clear
+        table.append(None)  # 257 EOD
+
+    reset()
+    width = 9
+    prev = None
+    acc = 0
+    bits = 0
+    idx = 0
+    while True:
+        while bits < width and idx < len(data):
+            acc = (acc << 8) | data[idx]
+            bits += 8
+            idx += 1
+        if bits < width:
+            break  # ran out without EOD: accept prefix
+        code = (acc >> (bits - width)) & ((1 << width) - 1)
+        bits -= width
+        if code == 256:
+            reset()
+            width = 9
+            prev = None
+        elif code == 257:
+            break
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                return None
+            if entry is None:
+                return None
+            out.extend(entry)
+            if prev is not None and len(table) < 4095:
+                table.append(prev + entry[:1])
+            prev = entry
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def pdf_lzw_encode(data):
+    """Matching encoder (fixture synthesis): clear up front, clear again
+    at next==3000; width bumps when next reaches 2^width (one add later
+    than the decoder — the EarlyChange pairing). Mirrors Pdf.lzwEncode."""
+    out = bytearray()
+    state = {"acc": 0, "bits": 0, "width": 9}
+
+    def emit(code):
+        state["acc"] = (state["acc"] << state["width"]) | code
+        state["bits"] += state["width"]
+        while state["bits"] >= 8:
+            out.append((state["acc"] >> (state["bits"] - 8)) & 0xFF)
+            state["bits"] -= 8
+
+    dict_ = {}
+    nxt = [258]
+
+    def reset_dict():
+        dict_.clear()
+        for i in range(256):
+            dict_[bytes([i])] = i
+        nxt[0] = 258
+        state["width"] = 9
+
+    emit(256)
+    reset_dict()
+    cur = b""
+    for bidx in range(len(data)):
+        b = data[bidx:bidx + 1]
+        w = cur + b
+        if w in dict_:
+            cur = w
+        else:
+            emit(dict_[cur])
+            dict_[w] = nxt[0]
+            nxt[0] += 1
+            if nxt[0] == (1 << state["width"]) and state["width"] < 12:
+                state["width"] += 1
+            if nxt[0] == 3000:
+                emit(256)
+                reset_dict()
+            cur = b
+    if cur:
+        emit(dict_[cur])
+    emit(257)
+    if state["bits"] > 0:
+        out.append((state["acc"] << (8 - state["bits"])) & 0xFF)
+    return bytes(out)
+
+
+def _pdf_utf16be(raw, start):
+    """UTF-16BE decode of byte-chars (surrogates pass through; dangling
+    byte drops). Python strings are code points, so a surrogate pair is
+    combined explicitly (matching the JVM's UTF-16 representation)."""
+    units = []
+    i = start
+    while i + 1 < len(raw):
+        units.append((ord(raw[i]) << 8) | ord(raw[i + 1]))
+        i += 2
+    out = []
+    j = 0
+    while j < len(units):
+        u = units[j]
+        if 0xD800 <= u <= 0xDBFF and j + 1 < len(units) and \
+                0xDC00 <= units[j + 1] <= 0xDFFF:
+            out.append(chr(0x10000 + ((u - 0xD800) << 10) +
+                           (units[j + 1] - 0xDC00)))
+            j += 2
+        else:
+            out.append(chr(u))
+            j += 1
+    return "".join(out)
+
+
+def pdf_decode_shown(raw, cmap):
+    """BOM'd UTF-16BE -> text; else CMap codes (identity fallback); else
+    byte-transparent. Mirrors Pdf.decodeShownString (cmap: (code_bytes,
+    {code: text}) or None)."""
+    if len(raw) >= 2 and ord(raw[0]) == 0xFE and ord(raw[1]) == 0xFF:
+        return _pdf_utf16be(raw, 2)
+    if cmap is None:
+        return raw
+    code_bytes, mp = cmap
+    out = []
+    if code_bytes == 1:
+        for ch in raw:
+            code = ord(ch)
+            out.append(mp.get(code, chr(code)))
+    else:
+        i = 0
+        while i + 1 < len(raw):  # dangling byte drops
+            code = (ord(raw[i]) << 8) | ord(raw[i + 1])
+            out.append(mp.get(code, chr(code)))
+            i += 2
+    return "".join(out)
+
+
+def _pdf_hex_at(s, from_, limit):
+    i = from_
+    while i < limit and s[i] != "<":
+        i += 1
+    if i >= limit:
+        return None, limit
+    e = s.find(">", i + 1)
+    if e < 0 or e > limit:
+        return None, limit
+    return "".join(c for c in s[i + 1:e] if not _pdf_is_ws(c)), e + 1
+
+
+def _pdf_hex_to_utf16(h):
+    units = []
+    i = 0
+    while i + 3 < len(h):
+        try:
+            units.append(int(h[i:i + 4], 16))
+        except ValueError:
+            pass
+        i += 4
+    if i + 1 < len(h):
+        try:
+            units.append(int(h[i:i + 2], 16))
+        except ValueError:
+            pass
+    # combine surrogate pairs like the JVM string would
+    out = []
+    j = 0
+    while j < len(units):
+        u = units[j]
+        if 0xD800 <= u <= 0xDBFF and j + 1 < len(units) and \
+                0xDC00 <= units[j + 1] <= 0xDFFF:
+            out.append(chr(0x10000 + ((u - 0xD800) << 10) +
+                           (units[j + 1] - 0xDC00)))
+            j += 2
+        else:
+            out.append(chr(u))
+            j += 1
+    return "".join(out)
+
+
+def _pdf_bump_last(base, k):
+    """Scalar bfrange dst: increment the LAST UTF-16 code unit by k."""
+    if not base:
+        return ""
+    # operate on UTF-16 code units (JVM semantics): re-encode
+    units = []
+    for ch in base:
+        cp = ord(ch)
+        if cp > 0xFFFF:
+            cp -= 0x10000
+            units.append(0xD800 + (cp >> 10))
+            units.append(0xDC00 + (cp & 0x3FF))
+        else:
+            units.append(cp)
+    units[-1] = (units[-1] + k) & 0xFFFF
+    out = []
+    j = 0
+    while j < len(units):
+        u = units[j]
+        if 0xD800 <= u <= 0xDBFF and j + 1 < len(units) and \
+                0xDC00 <= units[j + 1] <= 0xDFFF:
+            out.append(chr(0x10000 + ((u - 0xD800) << 10) +
+                           (units[j + 1] - 0xDC00)))
+            j += 2
+        else:
+            out.append(chr(u))
+            j += 1
+    return "".join(out)
+
+
+def pdf_parse_cmap(s):
+    """Tolerant bfchar/bfrange scan -> (code_bytes, {code: text}).
+    Mirrors Pdf.parseCMap."""
+    mp = {}
+    code_bytes = [0]
+
+    def note_width(src):
+        if code_bytes[0] == 0 and src:
+            code_bytes[0] = max(1, min(2, len(src) // 2))
+
+    def hex_to_int(h):
+        try:
+            return int(h, 16)
+        except ValueError:
+            return -1
+
+    at = s.find("beginbfchar")
+    while at >= 0:
+        end0 = s.find("endbfchar", at)
+        end = len(s) if end0 < 0 else end0
+        cur = at + len("beginbfchar")
+        while True:
+            src, a1 = _pdf_hex_at(s, cur, end)
+            dst, a2 = _pdf_hex_at(s, a1, end)
+            if src is None or dst is None:
+                break
+            note_width(src)
+            c = hex_to_int(src)
+            if c >= 0:
+                mp[c] = _pdf_hex_to_utf16(dst)
+            cur = a2
+        at = s.find("beginbfchar", end)
+
+    at = s.find("beginbfrange")
+    while at >= 0:
+        end0 = s.find("endbfrange", at)
+        end = len(s) if end0 < 0 else end0
+        cur = at + len("beginbfrange")
+        while True:
+            lo, a1 = _pdf_hex_at(s, cur, end)
+            hi, a2 = _pdf_hex_at(s, a1, end)
+            if lo is None or hi is None:
+                break
+            note_width(lo)
+            lo_v = hex_to_int(lo)
+            hi_v = hex_to_int(hi)
+            j = a2
+            while j < end and _pdf_is_ws(s[j]):
+                j += 1
+            if j < end and s[j] == "[":
+                close0 = s.find("]", j)
+                close = end if close0 < 0 or close0 > end else close0
+                if lo_v >= 0 and hi_v >= lo_v and hi_v - lo_v <= 65535:
+                    c = lo_v
+                    k = j + 1
+                    while c <= hi_v and k < close:
+                        d, k2 = _pdf_hex_at(s, k, close)
+                        if d is None:
+                            break
+                        mp[c] = _pdf_hex_to_utf16(d)
+                        c += 1
+                        k = k2
+                cur = close + 1
+            else:
+                dst, a3 = _pdf_hex_at(s, a2, end)
+                if dst is None:
+                    break
+                if lo_v >= 0 and hi_v >= lo_v and hi_v - lo_v <= 65535:
+                    base = _pdf_hex_to_utf16(dst)
+                    for c in range(lo_v, hi_v + 1):
+                        mp[c] = _pdf_bump_last(base, c - lo_v)
+                cur = a3
+        at = s.find("beginbfrange", end)
+
+    return (1 if code_bytes[0] == 0 else code_bytes[0], mp)
+
+
+def pdf_parse_content(s, fonts=None):
+    """Mirror of Pdf.parseContent (operand-stack scan; fonts maps Tf
+    names to CMaps, font state resets per stream)."""
+    fonts = fonts or {}
+    cur_cmap = [None]
     out = []
 
     def newline():
@@ -2341,9 +2645,11 @@ def pdf_parse_content(s):
             stack.append(("a", a))
             i += 1
         elif c == "/":
+            b = i + 1
             i += 1
             while i < n and not _pdf_is_ws(s[i]) and s[i] not in _PDF_DELIM:
                 i += 1
+            push(("nm", s[b:i]))
         elif c == "%":
             while i < n and s[i] != "\n":
                 i += 1
@@ -2366,16 +2672,16 @@ def pdf_parse_content(s):
                 i += 1
             if op == "Tj":
                 if stack and stack[-1][0] == "s":
-                    out.append(stack[-1][1])
+                    out.append(pdf_decode_shown(stack[-1][1], cur_cmap[0]))
             elif op in ("'", '"'):
                 newline()
                 if stack and stack[-1][0] == "s":
-                    out.append(stack[-1][1])
+                    out.append(pdf_decode_shown(stack[-1][1], cur_cmap[0]))
             elif op == "TJ":
                 if stack and stack[-1][0] == "a":
                     for kind, v in stack[-1][1]:
                         if kind == "s":
-                            out.append(v)
+                            out.append(pdf_decode_shown(v, cur_cmap[0]))
                         elif kind == "n" and v < -150.0:
                             out.append(" ")
             elif op in ("Td", "TD"):
@@ -2384,6 +2690,9 @@ def pdf_parse_content(s):
                     newline()
             elif op == "T*":
                 newline()
+            elif op == "Tf":
+                if len(stack) >= 2 and stack[-2][0] == "nm":
+                    cur_cmap[0] = fonts.get(stack[-2][1])
             stack = []
     return "".join(out)
 
@@ -2404,14 +2713,24 @@ def pdf_length_of(dict_s):
     return int(dict_s[b:i])
 
 
+_PDF_OBJ_RE = __import__("re").compile(r"(\d{1,9})\s+0\s+obj")
+_PDF_FONT_ENTRY_RE = __import__("re").compile(
+    r"/([^\s/<>\[\]()]+)\s+(\d{1,9})\s+0\s+R")
+_PDF_TOUNI_RE = __import__("re").compile(r"/ToUnicode\s+(\d{1,9})\s+0\s+R")
+
+
 def pdf_extract_text(pdf_bytes_):
-    """Mirror of Pdf.extractText -> (n_streams, text)."""
+    """Mirror of Pdf.extractText -> (n_streams, text): stream spans first
+    (structural scans skip payload bytes), object headers, /Font resource
+    map, /ToUnicode refs; CMap streams feed fonts and are excluded."""
     if pdf_bytes_ is None:
         return (0, "")
     doc = pdf_bytes_.decode("iso-8859-1")
-    parts = []
-    i = 0
     n = len(doc)
+
+    # pass 0: stream spans (/Length-bounded)
+    spans = []  # (at, data_start, ln, dict_s)
+    i = 0
     while True:
         at = doc.find("stream", i)
         if at < 0:
@@ -2432,19 +2751,95 @@ def pdf_extract_text(pdf_bytes_):
         if ln < 0 or data_start + ln > n:
             i = at + 6
             continue
+        spans.append((at, data_start, ln, dict_s))
+        i = data_start + ln
+
+    def in_stream_data(pos):
+        for (_a, ds, ln, _d) in spans:
+            if ds <= pos < ds + ln:
+                return True
+        return False
+
+    # object headers outside payload spans
+    headers = [(m.start(), int(m.group(1)))
+               for m in _PDF_OBJ_RE.finditer(doc)
+               if not in_stream_data(m.start())]
+
+    def owning_obj(pos):
+        best = -1
+        for (p, o) in headers:
+            if p <= pos:
+                best = o
+            else:
+                break
+        return best
+
+    def obj_body(obj_num):
+        for idx, (p, o) in enumerate(headers):
+            if o == obj_num:
+                end_obj = doc.find("endobj", p)
+                while end_obj >= 0 and in_stream_data(end_obj):
+                    end_obj = doc.find("endobj", end_obj + 6)
+                next_hdr = headers[idx + 1][0] if idx + 1 < len(headers) \
+                    else n
+                end = end_obj if 0 <= end_obj < next_hdr else next_hdr
+                return doc[p:end]
+        return ""
+
+    # /Font resource dicts -> name -> object (last binding wins)
+    font_obj_of = {}
+    f_at = doc.find("/Font")
+    while f_at >= 0:
+        if not in_stream_data(f_at):
+            open_ = doc.find("<<", f_at + 5)
+            if open_ >= 0:
+                close = doc.find(">>", open_ + 2)
+                if close >= 0:
+                    for m in _PDF_FONT_ENTRY_RE.finditer(
+                            doc[open_ + 2:close]):
+                        font_obj_of[m.group(1)] = int(m.group(2))
+        f_at = doc.find("/Font", f_at + 5)
+    to_uni_of = {}
+    for fo in set(font_obj_of.values()):
+        m = _PDF_TOUNI_RE.search(obj_body(fo))
+        if m:
+            to_uni_of[fo] = int(m.group(1))
+    cmap_objs = set(to_uni_of.values())
+
+    # pass 1: filter-decode all streams
+    all_streams = []
+    for (at, data_start, ln, dict_s) in spans:
         raw = pdf_bytes_[data_start:data_start + ln]
         if "/FlateDecode" in dict_s:
             try:
                 content = zlib.decompress(raw).decode("iso-8859-1")
             except Exception:
                 content = None
+        elif "/LZWDecode" in dict_s:
+            dec = pdf_lzw_decode(raw)
+            content = None if dec is None else dec.decode("iso-8859-1")
         else:
             content = raw.decode("iso-8859-1")
         if content is not None:
-            parsed = pdf_parse_content(content)
-            if parsed:
-                parts.append(parsed)
-        i = data_start + ln
+            all_streams.append((owning_obj(at), content))
+
+    # pass 2: CMaps -> fonts
+    cmap_by_obj = {o: pdf_parse_cmap(s) for (o, s) in all_streams
+                   if o in cmap_objs}
+    fonts = {}
+    for name, fo in font_obj_of.items():
+        t = to_uni_of.get(fo)
+        if t is not None and t in cmap_by_obj:
+            fonts[name] = cmap_by_obj[t]
+
+    # pass 3: content streams in document order
+    parts = []
+    for (o, content) in all_streams:
+        if o in cmap_objs:
+            continue
+        parsed = pdf_parse_content(content, fonts)
+        if parsed:
+            parts.append(parsed)
     return (len(parts), "\n".join(parts))
 
 
@@ -2476,22 +2871,64 @@ def pdf_content2(doc_id, text):
             ") Tj 0 -14 TD (tail) ' ET\n")
 
 
+def pdf_content3(doc_id, text):
+    """Mirror of PdfGen.content3 (F2 /ToUnicode font + BOM'd strings)."""
+    return ("BT\n/F2 10 Tf\n" +
+            "<0102> Tj\n" +
+            "(\\020\\021\\022) Tj\n" +
+            "<FF> Tj\n" +
+            ("<2021> Tj\n" if doc_id % 2 == 0 else "") +
+            "0 -14 Td\n" +
+            "<FEFF004800490021> Tj\n" +
+            ("<FEFFD835DD04> Tj\n" if doc_id % 5 == 0 else "") +
+            "/F1 9 Tf\n(back to latin1) Tj\nET\n")
+
+
+def pdf_cmap_stream(doc_id):
+    """Mirror of PdfGen.cmapStream (1-byte codes)."""
+    return ("/CIDInit /ProcSet findresource begin\n12 dict begin\n"
+            "begincmap\n"
+            "1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+            "2 beginbfchar\n<01> <0041>\n<02> <D835DD04>\nendbfchar\n"
+            "1 beginbfrange\n<10> <12> <0061>\nendbfrange\n" +
+            ("1 beginbfrange\n<20> <22> [<0058> <0059005A> <005A>]\n"
+             "endbfrange\n" if doc_id % 2 == 0 else "") +
+            "endcmap\nend\nend\n")
+
+
+def _pdf_encode(raw, sel):
+    if sel == 1:
+        return zlib.compress(raw, 6), " /Filter /FlateDecode"
+    if sel == 2:
+        return pdf_lzw_encode(raw), " /Filter /LZWDecode"
+    return raw, ""
+
+
 def pdf_bytes(doc_id, text):
     """Token-for-token mirror of PdfGen.pdfBytes."""
-    c1 = pdf_content1(doc_id, text).encode("iso-8859-1")
-    c2raw = pdf_content2(doc_id, text).encode("iso-8859-1")
-    flate = doc_id % 2 == 1
-    c2 = zlib.compress(c2raw, 6) if flate else c2raw
     parts = [b"%PDF-1.4\n"]
-    parts.append(("1 0 obj\n<< /Length %d >>\nstream\n" % len(c1))
-                 .encode("ascii"))
-    parts.append(c1)
-    parts.append(b"\nendstream\nendobj\n")
-    parts.append(("2 0 obj\n<< /Length %d%s >>\nstream\n" %
-                  (len(c2), " /Filter /FlateDecode" if flate else ""))
-                 .encode("ascii"))
-    parts.append(c2)
-    parts.append(b"\nendstream\nendobj\n")
+
+    def stream_obj(num, raw, sel):
+        data, filt = _pdf_encode(raw, sel)
+        parts.append(("%d 0 obj\n<< /Length %d%s >>\nstream\n" %
+                      (num, len(data), filt)).encode("ascii"))
+        parts.append(data)
+        parts.append(b"\nendstream\nendobj\n")
+
+    c1 = pdf_content1(doc_id, text).encode("iso-8859-1")
+    c2 = pdf_content2(doc_id, text).encode("iso-8859-1")
+    c3 = pdf_content3(doc_id, text).encode("iso-8859-1")
+    cm = pdf_cmap_stream(doc_id).encode("iso-8859-1")
+    stream_obj(1, c1, 0)
+    stream_obj(2, c2, 1 if doc_id % 4 == 1 else (2 if doc_id % 4 == 3 else 0))
+    parts.append(b"3 0 obj\n<< /Type /Page /Resources << /Font << "
+                 b"/F1 4 0 R /F2 6 0 R >> >> >>\nendobj\n")
+    parts.append(b"4 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont "
+                 b"/Helvetica >>\nendobj\n")
+    stream_obj(5, c3, 0)
+    parts.append(b"6 0 obj\n<< /Type /Font /Subtype /TrueType /BaseFont "
+                 b"/AAAAAA+Custom /ToUnicode 7 0 R >>\nendobj\n")
+    stream_obj(7, cm, doc_id % 3)
     parts.append(b"trailer\n<< /Root 3 0 R >>\n%%EOF\n")
     return b"".join(parts)
 
