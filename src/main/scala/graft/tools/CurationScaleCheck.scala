@@ -91,6 +91,49 @@ object CurationScaleCheck {
         }.toDF("url", "html")
       force(graft.ops.LinkGraph.edges(pages))
     }
+    // round-6 crawl family (VERDICT r5 next #8): a HOT-HOST url corpus —
+    // half of all urls live on ONE host (h0), the rest spread over 997 —
+    // so the replicated-build-side salt in Robots.annotate and the
+    // two-phase per-host top-k in Frontier.nextWave are what's measured,
+    // not a uniform easy case. Robots bodies reuse the 13 fixture shapes.
+    locally {
+      val hostCount = 997
+      val hostIdx = when(col("doc_id") % 2 === 0, lit(0))
+        .otherwise(pmod(col("doc_id"), lit(hostCount.toLong)))
+      val urlCol = concat(lit("https://h"), hostIdx, lit(".example.org/sec"),
+        pmod(col("doc_id"), lit(5L)), lit("/d/doc"), col("doc_id"),
+        lit(".html"))
+      val robots = {
+        import spark.implicits._
+        (0 until hostCount).flatMap(h =>
+          graft.pipeline.RobotsGen.robotsTxtFor(h % 13)
+            .map(b => (s"h$h.example.org", b)))
+          .toDF("host", "robots_txt")
+      }
+      val urls = corpus.select(urlCol.as("url"))
+      results("robots_annotate") = timedWarm {
+        force(graft.ops.Robots.annotate(urls, robots,
+          graft.pipeline.RobotsGen.Agent, saltBuckets = 16))
+      }
+      // frontier: every doc is a crawled page linking to a hot-skewed
+      // candidate shared by ~8 referrers (distinct-ref aggregation +
+      // robots gate + salted per-host top-k with the crawl-delay budget)
+      val srcCol = concat(lit("https://crawler.example.org/p/"), col("doc_id"))
+      val dstKey = pmod(col("doc_id"), lit(math.max(1L, n / 8)))
+      val dstCol = concat(lit("https://h"),
+        when(dstKey % 2 === 0, lit(0)).otherwise(pmod(dstKey, lit(hostCount.toLong))),
+        lit(".example.org/sec"), pmod(dstKey, lit(5L)), lit("/d/doc"),
+        dstKey, lit(".html"))
+      val edges = corpus.select(srcCol.as("src"), dstCol.as("dst"),
+        lit("").as("anchor"), lit(0).as("pos"))
+      val crawled = corpus.select(srcCol.as("url"))
+      results("frontier") = timedWarm {
+        force(graft.ops.Frontier.nextWave(edges, crawled, robots,
+          graft.pipeline.RobotsGen.Agent, k = 10, saltBuckets = 16,
+          crawlWindowSec = 7.0))
+      }
+    }
+
     // the replica corpus is adversarially near-duplicate BY CONSTRUCTION
     // (k variants per base doc differ by one token), so minhash candidate
     // volume grows ~k× per eval doc — at large k the run measures that
