@@ -733,8 +733,11 @@ object SparkEntry {
       // distinct link targets PLUS the host-extraction pinning urls
       // (query-embedded absolute url → OUTER host; scheme-less url →
       // host '' — ADVICE r5)
-      val urls = linkEdgesFor(s, dir).select(col("dst").as("url")).distinct()
-        .union(graft.pipeline.RobotsGen.ExtraUrls.toDF("url"))
+      // distinct AFTER the union: the golden generator computes a SET
+      // union of link targets and the extra urls, so an extra url that is
+      // also a link target must not duplicate
+      val urls = linkEdgesFor(s, dir).select(col("dst").as("url"))
+        .union(graft.pipeline.RobotsGen.ExtraUrls.toDF("url")).distinct()
       graft.ops.Robots.annotate(
         urls, robotsTable(s), graft.pipeline.RobotsGen.Agent, saltBuckets = 4)
         .orderBy(col("url"))

@@ -166,10 +166,12 @@ object Classifier {
   }
 
   /** Dispatching trainer (same path-dispatch shape as LinkGraph.pagerank
-    * and Bpe.train): a corpus under `maxDocs` is collected in ONE
-    * `limit(cap+1)`-bounded action and trained in the pinned local loop —
-    * bit-identical to the clean-room mirror, so the ORACLE always runs
-    * this path. A larger corpus routes to [[trainLogisticDistributed]]
+    * and Bpe.train): the cap is decided by a doc_id-only (column-pruned)
+    * `limit(cap+1)` count that never ships text to the driver; a corpus
+    * under `maxDocs` is then collected in one bounded action and trained
+    * in the pinned local loop — bit-identical to the clean-room mirror, so
+    * the ORACLE always runs this path. Null doc_id rows are dropped on
+    * both paths. A larger corpus routes to [[trainLogisticDistributed]]
     * (VERDICT r5 missing #3) instead of failing; that path's tree-order
     * float sums carry documented ULP wobble (tested against the local
     * path under tolerance), which is why it is the over-cap path and not
@@ -184,19 +186,25 @@ object Classifier {
     import spark.implicits._
     require(maxDocs > 0 && maxDocs < Int.MaxValue,
       s"maxDocs must fit limit()'s Int bound: $maxDocs")
-    // cap enforced in ONE action: limit(cap+1) bounds the collect
-    // regardless of corpus size and the length check replaces a separate
-    // count() — which would scan the labeled frame a second time (the
-    // same fix as Retrieval.bm25TopK's broadcast-cap check)
-    val rows = labeled.select(col("doc_id"), col("text"), col("y"))
-      .limit((maxDocs + 1).toInt)
-      .as[(Long, String, Int)].collect().sortBy(_._1)
-    require(rows.nonEmpty, "trainLogistic: empty labeled corpus")
-    if (rows.length > maxDocs) {
+    // null doc_id rows are dropped on BOTH dispatch paths (the distributed
+    // trainer filters them; without this the local path would crash on the
+    // same input the distributed path trains on — size-dependent behavior)
+    val clean = labeled.select(col("doc_id"), col("text"), col("y"))
+      .filter(col("doc_id").isNotNull)
+    // dispatch probe: a doc_id-only limit(cap+1) count — column-pruned, so
+    // the over-cap case never ships document TEXT to the driver (collecting
+    // cap+1 full rows just to learn "over cap" would be a driver OOM on the
+    // exact corpus the distributed path exists for). The under-cap case
+    // pays one extra cheap pruned job before the bounded collect.
+    val probed = clean.select(col("doc_id")).limit((maxDocs + 1).toInt).count()
+    if (probed > maxDocs) {
       System.err.println(s"[graft.classifier] corpus over $maxDocs docs — " +
         "routing to the distributed treeAggregate trainer")
       return trainLogisticDistributed(labeled, epochs, lr)
     }
+    val rows = clean.limit((maxDocs + 1).toInt)
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    require(rows.nonEmpty, "trainLogistic: empty labeled corpus")
     val feats = rows.map(r => featuresOf(r._2))
     val ys = rows.map(_._3.toDouble)
     trainLocal(feats, ys, epochs, lr)

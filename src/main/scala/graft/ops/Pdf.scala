@@ -183,7 +183,10 @@ object Pdf {
             else return None // impossible code: corrupt stream
           if (entry == null) return None
           out.write(entry, 0, entry.length)
-          if (prev != null && table.length < 4095)
+          // 12-bit code space holds indices 0..4095 — the table may grow
+          // to 4096 entries (code 4095 is legal), after which it freezes
+          // until the next clear
+          if (prev != null && table.length < 4096)
             table += (prev :+ entry(0))
           prev = entry
           if (table.length == (1 << width) - 1 && width < 12) width += 1
@@ -645,9 +648,26 @@ object Pdf {
     val fontObjOf = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     var fAt = doc.indexOf("/Font")
     while (fAt >= 0) {
-      if (!inStreamData(fAt)) {
-        val open = doc.indexOf("<<", fAt + 5)
-        if (open >= 0) {
+      // anchor: the token must be exactly "/Font" (not /FontDescriptor or
+      // /FontFile2 — the next char must be a PDF delimiter/whitespace) and
+      // its value dict must IMMEDIATELY follow (only whitespace between) —
+      // a bare indexOf("<<") would jump to an unrelated later dict and
+      // harvest bogus name→obj bindings (e.g. /Parent 2 0 R) that clobber
+      // real font bindings under last-binding-wins
+      // ASCII-pinned alnum (NOT Character.isLetterOrDigit — diverges from
+      // the Python mirror on Latin-1 superscripts); whitespace = isWs,
+      // the file's PDF-spec-7.2.2 set
+      def asciiAlnum(c: Char): Boolean =
+        (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+          (c >= '0' && c <= '9')
+      val after = fAt + 5
+      val tokenEnds = after >= doc.length || !asciiAlnum(doc.charAt(after))
+      if (tokenEnds && !inStreamData(fAt)) {
+        var j = after
+        while (j < doc.length && isWs(doc.charAt(j))) j += 1
+        if (j + 1 < doc.length && doc.charAt(j) == '<' &&
+            doc.charAt(j + 1) == '<') {
+          val open = j
           val close = doc.indexOf(">>", open + 2)
           if (close >= 0) {
             val fm = FontEntryRe.matcher(doc.substring(open + 2, close))

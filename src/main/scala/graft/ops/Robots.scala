@@ -126,7 +126,11 @@ object Robots {
             if (groups.nonEmpty && DelayValue.pattern.matcher(value).matches())
               groups.last.delays += value.toDouble
           case "sitemap" =>
-            if (value.nonEmpty) sitemaps += value
+            // reject values with embedded whitespace/control bytes (trim
+            // only strips the ends): a url is whitespace-free, and
+            // hostMeta's space-joined `sitemaps` contract depends on it —
+            // ASCII-pinned (c <= 0x20) to match the Python mirror
+            if (value.nonEmpty && !value.exists(_ <= ' ')) sitemaps += value
           case _ => () // unknown directive: ignored, does not close the run
         }
       }

@@ -340,10 +340,13 @@ object Similarity {
       embeddings: DataFrame,
       nLists: Int = 0,
       seed: Long = 42L,
-      sampleTarget: Int = 0): Array[Array[Double]] = {
+      sampleTarget: Int = 0,
+      knownN: Long = -1L): Array[Array[Double]] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val n = embeddings.count()
+    // knownN lets a caller that already counted (or persisted) the frame
+    // skip this count — semDedupHier trains TWO codebooks off one count
+    val n = if (knownN >= 0L) knownN else embeddings.count()
     val lists = if (nLists > 0) nLists else math.max(16, math.sqrt(n.toDouble).round.toInt)
     val target = if (sampleTarget > 0) sampleTarget else math.max(256, lists * 8)
     val rate = math.max(1L, n / target)
@@ -528,13 +531,17 @@ object Similarity {
       seed: Long = 42L,
       maxClusterSize: Int = 10000): DataFrame = {
     val spark = embeddings.sparkSession
-    val centroidsB = spark.sparkContext.broadcast(trainCentroids(embeddings, k, seed))
+    // persist the projected source FIRST so the upstream lineage runs once:
+    // trainCentroids' count materializes the cache and its sample scan +
+    // the assignment pass read it back (same shape as semDedupHier)
+    val src = CacheRegistry.register(
+      embeddings.select(col("vec_id"), col("embedding")).persist())
+    val centroidsB = spark.sparkContext.broadcast(trainCentroids(src, k, seed))
     val assignUdf = udf((v: Seq[Float]) => nearestLists(v.toArray, centroidsB.value, 1)(0))
     // persisted: feeds the size count, both self-join sides, and the final
     // status join
     val assigned = CacheRegistry.register(
-      embeddings.select(col("vec_id"), col("embedding"))
-        .withColumn("cluster", assignUdf(col("embedding")))
+      src.withColumn("cluster", assignUdf(col("embedding")))
         .persist())
     val sizes = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
     val joinable = assigned
@@ -580,21 +587,27 @@ object Similarity {
       seed: Long = 42L,
       maxClusterSize: Int = 10000): DataFrame = {
     val spark = embeddings.sparkSession
-    val n = embeddings.count()
+    // ONE materialization of the upstream lineage: persist the projected
+    // source, count it once (sizes the default codebooks AND both
+    // codebooks' sample rates via knownN), and derive the two sample scans
+    // + the assignment pass from the cache — the naive form re-ran the
+    // possibly-expensive upstream 5× (count + 2×(count+sample) + assign)
+    val src = CacheRegistry.register(
+      embeddings.select(col("vec_id"), col("embedding")).persist())
+    val n = src.count()
     val side = math.max(4, math.round(math.sqrt(math.sqrt(n.toDouble))).toInt)
     val kc = if (k1 > 0) k1 else side
     val kf = if (k2 > 0) k2 else side
     val coarseB = spark.sparkContext.broadcast(
-      trainCentroids(embeddings, kc, seed))
+      trainCentroids(src, kc, seed, knownN = n))
     val fineB = spark.sparkContext.broadcast(
-      trainCentroids(embeddings, kf, seed + 1))
+      trainCentroids(src, kf, seed + 1, knownN = n))
     val assignCoarse = udf((v: Seq[Float]) =>
       nearestLists(v.toArray, coarseB.value, 1)(0))
     val assignFine = udf((v: Seq[Float]) =>
       nearestLists(v.toArray, fineB.value, 1)(0))
     val assigned = CacheRegistry.register(
-      embeddings.select(col("vec_id"), col("embedding"))
-        .withColumn("coarse", assignCoarse(col("embedding")))
+      src.withColumn("coarse", assignCoarse(col("embedding")))
         .withColumn("fine", assignFine(col("embedding")))
         .persist())
     val sizes = assigned.groupBy(col("coarse"), col("fine"))

@@ -238,6 +238,9 @@ object RobotsGen {
     // the document-order first-occurrence dedup
     if (h % 5 == 0) b += "Sitemap: https://" + hostFor(h) + "/sitemap2.xml"
     if (h == 10) b += "Sitemap: https://" + hostFor(h) + "/sitemap.xml"
+    // embedded whitespace in the value → REJECTED (urls are whitespace-
+    // free; pins the n_sitemaps/space-joined contract)
+    if (h == 3) b += "Sitemap: https://" + hostFor(h) + "/sm.xml extra junk"
     if (h == 5) {
       b += ""
       b += "User-agent: graftbot"

@@ -72,6 +72,23 @@ class ClassifierTrainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.forall(_.getBoolean(4)))
   }
 
+  test("null doc_id rows drop identically on both dispatch paths") {
+    import spark.implicits._
+    val rows = Seq(
+      (Option(1L), "aa bb cc", 1), (Option(2L), "xx yy zz", 0),
+      (Option.empty[Long], "aa bb dd", 1), // null id: dropped, not crashed
+      (Option(4L), "xx yy ww", 0), (Option(5L), "aa cc dd", 1))
+    val labeled = rows.toDF("doc_id", "text", "y")
+    val clean = rows.filter(_._1.isDefined)
+      .map(r => (r._1.get, r._2, r._3)).toDF("doc_id", "text", "y")
+    val withNull = Classifier.trainLogistic(labeled, epochs = 10)
+    val without = Classifier.trainLogistic(clean, epochs = 10)
+    assert(withNull === without) // local path: bit-identical after the drop
+    // distributed path on the same null-bearing frame also just drops it
+    val dist = Classifier.trainLogisticDistributed(labeled, epochs = 10)
+    assert(math.abs(dist.bias - without.bias) < 1e-9)
+  }
+
   test("over-cap corpus routes to the distributed trainer (dispatch)") {
     import spark.implicits._
     val labeled = (0L until 60L).map { i =>

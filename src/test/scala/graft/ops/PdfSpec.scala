@@ -169,4 +169,62 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.lengthOf("<< /Length abc >>") === -1L)
     assert(Pdf.lengthOf("<< /Length 1234567890123456789012 >>") === -1L)
   }
+
+  test("lzw: entry 4095 is buildable and code 4095 decodes (full table)") {
+    // hand-packed stream: single-byte codes until the decoder's table
+    // reaches 4096 entries (index 4095 = the last legal 12-bit code), then
+    // code 4095 itself. A 4095-capped table either fabricates KwKwK bytes
+    // here or rejects the stream. The repo's own encoder clears at 3000 so
+    // round-trip tests never reach this corner — only external PDFs do.
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var bits = 0; var width = 9
+    def emit(code: Int): Unit = {
+      acc = (acc << width) | code.toLong; bits += width
+      while (bits >= 8) {
+        out.write(((acc >>> (bits - 8)) & 0xFF).toInt); bits -= 8
+      }
+    }
+    emit(256) // clear
+    var tableLen = 258
+    var first = true
+    (0 until 3839).foreach { i =>
+      emit(i % 256)
+      if (!first) { // decoder adds an entry for every code after the first
+        tableLen += 1
+        if (tableLen == (1 << width) - 1 && width < 12) width += 1
+      }
+      first = false
+    }
+    assert(tableLen === 4096) // index 4095 was just built
+    emit(4095)
+    emit(257) // EOD
+    if (bits > 0) out.write(((acc << (8 - bits)) & 0xFF).toInt)
+    val dec = Pdf.lzwDecode(out.toByteArray)
+    assert(dec.isDefined)
+    val d = dec.get
+    assert(d.length === 3839 + 2)
+    // entry 4095 = prev(b3837) :+ head(b3838) = [253, 254]
+    assert(d(d.length - 2) === 253.toByte && d(d.length - 1) === 254.toByte)
+  }
+
+  test("extractText: /Font-prefixed tokens don't harvest unrelated dicts") {
+    def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
+    def streamObj(n: Int, data: String) =
+      s"$n 0 obj\n<< /Length ${data.length} >>\nstream\n$data\nendstream\nendobj\n"
+    val cmap = "1 beginbfchar\n<61> <005A>\nendbfchar"
+    val doc = "%PDF-1.4\n" +
+      obj(3, "<< /Font << /F1 5 0 R >> >>") + // the REAL binding: F1 -> 5
+      obj(5, "<< /Type /Font /ToUnicode 7 0 R >>") +
+      streamObj(7, cmap) +
+      // a /Font-PREFIXED token (/FontFile2) followed by an unrelated dict
+      // carrying /F1 99 0 R: an unanchored scan jumps to that dict and
+      // clobbers F1 -> 99 (last-binding-wins), losing the CMap
+      obj(6, "<< /FontFile2 8 0 R >>") +
+      obj(9, "<< /F1 99 0 R /Parent 2 0 R >>") +
+      streamObj(4, "BT /F1 12 Tf (a) Tj ET")
+    val (k, t) = Pdf.extractText(
+      doc.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(k === 1) // the CMap stream is excluded from the count
+    assert(t === "Z") // 0x61 'a' maps through font 5's CMap
+  }
 }

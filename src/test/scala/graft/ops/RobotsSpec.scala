@@ -133,6 +133,14 @@ class RobotsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "Disallow: /r"
     assert(Robots.parseAgent(run, "graftbot")._1 ===
       IndexedSeq(Robots.Rule(false, "/r")))
+    // embedded whitespace in a sitemap value -> rejected (urls are
+    // whitespace-free; hostMeta's space-joined contract depends on it)
+    val ws = "User-agent: *\nDisallow:\n" +
+      "Sitemap: https://x.org/sm.xml extra junk\n" +
+      "Sitemap: https://x.org/a\tb\n" +
+      "Sitemap: https://x.org/ok.xml"
+    assert(Robots.parseAgent(ws, "graftbot")._3 ===
+      IndexedSeq("https://x.org/ok.xml"))
   }
 
   test("hostMeta: fixture delays and sitemap dedup") {

@@ -1352,6 +1352,8 @@ def sent_split(text):
 # mirror of graft/ops/Warc.scala's pinned byte-level parse spec.
 
 import datetime as _dt
+import gzip
+import zlib
 
 
 def warc_date(doc_id):
@@ -1370,6 +1372,47 @@ def warc_archive(pages):
         parts.append(html)
         parts.append(b"\r\n\r\n")
     return b"".join(parts)
+
+
+def warc_archive_gz(pages):
+    """Per-record-gzipped archive (the .warc.gz convention): every record
+    of warc_archive compresses as its OWN gzip member, concatenated.
+    mtime pinned to 0 for determinism."""
+    parts = []
+    for doc_id, html, url in pages:
+        header = ("WARC/1.0\r\nWARC-Type: response\r\n"
+                  "WARC-Target-URI: %s\r\nWARC-Date: %s\r\n"
+                  "Content-Length: %d\r\n\r\n" % (url, warc_date(doc_id),
+                                                  len(html)))
+        record = header.encode("ascii") + html + b"\r\n\r\n"
+        parts.append(gzip.compress(record, mtime=0))
+    return b"".join(parts)
+
+
+def gz_members(data):
+    """Split a multi-member gzip blob into decompressed members (mirrors
+    graft.ops.Warc.gzMembers): valid-prefix semantics — a truncated or
+    corrupt member (zlib error, bad CRC/ISIZE, junk byte) ends the scan.
+    zlib's gzip mode verifies the trailer itself (eof only sets after a
+    valid CRC32+ISIZE), matching the Scala side's explicit check."""
+    out = []
+    pos = 0
+    while (pos + 10 <= len(data) and data[pos] == 0x1F
+           and data[pos + 1] == 0x8B and data[pos + 2] == 8):
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            member = d.decompress(data[pos:])
+        except zlib.error:
+            break
+        if not d.eof:
+            break  # truncated member: stop at the valid prefix
+        out.append(member)
+        pos = len(data) - len(d.unused_data)
+    return out
+
+
+def gunzip_members(data):
+    return b"".join(gz_members(data))
 
 
 def warc_parse(data):
@@ -1504,6 +1547,9 @@ def rb_robots_txt_for(h):
         b.append("Sitemap: https://" + rb_host_for(h) + "/sitemap2.xml")
     if h == 10:
         b.append("Sitemap: https://" + rb_host_for(h) + "/sitemap.xml")
+    if h == 3:
+        # embedded whitespace -> rejected (pins the whitespace gate)
+        b.append("Sitemap: https://" + rb_host_for(h) + "/sm.xml extra junk")
     if h == 5:
         b.append("")
         b.append("User-agent: graftbot")
@@ -1585,6 +1631,11 @@ def rb_parse_body(body):
             if groups and _RB_DELAY_RE.match(value):
                 groups[-1][2].append(float(value))
         elif name == "sitemap":
+            # reject embedded whitespace/control bytes (ASCII-pinned
+            # c <= 0x20, mirrors Robots.parseBody) -- preserves the
+            # space-joined sitemaps contract in host_meta
+            if any(ord(ch) <= 0x20 for ch in value):
+                value = ""
             if value and value not in seen_sm:
                 seen_sm.add(value)
                 sitemaps.append(value)
@@ -2345,7 +2396,9 @@ def pdf_lzw_decode(data):
             if entry is None:
                 return None
             out.extend(entry)
-            if prev is not None and len(table) < 4095:
+            # 12-bit code space holds indices 0..4095 -> table may grow
+            # to 4096 entries (code 4095 is legal), then freezes
+            if prev is not None and len(table) < 4096:
                 table.append(prev + entry[:1])
             prev = entry
             if len(table) == (1 << width) - 1 and width < 12:
@@ -2790,13 +2843,24 @@ def pdf_extract_text(pdf_bytes_):
     font_obj_of = {}
     f_at = doc.find("/Font")
     while f_at >= 0:
-        if not in_stream_data(f_at):
-            open_ = doc.find("<<", f_at + 5)
-            if open_ >= 0:
-                close = doc.find(">>", open_ + 2)
+        # anchor: token must be exactly "/Font" (next char a delimiter)
+        # and the dict must IMMEDIATELY follow (whitespace only between) --
+        # mirrors graft.ops.Pdf's anchored scan
+        after = f_at + 5
+        # ASCII-pinned (str.isalnum accepts Latin-1 superscripts that
+        # Java's Character.isLetterOrDigit rejects)
+        token_ends = after >= len(doc) or not (
+            "A" <= doc[after] <= "Z" or "a" <= doc[after] <= "z"
+            or "0" <= doc[after] <= "9")
+        if token_ends and not in_stream_data(f_at):
+            j = after
+            while j < len(doc) and doc[j] in " \t\r\n\f\x00":
+                j += 1
+            if j + 1 < len(doc) and doc[j] == "<" and doc[j + 1] == "<":
+                close = doc.find(">>", j + 2)
                 if close >= 0:
                     for m in _PDF_FONT_ENTRY_RE.finditer(
-                            doc[open_ + 2:close]):
+                            doc[j + 2:close]):
                         font_obj_of[m.group(1)] = int(m.group(2))
         f_at = doc.find("/Font", f_at + 5)
     to_uni_of = {}
