@@ -59,6 +59,44 @@ object SparkEntry {
       }.toDF("archive_id", "data")
   }
 
+  /** The same archives in the `.warc.gz` member-per-record convention:
+    * every record (header + payload + CRLF CRLF) compresses as its OWN
+    * gzip member, members concatenated — the Common Crawl layout. The
+    * compressed BYTES are engine-local (Java Deflater here, Python gzip
+    * in the mirror — headers and deflate output differ); the pinned
+    * surface is the member split + reassembled plain stream, which both
+    * engines must reduce to the identical q_warc_records rows.
+    */
+  private def warcGzArchives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)]
+      .groupByKey(_._1 / 20L)
+      .mapGroups { (aid: Long, it: Iterator[(Long, String, String)]) =>
+        val ascii = java.nio.charset.StandardCharsets.US_ASCII
+        val pages = it.toArray.sortBy(_._1)
+        val bos = new java.io.ByteArrayOutputStream()
+        pages.foreach { case (id, t0, lang) =>
+          val t = if (t0 == null) "" else t0
+          val page = graft.pipeline.PageGen.pageFor(id, t, lang)
+          val date = java.time.Instant
+            .ofEpochMilli(1767225600000L + id * 1000L).toString
+          val header = s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: ${page.url}\r\nWARC-Date: $date\r\n" +
+            s"Content-Length: ${page.html.length}\r\n\r\n"
+          val rec = new java.io.ByteArrayOutputStream()
+          rec.write(header.getBytes(ascii))
+          rec.write(page.html)
+          rec.write("\r\n\r\n".getBytes(ascii))
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write(rec.toByteArray)
+          gz.finish() // member trailer; the next record opens a new member
+        }
+        (aid, bos.toByteArray)
+      }.toDF("archive_id", "data")
+  }
+
   /** Same archive convention, but the payloads are the CharsetGen
     * mixed-encoding fixtures — q_warc_charset's full-ingest-head input
     * (Content-Length over utf-16 payload bytes binds the binary-safe
@@ -781,6 +819,15 @@ object SparkEntry {
     //      mirrored clean-room over the shared archive convention) ----
     "q_warc_records" -> ((s, dir) =>
       graft.ops.Warc.records(warcArchives(s, dir))
+        .orderBy(col("archive_id"), col("rec_offset"))),
+
+    // ---- the same records through the .warc.gz member-per-record path
+    //      (Common Crawl layout): gzip member split (RFC 1952 headers,
+    //      verified trailers) → plain-stream reassembly → record parse.
+    //      Oracle golden is generated through the mirror's own gz path
+    //      and must equal q_warc_records' rows exactly ----
+    "q_warc_gz" -> ((s, dir) =>
+      graft.ops.Warc.recordsGz(warcGzArchives(s, dir))
         .orderBy(col("archive_id"), col("rec_offset"))),
 
     // ---- full ingest-head composition: archive bytes → record split →
@@ -2112,6 +2159,9 @@ object SparkEntry {
     "q_bm25" -> golden("q_bm25"),
     "q_sentences" -> golden("q_sentences"),
     "q_warc_records" -> golden("q_warc_records"),
+    // generated through the mirror's own gzip-member path; row-equal to
+    // q_warc_records by construction (the generator asserts it)
+    "q_warc_gz" -> golden("q_warc_gz"),
     "q_warc_charset" -> golden("q_warc_charset"),
     // stream and batch share ONE golden — any drift between the streaming
     // micro-batch path and the batch kernel fails this row

@@ -170,4 +170,122 @@ object Warc {
       }.toDF("archive_id", "rec_offset", "uri", "content_length",
         "charset", "had_bom", "n_chars", "prefix")
   }
+
+  // ==== multi-member gzip (the Common Crawl `.warc.gz` convention:
+  //      each WARC record is its own gzip member, concatenated) ====
+
+  /** Split a multi-member gzip blob into its decompressed members.
+    * Clean-room per RFC 1952: each member is a 10-byte header (magic
+    * 1F 8B, CM=8/deflate, FLG) + optional FEXTRA/FNAME/FCOMMENT/FHCRC
+    * fields + a raw deflate stream + an 8-byte trailer (CRC32 + ISIZE,
+    * both LE). The trailer is VERIFIED — a CRC or size mismatch, a
+    * truncated stream, or a non-member byte ends the scan with the valid
+    * prefix (the parser totality contract; never throws). Both engines
+    * wrap zlib for the deflate itself (graftpy mirrors via
+    * zlib.decompressobj), so the split points — not the codec — are the
+    * pinned surface.
+    */
+  def gzMembers(data: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    if (data == null) return IndexedSeq.empty
+    val out = IndexedSeq.newBuilder[Array[Byte]]
+    var pos = 0
+    var done = false
+    while (!done) {
+      if (pos + 10 > data.length || (data(pos) & 0xFF) != 0x1F ||
+          (data(pos + 1) & 0xFF) != 0x8B || data(pos + 2) != 8) done = true
+      else {
+        val flg = data(pos + 3) & 0xFF
+        var p = pos + 10
+        var ok = true
+        if ((flg & 4) != 0) { // FEXTRA: XLEN (LE) + bytes
+          if (p + 2 > data.length) ok = false
+          else {
+            val xlen = (data(p) & 0xFF) | ((data(p + 1) & 0xFF) << 8)
+            p += 2 + xlen
+          }
+        }
+        def skipZeroTerminated(): Unit = { // FNAME / FCOMMENT
+          while (ok && p < data.length && data(p) != 0) p += 1
+          if (p >= data.length) ok = false else p += 1
+        }
+        if (ok && (flg & 8) != 0) skipZeroTerminated()
+        if (ok && (flg & 16) != 0) skipZeroTerminated()
+        if (ok && (flg & 2) != 0) p += 2 // FHCRC
+        if (!ok || p > data.length) done = true
+        else {
+          val inf = new java.util.zip.Inflater(true) // raw deflate
+          inf.setInput(data, p, data.length - p)
+          val bos = new java.io.ByteArrayOutputStream(
+            math.max(64, (data.length - p) * 3))
+          val buf = new Array[Byte](65536)
+          var err = false
+          try {
+            while (!inf.finished() && !err) {
+              val n = inf.inflate(buf)
+              if (n > 0) bos.write(buf, 0, n)
+              else if (inf.needsInput() || inf.needsDictionary())
+                err = true // truncated / preset-dictionary: damage
+            }
+          } catch {
+            case _: java.util.zip.DataFormatException => err = true
+          }
+          val consumed = (data.length - p) - inf.getRemaining
+          inf.end()
+          if (err) done = true
+          else {
+            val trailerAt = p + consumed
+            if (trailerAt + 8 > data.length) done = true
+            else {
+              val member = bos.toByteArray
+              def le4(o: Int): Long =
+                (data(o) & 0xFFL) | ((data(o + 1) & 0xFFL) << 8) |
+                  ((data(o + 2) & 0xFFL) << 16) | ((data(o + 3) & 0xFFL) << 24)
+              val crc = new java.util.zip.CRC32()
+              crc.update(member)
+              if (le4(trailerAt) != crc.getValue ||
+                  le4(trailerAt + 4) != (member.length.toLong & 0xFFFFFFFFL))
+                done = true // corrupt trailer: stop at the valid prefix
+              else {
+                out += member
+                pos = trailerAt + 8
+                if (pos >= data.length) done = true
+              }
+            }
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Decompress every valid-prefix member and concatenate — for a
+    * per-record-gzipped WARC this reconstructs the PLAIN archive byte
+    * stream, so record offsets downstream equal the uncompressed
+    * convention's.
+    */
+  def gunzipMembers(data: Array[Byte]): Array[Byte] = {
+    val ms = gzMembers(data)
+    if (ms.isEmpty) Array.emptyByteArray
+    else if (ms.length == 1) ms(0)
+    else {
+      val bos = new java.io.ByteArrayOutputStream(ms.iterator.map(_.length).sum)
+      ms.foreach(m => bos.write(m, 0, m.length))
+      bos.toByteArray
+    }
+  }
+
+  /** `.warc.gz` archive table → the same rows as [[records]]: split the
+    * gzip members, reassemble the plain stream, parse. Map-only per
+    * archive; the member scan is sequential WITHIN one blob (gzip members
+    * only reveal their end by decompression) but archives parallelize —
+    * the Common Crawl layout is many ~1 GB warc.gz files, one task each,
+    * which is exactly this op's input shape. Offsets are positions in the
+    * reassembled plain stream, identical to the uncompressed convention
+    * (pinned by q_warc_gz sharing q_warc_records' row values).
+    */
+  def recordsGz(archives: DataFrame): DataFrame = {
+    val gunzip = udf((b: Array[Byte]) => gunzipMembers(b))
+    records(archives.select(col("archive_id"),
+      gunzip(col("data")).as("data")))
+  }
 }

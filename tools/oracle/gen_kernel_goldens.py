@@ -381,6 +381,35 @@ def main():
            "content_length": [x[5] for x in _wrows],
            "extracted": [x[6] for x in _wrows]})
 
+    # ---- q_warc_gz (same records via the .warc.gz member-per-record
+    #      path: gzip member split -> plain-stream reassembly -> parse;
+    #      must reduce to exactly q_warc_records' rows) ----
+    _gzrows = []
+    for aid in sorted(_by_arc):
+        pages = []
+        for i, t in sorted(_by_arc[aid]):
+            t = t if t is not None else ""
+            html = g.wrap_html(g.noisy_render(t, i), g.url_for(i),
+                               i).encode("utf-8")
+            pages.append((i, html, g.url_for(i)))
+        blob = g.gunzip_members(g.warc_archive_gz(pages))
+        for (off, rt, uri, dt, cl, payload) in g.warc_parse(blob):
+            _gzrows.append((aid, off, rt, uri, dt, cl,
+                            g.extract_text(payload.decode("utf-8"))))
+    assert _gzrows == _wrows, "gz path must reproduce the plain rows"
+    write("q_warc_gz",
+          pa.schema([("archive_id", pa.int64()), ("rec_offset", pa.int64()),
+                     ("rec_type", pa.string()), ("uri", pa.string()),
+                     ("warc_date", pa.string()), ("content_length", pa.int64()),
+                     ("extracted", pa.string())]),
+          {"archive_id": [x[0] for x in _gzrows],
+           "rec_offset": [x[1] for x in _gzrows],
+           "rec_type": [x[2] for x in _gzrows],
+           "uri": [x[3] for x in _gzrows],
+           "warc_date": [x[4] for x in _gzrows],
+           "content_length": [x[5] for x in _gzrows],
+           "extracted": [x[6] for x in _gzrows]})
+
     # ---- q_warc_charset (archive -> record split -> charset sniff +
     #      decode over mixed-encoding payloads; full ingest head) ----
     _wc = []
