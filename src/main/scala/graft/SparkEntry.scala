@@ -219,6 +219,11 @@ object SparkEntry {
     graft.pipeline.RobotsGen.rows.toDF("host", "robots_txt")
   }
 
+  private def sitemapTable(s: SparkSession): DataFrame = {
+    import s.implicits._
+    graft.pipeline.SitemapGen.rows.toDF("host", "sitemap_xml")
+  }
+
   private val linkEdgeCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def linkEdgesFor(s: SparkSession, dir: String): DataFrame =
@@ -786,6 +791,21 @@ object SparkEntry {
     "q_robots_meta" -> ((s, dir) =>
       graft.ops.Robots.hostMeta(robotsTable(s), graft.pipeline.RobotsGen.Agent)
         .orderBy(col("host"))),
+
+    // ---- sitemap XML parse (urlset + sitemapindex, entity refs,
+    //      damage-skipped blocks) over the SitemapGen fixture ----
+    "q_sitemap" -> ((s, dir) =>
+      graft.ops.Sitemaps.parse(sitemapTable(s))
+        .orderBy(col("host"), col("seq"))),
+
+    // ---- sitemap → frontier seeding, robots-gated end-to-end: the
+    //      politeness loop closes (robots names the sitemap, the sitemap
+    //      names the urls, robots rules still gate each one). Salt
+    //      FORCED to 4 so annotate's replicated-build path binds ----
+    "q_sitemap_seed" -> ((s, dir) =>
+      graft.ops.Sitemaps.seeds(sitemapTable(s), robotsTable(s),
+        graft.pipeline.RobotsGen.Agent, saltBuckets = 4)
+        .orderBy(col("url"))),
 
     // ---- crawl-frontier composition: edges of the even-doc_id crawl
     //      wave → uncrawled, robots-allowed targets, top-5 per host by
@@ -2134,6 +2154,8 @@ object SparkEntry {
     "q_pagerank" -> golden("q_pagerank"),
     "q_robots" -> golden("q_robots"),
     "q_robots_meta" -> golden("q_robots_meta"),
+    "q_sitemap" -> golden("q_sitemap"),
+    "q_sitemap_seed" -> golden("q_sitemap_seed"),
     "q_html_meta" -> golden("q_html_meta"),
     "q_charset" -> golden("q_charset"),
     "q_frontier" ->

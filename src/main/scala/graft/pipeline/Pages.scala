@@ -268,6 +268,79 @@ object RobotsGen {
     (0 until 13).flatMap(h => robotsTxtFor(h).map(t => (hostFor(h), t)))
 }
 
+/** Deterministic sitemap-XML synthesis for q_sitemap / q_sitemap_seed
+  * (mirrored literally in graftpy.py sm_xml_for — shared convention,
+  * separate parsers). Hosts h%4==0 publish a `<sitemapindex>`; the rest a
+  * `<urlset>` whose locs land on BOTH sides of the RobotsGen rules (the
+  * allowed /secN/d/ dir, the disallowed /secN/ dir, the `*7.html$` glob,
+  * /x-default/, and h 5's $-anchored query rule via an `&amp;` loc).
+  * Entries exercise: whitespace-padded locs, named + decimal + hex
+  * character references (incl. a supplementary code point), lastmod /
+  * changefreq presence cycling, an unparseable priority ("high"), a
+  * loc-less block, an empty loc (h 8), and an unterminated final block
+  * (h 6) — the last three are SKIPPED by the damage guard.
+  */
+object SitemapGen {
+  import RobotsGen.hostFor
+
+  def xmlFor(h: Int): String = {
+    val b = scala.collection.mutable.ArrayBuffer.empty[String]
+    b += "<?xml version=\"1.0\" encoding=\"UTF-8\"?>"
+    if (h % 4 == 0) {
+      b += "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"
+      b += "<sitemap>"
+      b += "<loc>https://" + hostFor(h) + "/sitemap-0.xml</loc>"
+      b += "<lastmod>2026-0" + ((h % 9) + 1) + "-15</lastmod>"
+      b += "</sitemap>"
+      b += "<sitemap>"
+      b += "<loc>  https://" + hostFor(h) + "/sitemap-1.xml\t</loc>"
+      b += "</sitemap>"
+      b += "<sitemap><lastmod>2026-01-01</lastmod></sitemap>" // no loc: skipped
+      b += "</sitemapindex>"
+    } else {
+      b += "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"
+      val n = 4 + (h % 3)
+      (0 until n).foreach { k =>
+        b += "<url>"
+        val path = (k % 6) match {
+          case 0 => "/sec" + (h % 5) + "/d/doc" + (h * 100 + k) + ".html"
+          case 1 => "/sec" + (h % 5) + "/p" + k + ".html"
+          case 2 => "/x-default/page" + k
+          case 3 => "/a" + k + "7.html"
+          case 4 => "/sec" + (h % 5) + "/d/doc" + k + "?a=1&amp;b=5"
+          case _ => "/e" + k + "&#47;x&#x41;/emoji&#x1F600;"
+        }
+        val loc = "https://" + hostFor(h) + path
+        b += (if (k == 2) "<loc>\n  " + loc + " \n</loc>" // padded: trimmed
+              else "<loc>" + loc + "</loc>")
+        if (k % 2 == 0)
+          b += "<lastmod>2026-0" + ((k % 9) + 1) + "-0" + ((h % 9) + 1) +
+            "</lastmod>"
+        if (k % 3 != 1)
+          b += "<changefreq>" + Seq("daily", "weekly", "monthly")(k % 3) +
+            "</changefreq>"
+        (k % 4) match {
+          case 0 => b += "<priority>0." + (k % 10) + "</priority>"
+          case 1 => b += "<priority>high</priority>" // unparseable: null
+          case 2 => b += "<priority>1</priority>"
+          case _ => () // absent
+        }
+        b += "</url>"
+      }
+      if (h == 8) b += "<url><loc></loc></url>" // empty loc: skipped
+      if (h == 6) b += "<url><loc>https://" + hostFor(h) + "/never</loc>"
+      // h 6's block above is UNTERMINATED on purpose — </urlset> below is
+      // inside it, so the parser's damage guard must drop it
+      b += "</urlset>"
+    }
+    b.mkString("\n")
+  }
+
+  /** All (host, sitemap_xml) rows. */
+  def rows: Seq[(String, String)] =
+    (0 until 13).map(h => (hostFor(h), xmlFor(h)))
+}
+
 /** Deterministic head-metadata page synthesis for q_html_meta: per doc id
   * the head block exercises mixed-case tag names, both quote styles plus
   * unquoted attribute values, swapped attribute order, entity-encoded

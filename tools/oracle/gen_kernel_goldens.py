@@ -322,6 +322,29 @@ def main():
           {"host": [x[0] for x in _rm], "crawl_delay": [x[1] for x in _rm],
            "n_sitemaps": [x[2] for x in _rm], "sitemaps": [x[3] for x in _rm]})
 
+    # ---- q_sitemap (urlset/sitemapindex parse over the SitemapGen
+    #      fixture; entity refs + damage guards; parser mirrored
+    #      clean-room) ----
+    _sm = g.sm_rows()
+    write("q_sitemap",
+          pa.schema([("host", pa.string()), ("kind", pa.string()),
+                     ("seq", pa.int32()), ("loc", pa.string()),
+                     ("lastmod", pa.string()), ("changefreq", pa.string()),
+                     ("priority", pa.float64())]),
+          {"host": [x[0] for x in _sm], "kind": [x[1] for x in _sm],
+           "seq": [x[2] for x in _sm], "loc": [x[3] for x in _sm],
+           "lastmod": [x[4] for x in _sm], "changefreq": [x[5] for x in _sm],
+           "priority": [x[6] for x in _sm]})
+
+    # ---- q_sitemap_seed (urlset locs, distinct, robots-gated: the
+    #      politeness loop end-to-end) ----
+    _ss = g.sm_seeds()
+    write("q_sitemap_seed",
+          pa.schema([("url", pa.string()), ("host", pa.string()),
+                     ("crawl_delay", pa.float64())]),
+          {"url": [x[0] for x in _ss], "host": [x[1] for x in _ss],
+           "crawl_delay": [x[2] for x in _ss]})
+
     # ---- q_bm25 (Okapi BM25 top-10; query fixture convention = every
     #      25th doc's first 3 distinct >=5-char tokens; pinned portable ln
     #      + query-order folds make scores bit-exact) ----

@@ -1748,6 +1748,193 @@ def rb_hostmeta(agent=RB_AGENT):
     return rows
 
 
+# ---- sitemap XML parse (mirrors graft.ops.Sitemaps + SitemapGen) ----
+
+
+def sm_xml_for(h):
+    """Token-for-token mirror of SitemapGen.xmlFor (Pages.scala)."""
+    host = rb_host_for(h)
+    b = ['<?xml version="1.0" encoding="UTF-8"?>']
+    if h % 4 == 0:
+        b.append('<sitemapindex xmlns="http://www.sitemaps.org/schemas'
+                 '/sitemap/0.9">')
+        b.append("<sitemap>")
+        b.append("<loc>https://" + host + "/sitemap-0.xml</loc>")
+        b.append("<lastmod>2026-0" + str((h % 9) + 1) + "-15</lastmod>")
+        b.append("</sitemap>")
+        b.append("<sitemap>")
+        b.append("<loc>  https://" + host + "/sitemap-1.xml\t</loc>")
+        b.append("</sitemap>")
+        b.append("<sitemap><lastmod>2026-01-01</lastmod></sitemap>")
+        b.append("</sitemapindex>")
+    else:
+        b.append('<urlset xmlns="http://www.sitemaps.org/schemas'
+                 '/sitemap/0.9">')
+        n = 4 + (h % 3)
+        for k in range(n):
+            b.append("<url>")
+            m = k % 6
+            if m == 0:
+                path = "/sec%d/d/doc%d.html" % (h % 5, h * 100 + k)
+            elif m == 1:
+                path = "/sec%d/p%d.html" % (h % 5, k)
+            elif m == 2:
+                path = "/x-default/page%d" % k
+            elif m == 3:
+                path = "/a%d7.html" % k
+            elif m == 4:
+                path = "/sec%d/d/doc%d?a=1&amp;b=5" % (h % 5, k)
+            else:
+                path = "/e%d&#47;x&#x41;/emoji&#x1F600;" % k
+            loc = "https://" + host + path
+            if k == 2:
+                b.append("<loc>\n  " + loc + " \n</loc>")
+            else:
+                b.append("<loc>" + loc + "</loc>")
+            if k % 2 == 0:
+                b.append("<lastmod>2026-0%d-0%d</lastmod>"
+                         % ((k % 9) + 1, (h % 9) + 1))
+            if k % 3 != 1:
+                b.append("<changefreq>" +
+                         ["daily", "weekly", "monthly"][k % 3] +
+                         "</changefreq>")
+            if k % 4 == 0:
+                b.append("<priority>0.%d</priority>" % (k % 10))
+            elif k % 4 == 1:
+                b.append("<priority>high</priority>")
+            elif k % 4 == 2:
+                b.append("<priority>1</priority>")
+            b.append("</url>")
+        if h == 8:
+            b.append("<url><loc></loc></url>")
+        if h == 6:
+            b.append("<url><loc>https://" + host + "/never</loc>")
+        b.append("</urlset>")
+    return "\n".join(b)
+
+
+_SM_NUM_RE = re.compile(r"[0-9]+(\.[0-9]+)?\Z")
+
+
+def sm_decode_entities(s):
+    """amp/lt/gt/quot/apos + decimal/hex char refs; malformed stays
+    literal (mirrors Sitemaps.decodeEntities)."""
+    if "&" not in s:
+        return s
+    out = []
+    i = 0
+    named = {"amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'"}
+    while i < len(s):
+        c = s[i]
+        if c != "&":
+            out.append(c)
+            i += 1
+            continue
+        semi = s.find(";", i + 1)
+        if semi < 0 or semi - i > 10:
+            out.append(c)
+            i += 1
+            continue
+        body = s[i + 1:semi]
+        if body in named:
+            out.append(named[body])
+            i = semi + 1
+        elif len(body) > 1 and body[0] == "#":
+            digits, radix = ((body[2:], 16)
+                             if len(body) > 2 and body[1] in "xX"
+                             else (body[1:], 10))
+            try:
+                cp = int(digits, radix) if digits else -1
+            except ValueError:
+                cp = -1
+            if 0 <= cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
+                out.append(chr(cp))
+                i = semi + 1
+            else:
+                out.append(c)
+                i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _sm_ascii_trim(s):
+    a, b = 0, len(s)
+    while a < b and s[a] <= " ":
+        a += 1
+    while b > a and s[b - 1] <= " ":
+        b -= 1
+    return s[a:b]
+
+
+def _sm_tag_text(block, tag):
+    at = block.find("<" + tag + ">")
+    if at < 0:
+        return None
+    start = at + len(tag) + 2
+    end = block.find("</" + tag + ">", start)
+    if end < 0:
+        return None
+    return sm_decode_entities(_sm_ascii_trim(block[start:end]))
+
+
+def sm_parse(xml):
+    """-> (kind, [(seq, loc, lastmod, changefreq, priority)]); clean-room
+    mirror of Sitemaps.parseSitemap."""
+    if xml is None:
+        return "", []
+    i_us = xml.find("<urlset")
+    i_ix = xml.find("<sitemapindex")
+    if i_us < 0 and i_ix < 0:
+        return "", []
+    kind = ("urlset" if i_ix < 0 or (0 <= i_us < i_ix) else "sitemapindex")
+    block_tag = "url" if kind == "urlset" else "sitemap"
+    open_t, close_t = "<" + block_tag + ">", "</" + block_tag + ">"
+    out = []
+    pos = xml.find(open_t)
+    seq = 0
+    while pos >= 0:
+        body_start = pos + len(open_t)
+        end = xml.find(close_t, body_start)
+        if end < 0:
+            break  # unterminated block: damage, stop
+        block = xml[body_start:end]
+        loc = _sm_tag_text(block, "loc")
+        if loc:
+            pr = _sm_tag_text(block, "priority") if kind == "urlset" else None
+            out.append((seq, loc, _sm_tag_text(block, "lastmod"),
+                        (_sm_tag_text(block, "changefreq")
+                         if kind == "urlset" else None),
+                        (float(pr) if pr is not None
+                         and _SM_NUM_RE.match(pr) else None)))
+            seq += 1
+        pos = xml.find(open_t, end + len(close_t))
+    return kind, out
+
+
+def sm_rows():
+    """One row per entry over all 13 hosts (mirrors Sitemaps.parse over
+    SitemapGen.rows): (host, kind, seq, loc, lastmod, changefreq,
+    priority)."""
+    rows = []
+    for h in range(13):
+        host = rb_host_for(h)
+        kind, entries = sm_parse(sm_xml_for(h))
+        for (seq, loc, lastmod, cf, pr) in entries:
+            rows.append((host, kind, seq, loc, lastmod, cf, pr))
+    return rows
+
+
+def sm_seeds(agent=RB_AGENT):
+    """urlset locs, distinct, robots-gated (mirrors Sitemaps.seeds):
+    allowed rows only as (url, host, crawl_delay)."""
+    urls = sorted({r[3] for r in sm_rows() if r[1] == "urlset"})
+    return [(url, host, delay)
+            for (url, host, allowed, rule, delay) in rb_annotate(urls, agent)
+            if allowed]
+
+
 # ---- head-metadata extraction (mirrors graft.ops.HtmlMeta + MetaGen) ----
 
 HM_LANGS = ["en", "de", "fr", "la", ""]
