@@ -825,6 +825,27 @@ object SparkEntry {
         .orderBy(col("host"), col("rnk"))
     }),
 
+    // ---- politeness scheduling over the same wave: the rnk-th fetch of
+    //      a host waits (rnk−1) × its hostMeta crawl-delay (default 1.0
+    //      when absent/non-positive). Oracle: the q_frontier SQL extended
+    //      with a join against the committed q_robots_meta golden — the
+    //      delay arrives via an INDEPENDENT path (hostMeta directive
+    //      parse) from the wave's own annotate-derived one ----
+    "q_fetch_schedule" -> ((s, dir) => {
+      import s.implicits._
+      val crawled = docs(s, dir)
+        .filter(col("doc_id").isNotNull && col("doc_id") % 2 === 0)
+        .select(col("doc_id")).as[Long]
+        .map(graft.pipeline.LinkGen.linkUrlFor).toDF("url")
+      val wave = graft.ops.Frontier.nextWave(linkEdgesFor(s, dir), crawled,
+        robotsTable(s), graft.pipeline.RobotsGen.Agent, k = 5,
+        saltBuckets = 4, crawlWindowSec = 7.0)
+      graft.ops.Frontier.schedule(wave,
+        graft.ops.Robots.hostMeta(robotsTable(s),
+          graft.pipeline.RobotsGen.Agent))
+        .orderBy(col("host"), col("rnk"))
+    }),
+
     // ---- BM25 top-k retrieval (retrieval-based decontamination probe):
     //      queries are a fixture CONVENTION (every 25th doc's first 3
     //      distinct ≥5-char tokens, appearance order), mirrored in
@@ -2177,6 +2198,36 @@ object SparkEntry {
          |         CAST(floor(7.0 / crawl_delay) AS BIGINT))) END AS bud
          |  FROM al)
          |SELECT url, host, refs, rnk FROM rk WHERE rnk <= bud"""
+        .stripMargin.replace("\n", " ")),
+    // the same frontier CTE joined against the COMMITTED q_robots_meta
+    // golden: the delay reaches the oracle via the hostMeta directive
+    // parse, independently of the wave's own annotate-derived column
+    "q_fetch_schedule" ->
+      (s"""WITH e AS (SELECT * FROM '$GoldenDir/q_link_edges.parquet'),
+         |r AS (SELECT * FROM '$GoldenDir/q_robots.parquet'),
+         |c AS (SELECT 'https://site' || (doc_id % 13) ||
+         |  '.example.org/sec' || (doc_id % 5) || '/d/doc' || doc_id ||
+         |  '.html' AS url FROM documents
+         |  WHERE doc_id IS NOT NULL AND doc_id % 2 = 0),
+         |cand AS (SELECT e.dst AS url, count(DISTINCT e.src) AS refs
+         |  FROM e WHERE e.src IN (SELECT url FROM c)
+         |    AND e.dst NOT IN (SELECT url FROM c) GROUP BY e.dst),
+         |al AS (SELECT cand.url, r.host, cand.refs, r.crawl_delay FROM cand
+         |  JOIN r ON cand.url = r.url WHERE r.allowed),
+         |rk AS (SELECT url, host, refs, row_number() OVER
+         |  (PARTITION BY host ORDER BY refs DESC, url) AS rnk,
+         |  CASE WHEN crawl_delay IS NULL OR crawl_delay <= 0 THEN 5
+         |       ELSE least(5, greatest(1,
+         |         CAST(floor(7.0 / crawl_delay) AS BIGINT))) END AS bud
+         |  FROM al),
+         |fw AS (SELECT url, host, refs, rnk FROM rk WHERE rnk <= bud),
+         |m AS (SELECT host, CASE WHEN crawl_delay IS NULL OR
+         |    crawl_delay <= 0 THEN 1.0 ELSE crawl_delay END AS delay_s
+         |  FROM '$GoldenDir/q_robots_meta.parquet')
+         |SELECT fw.url, fw.host, fw.refs, fw.rnk,
+         |  coalesce(m.delay_s, 1.0) AS delay_s,
+         |  (fw.rnk - 1) * coalesce(m.delay_s, 1.0) AS scheduled_at
+         |FROM fw LEFT JOIN m ON fw.host = m.host"""
         .stripMargin.replace("\n", " ")),
     "q_bm25" -> golden("q_bm25"),
     "q_sentences" -> golden("q_sentences"),

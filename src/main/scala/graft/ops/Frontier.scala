@@ -86,4 +86,30 @@ object Frontier {
       .filter(col("rnk") <= budget)
       .select(col("url"), col("host"), col("refs"), col("rnk"))
   }
+
+  /** Politeness scheduler: turn a wave ([[nextWave]]'s (url, host, refs,
+    * rnk) shape) into per-url fetch offsets — the rnk-th fetch of a host
+    * waits (rnk−1) × that host's crawl-delay ([[Robots.hostMeta]]'s
+    * selected value; absent or non-positive delays take `defaultDelay`).
+    * Pure relational: one broadcast join against the per-host metadata
+    * (hosts ≪ urls by construction) and a map-side multiply — the wave
+    * never re-shuffles, so the op is free at any scale. scheduled_at is
+    * an offset in seconds from the wave start; the caller adds its own
+    * epoch.
+    */
+  def schedule(
+      wave: DataFrame,
+      hostMeta: DataFrame,
+      defaultDelay: Double = 1.0): DataFrame = {
+    require(defaultDelay > 0.0, s"defaultDelay must be positive: $defaultDelay")
+    val meta = hostMeta.select(col("host"), col("crawl_delay"))
+      .filter(col("host").isNotNull)
+    wave.join(broadcast(meta), Seq("host"), "left")
+      .withColumn("delay_s",
+        when(col("crawl_delay").isNotNull && col("crawl_delay") > 0.0,
+          col("crawl_delay")).otherwise(lit(defaultDelay)))
+      .withColumn("scheduled_at", (col("rnk") - 1) * col("delay_s"))
+      .select(col("url"), col("host"), col("refs"), col("rnk"),
+        col("delay_s"), col("scheduled_at"))
+  }
 }

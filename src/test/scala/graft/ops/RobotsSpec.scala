@@ -201,6 +201,26 @@ class RobotsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "site11.example.org" -> 5)) // no robots row: full k
   }
 
+  test("schedule: per-host offsets from hostMeta delay; default for rest") {
+    import spark.implicits._
+    val wave = Seq(
+      ("https://a/1", "a.org", 9L, 1), ("https://a/2", "a.org", 7L, 2),
+      ("https://a/3", "a.org", 5L, 3), ("https://b/1", "b.org", 4L, 1),
+      ("https://b/2", "b.org", 3L, 2), ("https://c/1", "c.org", 1L, 1),
+      ("https://c/2", "c.org", 1L, 2))
+      .toDF("url", "host", "refs", "rnk")
+    val meta = Seq(("a.org", Some(2.5)), ("b.org", Some(-1.0)))
+      .toDF("host", "crawl_delay") // c.org absent; b.org non-positive
+    val out = Frontier.schedule(wave, meta)
+      .orderBy("host", "rnk")
+      .collect().map(r => (r.getString(0), r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq === Seq(
+      ("https://a/1", 2.5, 0.0), ("https://a/2", 2.5, 2.5),
+      ("https://a/3", 2.5, 5.0),
+      ("https://b/1", 1.0, 0.0), ("https://b/2", 1.0, 1.0), // default
+      ("https://c/1", 1.0, 0.0), ("https://c/2", 1.0, 1.0)))
+  }
+
   // ---- Spark annotate (incl. salted replicate join + missing-robots) ----
 
   test("annotate matches per-row parse+decide; missing host allowed") {
