@@ -871,6 +871,14 @@ object SparkEntry {
       graft.ops.Warc.recordsGz(warcGzArchives(s, dir))
         .orderBy(col("archive_id"), col("rec_offset"))),
 
+    // ---- CDX index generation (the crawl-index artifact that makes a
+    //      petabyte of archives random-accessible): SURT urlkey, SHA-1
+    //      base32 payload digest, and the (offset, length) byte span
+    //      whose sum seeks to the next record ----
+    "q_cdx" -> ((s, dir) =>
+      graft.ops.Warc.cdx(warcArchives(s, dir))
+        .orderBy(col("archive_id"), col("rec_offset"))),
+
     // ---- full ingest-head composition: archive bytes → record split →
     //      charset sniff + decode (mixed-encoding payloads; utf-16
     //      Content-Lengths bind the binary-safe split) ----
@@ -2235,6 +2243,7 @@ object SparkEntry {
     // generated through the mirror's own gzip-member path; row-equal to
     // q_warc_records by construction (the generator asserts it)
     "q_warc_gz" -> golden("q_warc_gz"),
+    "q_cdx" -> golden("q_cdx"),
     "q_warc_charset" -> golden("q_warc_charset"),
     // stream and batch share ONE golden — any drift between the streaming
     // micro-batch path and the batch kernel fails this row

@@ -274,6 +274,76 @@ object Warc {
     }
   }
 
+  // ==== CDX index generation (the crawl-index artifact: one row per
+  //      record with a canonicalized url key, payload digest, and byte
+  //      span — what makes a petabyte of archives random-accessible) ====
+
+  private val B32Alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+
+  /** SHA-1 of the payload in base32 (RFC 4648) — the classic CDX digest
+    * column; 20 bytes = exactly 32 base32 chars, no padding.
+    */
+  private[ops] def sha1B32(data: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1").digest(data)
+    val sb = new java.lang.StringBuilder(32)
+    var acc = 0L
+    var bits = 0
+    var i = 0
+    while (i < d.length) {
+      acc = (acc << 8) | (d(i) & 0xFFL)
+      bits += 8
+      while (bits >= 5) {
+        sb.append(B32Alphabet.charAt(((acc >>> (bits - 5)) & 31L).toInt))
+        bits -= 5
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** SURT url key (pinned subset, mirrored in graftpy cdx_surt): scheme
+    * stripped at the FIRST `://` (the hostOf convention), ONE leading
+    * `www.` label dropped, host labels reversed and comma-joined, `)` +
+    * the rest (path + query), the whole key ASCII-lowercased. Total: a
+    * scheme-less input keys its whole text as the host part.
+    */
+  private[ops] def surt(uri: String): String = {
+    if (uri == null) return ")"
+    val sep = uri.indexOf("://")
+    val noScheme = if (sep < 0) uri else uri.substring(sep + 3)
+    val slash = noScheme.indexOf('/')
+    val (host0, rest) =
+      if (slash < 0) (noScheme, "") else noScheme.splitAt(slash)
+    val host = LinkGraph.asciiLower(host0)
+    val h = if (host.startsWith("www.")) host.substring(4) else host
+    h.split('.').reverse.mkString(",") + ")" + LinkGraph.asciiLower(rest)
+  }
+
+  /** Archive table → CDX rows (archive_id, urlkey, uri, warc_date,
+    * digest, rec_offset, rec_length). rec_length is the full record span
+    * (header + payload + the CRLF CRLF separator) — adjacent offsets
+    * difference, with the last record running to the archive end — so
+    * `offset + length` seeks straight to the next record, the property
+    * the real CDX exists for. Map-only per archive.
+    */
+  def cdx(archives: DataFrame): DataFrame = {
+    val spark = archives.sparkSession
+    import spark.implicits._
+    archives.select(col("archive_id"), col("data"))
+      .filter(col("archive_id").isNotNull && col("data").isNotNull)
+      .as[(Long, Array[Byte])]
+      .flatMap { case (aid, blob) =>
+        val rs = parse(blob)
+        rs.iterator.zipWithIndex.map { case (r, i) =>
+          val end =
+            if (i + 1 < rs.length) rs(i + 1).offset else blob.length.toLong
+          (aid, surt(r.uri), r.uri, r.date, sha1B32(r.payload),
+            r.offset, end - r.offset)
+        }
+      }.toDF("archive_id", "urlkey", "uri", "warc_date", "digest",
+        "rec_offset", "rec_length")
+  }
+
   /** `.warc.gz` archive table → the same rows as [[records]]: split the
     * gzip members, reassemble the plain stream, parse. Map-only per
     * archive; the member scan is sequential WITHIN one blob (gzip members

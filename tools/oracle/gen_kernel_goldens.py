@@ -433,6 +433,30 @@ def main():
            "content_length": [x[5] for x in _gzrows],
            "extracted": [x[6] for x in _gzrows]})
 
+    # ---- q_cdx (crawl-index rows: SURT urlkey, sha1-b32 digest, byte
+    #      spans over the plain archives) ----
+    _cdx = []
+    for aid in sorted(_by_arc):
+        pages = []
+        for i, t in sorted(_by_arc[aid]):
+            t = t if t is not None else ""
+            html = g.wrap_html(g.noisy_render(t, i), g.url_for(i),
+                               i).encode("utf-8")
+            pages.append((i, html, g.url_for(i)))
+        _cdx.extend(g.cdx_rows(g.warc_archive(pages), aid))
+    write("q_cdx",
+          pa.schema([("archive_id", pa.int64()), ("urlkey", pa.string()),
+                     ("uri", pa.string()), ("warc_date", pa.string()),
+                     ("digest", pa.string()), ("rec_offset", pa.int64()),
+                     ("rec_length", pa.int64())]),
+          {"archive_id": [x[0] for x in _cdx],
+           "urlkey": [x[1] for x in _cdx],
+           "uri": [x[2] for x in _cdx],
+           "warc_date": [x[3] for x in _cdx],
+           "digest": [x[4] for x in _cdx],
+           "rec_offset": [x[5] for x in _cdx],
+           "rec_length": [x[6] for x in _cdx]})
+
     # ---- q_warc_charset (archive -> record split -> charset sniff +
     #      decode over mixed-encoding payloads; full ingest head) ----
     _wc = []

@@ -1415,6 +1415,44 @@ def gunzip_members(data):
     return b"".join(gz_members(data))
 
 
+def cdx_surt(uri):
+    """SURT url key (mirrors Warc.surt): first-'://' scheme strip, one
+    leading 'www.' dropped, host labels reversed comma-joined, ')' +
+    rest, ASCII-lowercased. Java's split drops TRAILING empty labels --
+    emulated here."""
+    if uri is None:
+        return ")"
+    sep = uri.find("://")
+    no_scheme = uri if sep < 0 else uri[sep + 3:]
+    slash = no_scheme.find("/")
+    host0, rest = ((no_scheme, "") if slash < 0
+                   else (no_scheme[:slash], no_scheme[slash:]))
+    host = _lg_ascii_lower(host0)
+    h = host[4:] if host.startswith("www.") else host
+    parts = h.split(".")
+    while parts and parts[-1] == "":
+        parts.pop()
+    return ",".join(reversed(parts)) + ")" + _lg_ascii_lower(rest)
+
+
+def cdx_sha1_b32(data):
+    import base64
+    import hashlib
+    return base64.b32encode(hashlib.sha1(data).digest()).decode("ascii")
+
+
+def cdx_rows(blob, archive_id):
+    """CDX rows over one archive (mirrors Warc.cdx): rec_length spans to
+    the next record's offset (last record runs to the blob end)."""
+    rs = warc_parse(blob)
+    rows = []
+    for i, (off, _rt, uri, dt, _cl, payload) in enumerate(rs):
+        end = rs[i + 1][0] if i + 1 < len(rs) else len(blob)
+        rows.append((archive_id, cdx_surt(uri), uri, dt,
+                     cdx_sha1_b32(payload), off, end - off))
+    return rows
+
+
 def warc_parse(data):
     """Clean-room parse per the pinned spec: valid-prefix records as
     (offset, rec_type, uri, date, content_length, payload_bytes)."""
