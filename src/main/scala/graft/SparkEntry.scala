@@ -224,6 +224,45 @@ object SparkEntry {
     graft.pipeline.SitemapGen.rows.toDF("host", "sitemap_xml")
   }
 
+  /** HTTP-payload archives (the real crawl record shape): per page an
+    * optional request record (id%5==0), the response (HttpGen payload:
+    * status/Content-Type variety incl. a transport-vs-meta charset
+    * conflict and a raw non-http fallback), and an optional revisit
+    * record (id%9==2) — recordsHttp must keep responses only.
+    */
+  private def httpWarcArchives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .groupByKey(_._1 / 20L)
+      .mapGroups { (aid: Long, it: Iterator[(Long, String)]) =>
+        val ascii = java.nio.charset.StandardCharsets.US_ASCII
+        val pages = it.toArray.sortBy(_._1)
+        val bos = new java.io.ByteArrayOutputStream()
+        def rec(recType: String, id: Long, payload: Array[Byte]): Unit = {
+          val date = java.time.Instant
+            .ofEpochMilli(1767225600000L + id * 1000L).toString
+          val header = s"WARC/1.0\r\nWARC-Type: $recType\r\n" +
+            s"WARC-Target-URI: ${graft.pipeline.PageGen.urlFor(id)}\r\n" +
+            s"WARC-Date: $date\r\n" +
+            s"Content-Length: ${payload.length}\r\n\r\n"
+          bos.write(header.getBytes(ascii))
+          bos.write(payload)
+          bos.write("\r\n\r\n".getBytes(ascii))
+        }
+        pages.foreach { case (id, t) =>
+          if (id % 5 == 0) rec("request", id,
+            graft.pipeline.HttpGen.requestPayload(id))
+          rec("response", id,
+            graft.pipeline.HttpGen.responsePayload(id, t))
+          if (id % 9 == 2) rec("revisit", id,
+            graft.pipeline.HttpGen.revisitPayload(id))
+        }
+        (aid, bos.toByteArray)
+      }.toDF("archive_id", "data")
+  }
+
   private val linkEdgeCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def linkEdgesFor(s: SparkSession, dir: String): DataFrame =
@@ -877,6 +916,15 @@ object SparkEntry {
     //      whose sum seeks to the next record ----
     "q_cdx" -> ((s, dir) =>
       graft.ops.Warc.cdx(warcArchives(s, dir))
+        .orderBy(col("archive_id"), col("rec_offset"))),
+
+    // ---- HTTP-wrapped response payloads (the real crawl record shape):
+    //      record-type filter (request/revisit records dropped), status
+    //      line + Content-Type parse, and transport-charset decode in
+    //      WHATWG precedence — incl. a pinned transport-vs-meta conflict
+    //      row and a raw non-http fallback row ----
+    "q_warc_http" -> ((s, dir) =>
+      graft.ops.Warc.recordsHttp(httpWarcArchives(s, dir))
         .orderBy(col("archive_id"), col("rec_offset"))),
 
     // ---- full ingest-head composition: archive bytes → record split →
@@ -2244,6 +2292,7 @@ object SparkEntry {
     // q_warc_records by construction (the generator asserts it)
     "q_warc_gz" -> golden("q_warc_gz"),
     "q_cdx" -> golden("q_cdx"),
+    "q_warc_http" -> golden("q_warc_http"),
     "q_warc_charset" -> golden("q_warc_charset"),
     // stream and batch share ONE golden — any drift between the streaming
     // micro-batch path and the batch kernel fails this row

@@ -47,16 +47,31 @@ object CharsetSniff {
     "cp1252" -> Win1252, "us-ascii" -> Win1252,
     "utf-16" -> Utf8, "utf-16le" -> Utf8, "utf-16be" -> Utf8)
 
+  /** BOM-only sniff: Some((charset, bomLen)) when the payload opens with
+    * a UTF-8/16 byte-order mark.
+    */
+  private def bomSniff(bytes: Array[Byte]): Option[(String, Int)] = {
+    if (bytes == null) return None
+    if (bytes.length >= 3 && bytes(0) == 0xEF.toByte &&
+        bytes(1) == 0xBB.toByte && bytes(2) == 0xBF.toByte)
+      return Some((Utf8, 3))
+    if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xFE.toByte)
+      return Some((Utf16le, 2))
+    if (bytes.length >= 2 && bytes(0) == 0xFE.toByte && bytes(1) == 0xFF.toByte)
+      return Some((Utf16be, 2))
+    None
+  }
+
+  /** Resolve a charset label (e.g. an HTTP Content-Type parameter)
+    * through the WHATWG label table; None for unknown/null labels.
+    */
+  private[ops] def resolveLabel(label: String): Option[String] =
+    Option(label).map(l => LinkGraph.asciiLower(l.trim)).flatMap(Labels.get)
+
   /** (charset, bomLen) for one payload per the pinned spec. */
   def sniff(bytes: Array[Byte]): (String, Int) = {
     if (bytes == null) return (Win1252, 0)
-    if (bytes.length >= 3 && bytes(0) == 0xEF.toByte &&
-        bytes(1) == 0xBB.toByte && bytes(2) == 0xBF.toByte)
-      return (Utf8, 3)
-    if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xFE.toByte)
-      return (Utf16le, 2)
-    if (bytes.length >= 2 && bytes(0) == 0xFE.toByte && bytes(1) == 0xFF.toByte)
-      return (Utf16be, 2)
+    bomSniff(bytes).foreach(return _)
     val n = math.min(1024, bytes.length)
     val prefix = new String(bytes, 0, n,
       java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -91,10 +106,8 @@ object CharsetSniff {
     if (v.isEmpty) None else Some(v)
   }
 
-  /** Sniff + decode one payload: (charset, hadBom, text). */
-  def decode(bytes: Array[Byte]): (String, Boolean, String) = {
-    val (cs, bomLen) = sniff(bytes)
-    if (bytes == null) return (cs, false, "")
+  private def decodeAs(
+      bytes: Array[Byte], cs: String, bomLen: Int): (String, Boolean, String) = {
     val jcs = cs match {
       case Utf8    => java.nio.charset.StandardCharsets.UTF_8
       case Utf16le => java.nio.charset.StandardCharsets.UTF_16LE
@@ -103,6 +116,32 @@ object CharsetSniff {
     }
     (cs, bomLen > 0,
       new String(bytes, bomLen, bytes.length - bomLen, jcs))
+  }
+
+  /** Sniff + decode one payload: (charset, hadBom, text). */
+  def decode(bytes: Array[Byte]): (String, Boolean, String) = {
+    val (cs, bomLen) = sniff(bytes)
+    if (bytes == null) return (cs, false, "")
+    decodeAs(bytes, cs, bomLen)
+  }
+
+  /** Sniff + decode with a transport-layer charset label (an HTTP
+    * Content-Type parameter): precedence BOM > transport label > meta
+    * prescan > default — the WHATWG order with the network layer in
+    * place. A label that doesn't resolve in the table falls through to
+    * the prescan.
+    */
+  def decodeWithTransport(
+      bytes: Array[Byte], transportLabel: String): (String, Boolean, String) = {
+    if (bytes == null) return (Win1252, false, "")
+    bomSniff(bytes) match {
+      case Some((cs, bomLen)) => decodeAs(bytes, cs, bomLen)
+      case None =>
+        resolveLabel(transportLabel) match {
+          case Some(cs) => decodeAs(bytes, cs, 0)
+          case None     => decode(bytes)
+        }
+    }
   }
 
   /** Corpus form over (doc_id, payload:binary): doc_id, charset, had_bom,

@@ -274,6 +274,113 @@ object Warc {
     }
   }
 
+  // ==== HTTP response payloads (the real Common Crawl record shape:
+  //      a response record's payload is an HTTP message, not bare
+  //      html — status line + headers + body) ====
+
+  final case class HttpPayload(
+      status: Int,
+      mime: String, // "" when no Content-Type
+      charset: String, // "" when no charset parameter
+      body: Array[Byte])
+
+  /** Parse an HTTP/1.x response payload (pinned subset, mirrored in
+    * graftpy http_parse): status line `HTTP/x.y SP 3-digits …CRLF`,
+    * headers to the first CRLF CRLF (names ASCII case-insensitive,
+    * first Content-Type wins: mime = value before ';' lowercased
+    * trimmed, charset = its `charset=` parameter), body = the rest.
+    * Anything malformed → None (the caller treats the payload as a bare
+    * body — total, never throws).
+    */
+  private[ops] def httpParse(payload: Array[Byte]): Option[HttpPayload] = {
+    if (payload == null || payload.length < 12) return None
+    // cheap ASCII prefix check before materializing the header string
+    val P = "HTTP/"
+    var i = 0
+    while (i < 5) {
+      if (payload(i) != P.charAt(i).toByte) return None
+      i += 1
+    }
+    // locate CRLFCRLF (bounded scan — headers, not body)
+    var sep = -1
+    var p = 0
+    val lim = payload.length - 3
+    while (sep < 0 && p < lim) {
+      if (payload(p) == '\r' && payload(p + 1) == '\n' &&
+          payload(p + 2) == '\r' && payload(p + 3) == '\n') sep = p
+      p += 1
+    }
+    if (sep < 0) return None
+    val head = new String(payload, 0, sep,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val lines = head.split("\r\n", -1)
+    val status0 = lines(0)
+    val sp1 = status0.indexOf(' ')
+    if (sp1 < 0 || sp1 + 4 > status0.length) return None
+    val code = status0.substring(sp1 + 1, sp1 + 4)
+    if (!code.forall(c => c >= '0' && c <= '9')) return None
+    if (sp1 + 4 < status0.length && status0.charAt(sp1 + 4) != ' ')
+      return None // 4+-digit "status": malformed
+    var mime = ""
+    var charset = ""
+    var li = 1
+    var found = false
+    while (li < lines.length && !found) {
+      val line = lines(li)
+      val colon = line.indexOf(':')
+      if (colon > 0 &&
+          LinkGraph.asciiLower(line.substring(0, colon).trim) ==
+            "content-type") {
+        val value = line.substring(colon + 1).trim
+        val semi = value.indexOf(';')
+        mime = LinkGraph.asciiLower(
+          (if (semi < 0) value else value.substring(0, semi)).trim)
+        charset = CharsetSniff.charsetParam(value).getOrElse("")
+        found = true // first Content-Type wins
+      }
+      li += 1
+    }
+    Some(HttpPayload(code.toInt,
+      mime, charset,
+      java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)))
+  }
+
+  /** HTTP-payload archive table → one row per RESPONSE record (request /
+    * revisit / metadata records are the split's job to skip — the real
+    * ingest filter): status + mime from the HTTP head, body decoded with
+    * the transport charset in WHATWG precedence (BOM > header charset >
+    * meta prescan > default). A response whose payload isn't HTTP at all
+    * decodes whole with null status/mime (the raw-payload fallback).
+    * Map-only; null rows dropped.
+    */
+  def recordsHttp(archives: DataFrame): DataFrame = {
+    val spark = archives.sparkSession
+    import spark.implicits._
+    archives.select(col("archive_id"), col("data"))
+      .filter(col("archive_id").isNotNull && col("data").isNotNull)
+      .as[(Long, Array[Byte])]
+      .flatMap { case (aid, blob) =>
+        parse(blob).iterator
+          .filter(_.recType == "response")
+          .map { r =>
+            httpParse(r.payload) match {
+              case Some(h) =>
+                val (cs, bom, text) =
+                  CharsetSniff.decodeWithTransport(h.body, h.charset)
+                val (n, prefix) = CharsetSniff.codePointStats(text, 48)
+                (aid, r.offset, r.uri, Option(h.status), Option(h.mime),
+                  cs, bom, n, prefix)
+              case None =>
+                val (cs, bom, text) = CharsetSniff.decode(r.payload)
+                val (n, prefix) = CharsetSniff.codePointStats(text, 48)
+                (aid, r.offset, r.uri, Option.empty[Int],
+                  Option.empty[String], cs, bom, n, prefix)
+            }
+          }
+      }.toDF("archive_id", "rec_offset", "uri", "status", "mime",
+        "charset", "had_bom", "n_chars", "prefix")
+  }
+
   // ==== CDX index generation (the crawl-index artifact: one row per
   //      record with a canonicalized url key, payload digest, and byte
   //      span — what makes a petabyte of archives random-accessible) ====

@@ -446,6 +446,63 @@ object CharsetGen {
   }
 }
 
+/** Deterministic HTTP-wrapped WARC payload synthesis for q_warc_http
+  * (mirrored token-for-token in graftpy.py http_*): response payloads are
+  * real HTTP messages over the CharsetGen bodies. Per doc id —
+  * status 404 (id%7==3, pinned ascii error body), 301 (id%11==5, Location
+  * header, EMPTY body → default-decode, n_chars 0), else 200 over
+  * CharsetGen.payload; Content-Type exercises every precedence arm:
+  * absent (meta binds), agreeing, CONFLICTING with the meta declaration
+  * (transport wins without a BOM — the id%4==0, id%3==2 rows decode
+  * mojibake on purpose, identically in both engines), and utf-8 labels
+  * under a BOM (BOM wins). id%13==6 ships the bare CharsetGen payload
+  * with NO http wrapper (the raw-payload fallback: null status/mime).
+  * id%5==0 pages also get a REQUEST record and id%9==2 a REVISIT record —
+  * recordsHttp must emit response rows only.
+  */
+object HttpGen {
+  private def fm(x: Long, m: Long): Long = java.lang.Math.floorMod(x, m)
+  private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+
+  /** The response record's payload for doc id (http message or raw). */
+  def responsePayload(id: Long, text: String): Array[Byte] = {
+    if (fm(id, 13) == 6) return CharsetGen.payload(id, text) // raw fallback
+    val (statusLine, ctype, body) =
+      if (fm(id, 7) == 3)
+        ("HTTP/1.1 404 Not Found", "Content-Type: text/html\r\n",
+          "<html><body>not found</body></html>".getBytes(Ascii))
+      else if (fm(id, 11) == 5)
+        ("HTTP/1.1 301 Moved Permanently",
+          "Content-Type: text/html\r\nLocation: " +
+            PageGen.urlFor(id + 1) + "\r\n",
+          Array.emptyByteArray)
+      else {
+        val ct = fm(id, 4) match {
+          case 2 => "Content-Type: text/html\r\n" // no charset: meta binds
+          case 3 => "Content-Type: text/html; charset=windows-1252\r\n"
+          case 0 => fm(id, 3) match {
+            case 0 => "Content-Type: text/html; charset=utf-8\r\n"
+            case 1 => "" // no Content-Type header at all
+            case _ => "Content-Type: text/html; charset=iso-8859-1\r\n"
+            // ^ conflicts with the utf-8 meta: transport wins (no BOM)
+          }
+          case _ => "Content-Type: text/html; charset=utf-8\r\n" // BOM wins
+        }
+        ("HTTP/1.1 200 OK", ct, CharsetGen.payload(id, text))
+      }
+    val head = statusLine + "\r\nServer: graft-fixture\r\n" + ctype +
+      "Content-Length: " + body.length + "\r\n\r\n"
+    head.getBytes(Ascii) ++ body
+  }
+
+  def requestPayload(id: Long): Array[Byte] =
+    ("GET /doc/" + id + " HTTP/1.1\r\nHost: example.org\r\n" +
+      "User-Agent: graftbot\r\n\r\n").getBytes(Ascii)
+
+  def revisitPayload(id: Long): Array[Byte] =
+    ("HTTP/1.1 200 OK\r\nContent-Length: 0\r\n\r\n").getBytes(Ascii)
+}
+
 /** Deterministic PDF payload synthesis for q_pdf_text: two content
   * streams per document — a raw one exercising literal-string escapes
   * (escaped parens, octal, backslash-newline continuation), TJ kerning

@@ -152,4 +152,30 @@ class HtmlMetaSpec extends AnyFunSuite {
       graft.pipeline.CharsetGen.payload(3, text))
     assert(cs3 === "windows-1252" && t3.contains("café ±½"))
   }
+
+  test("decodeWithTransport: BOM > transport > meta > default") {
+    import java.nio.charset.StandardCharsets._
+    val utf8Meta = "<html><head><meta charset=\"utf-8\"></head>" +
+      "<body>café</body></html>"
+    // transport CONFLICTS with meta: transport wins without a BOM
+    val (csT, _, tT) = CharsetSniff.decodeWithTransport(
+      utf8Meta.getBytes(UTF_8), "iso-8859-1")
+    assert(csT === "windows-1252" && tT.contains("cafÃ©")) // mojibake pinned
+    // BOM beats the transport label
+    val bomBytes = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      utf8Meta.getBytes(UTF_8)
+    val (csB, bomB, tB) =
+      CharsetSniff.decodeWithTransport(bomBytes, "iso-8859-1")
+    assert(csB === "utf-8" && bomB && tB.contains("café"))
+    // unknown / absent label falls through to the meta prescan
+    val (csU, _, tU) = CharsetSniff.decodeWithTransport(
+      utf8Meta.getBytes(UTF_8), "klingon-1")
+    assert(csU === "utf-8" && tU.contains("café"))
+    val (csN, _, _) = CharsetSniff.decodeWithTransport(
+      utf8Meta.getBytes(UTF_8), null)
+    assert(csN === "utf-8")
+    // no BOM, no label, no meta: default
+    assert(CharsetSniff.decodeWithTransport(
+      "plain".getBytes(UTF_8), "")._1 === "windows-1252")
+  }
 }

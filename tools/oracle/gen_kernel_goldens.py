@@ -433,6 +433,28 @@ def main():
            "content_length": [x[5] for x in _gzrows],
            "extracted": [x[6] for x in _gzrows]})
 
+    # ---- q_warc_http (HTTP-wrapped response payloads: record-type
+    #      filter, status/Content-Type parse, transport-charset decode
+    #      in WHATWG precedence) ----
+    _ht = []
+    for aid in sorted(_by_arc):
+        _ht.extend(g.http_rows(sorted(_by_arc[aid]), aid))
+    write("q_warc_http",
+          pa.schema([("archive_id", pa.int64()), ("rec_offset", pa.int64()),
+                     ("uri", pa.string()), ("status", pa.int32()),
+                     ("mime", pa.string()), ("charset", pa.string()),
+                     ("had_bom", pa.bool_()), ("n_chars", pa.int32()),
+                     ("prefix", pa.string())]),
+          {"archive_id": [x[0] for x in _ht],
+           "rec_offset": [x[1] for x in _ht],
+           "uri": [x[2] for x in _ht],
+           "status": [x[3] for x in _ht],
+           "mime": [x[4] for x in _ht],
+           "charset": [x[5] for x in _ht],
+           "had_bom": [x[6] for x in _ht],
+           "n_chars": [x[7] for x in _ht],
+           "prefix": [x[8] for x in _ht]})
+
     # ---- q_cdx (crawl-index rows: SURT urlkey, sha1-b32 digest, byte
     #      spans over the plain archives) ----
     _cdx = []

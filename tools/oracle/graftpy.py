@@ -2287,6 +2287,157 @@ def cs_rows(doc_items):
     return rows
 
 
+# ---- HTTP payloads in WARC records (mirrors Warc.httpParse/recordsHttp
+#      + pipeline.HttpGen) ----
+
+
+def cs_decode_transport(data, label):
+    """(charset, had_bom, text) with a transport charset label: BOM >
+    transport > meta prescan > default (mirrors
+    CharsetSniff.decodeWithTransport)."""
+    if data is None:
+        return ("windows-1252", False, "")
+    bom_cs = None
+    if data[:3] == b"\xef\xbb\xbf":
+        bom_cs, bom = "utf-8", 3
+    elif data[:2] == b"\xff\xfe":
+        bom_cs, bom = "utf-16le", 2
+    elif data[:2] == b"\xfe\xff":
+        bom_cs, bom = "utf-16be", 2
+    if bom_cs is None:
+        cs = (CS_LABELS.get(_lg_ascii_lower(_java_trim(label)))
+              if label is not None else None)
+        if cs is None:
+            return cs_decode(data)
+        bom = 0
+    else:
+        cs = bom_cs
+    codec = {"utf-8": "utf-8", "utf-16le": "utf-16-le",
+             "utf-16be": "utf-16-be", "windows-1252": "cp1252"}[cs]
+    return (cs, bom > 0, data[bom:].decode(codec, errors="replace"))
+
+
+def http_parse(payload):
+    """None, or (status, mime, charset, body) — mirrors Warc.httpParse."""
+    if payload is None or len(payload) < 12 or payload[:5] != b"HTTP/":
+        return None
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        return None
+    head = payload[:sep].decode("iso-8859-1")
+    lines = head.split("\r\n")
+    status0 = lines[0]
+    sp1 = status0.find(" ")
+    if sp1 < 0 or sp1 + 4 > len(status0):
+        return None
+    code = status0[sp1 + 1:sp1 + 4]
+    if not all("0" <= c <= "9" for c in code):
+        return None
+    if sp1 + 4 < len(status0) and status0[sp1 + 4] != " ":
+        return None
+    mime, charset = "", ""
+    for line in lines[1:]:
+        colon = line.find(":")
+        if colon > 0 and _lg_ascii_lower(
+                _java_trim(line[:colon])) == "content-type":
+            value = _java_trim(line[colon + 1:])
+            semi = value.find(";")
+            mime = _lg_ascii_lower(
+                _java_trim(value if semi < 0 else value[:semi]))
+            charset = cs_charset_param(value) or ""
+            break  # first Content-Type wins
+    return (int(code), mime, charset, payload[sep + 4:])
+
+
+def http_response_payload(doc_id, text):
+    """Token-for-token mirror of HttpGen.responsePayload."""
+    if doc_id % 13 == 6:
+        return cs_payload(doc_id, text)  # raw fallback, no http wrapper
+    if doc_id % 7 == 3:
+        status = "HTTP/1.1 404 Not Found"
+        ctype = "Content-Type: text/html\r\n"
+        body = b"<html><body>not found</body></html>"
+    elif doc_id % 11 == 5:
+        status = "HTTP/1.1 301 Moved Permanently"
+        ctype = ("Content-Type: text/html\r\nLocation: " +
+                 url_for(doc_id + 1) + "\r\n")
+        body = b""
+    else:
+        status = "HTTP/1.1 200 OK"
+        m4 = doc_id % 4
+        if m4 == 2:
+            ctype = "Content-Type: text/html\r\n"
+        elif m4 == 3:
+            ctype = "Content-Type: text/html; charset=windows-1252\r\n"
+        elif m4 == 0:
+            m3 = doc_id % 3
+            if m3 == 0:
+                ctype = "Content-Type: text/html; charset=utf-8\r\n"
+            elif m3 == 1:
+                ctype = ""
+            else:
+                ctype = "Content-Type: text/html; charset=iso-8859-1\r\n"
+        else:
+            ctype = "Content-Type: text/html; charset=utf-8\r\n"
+        body = cs_payload(doc_id, text)
+    head = (status + "\r\nServer: graft-fixture\r\n" + ctype +
+            "Content-Length: %d\r\n\r\n" % len(body))
+    return head.encode("ascii") + body
+
+
+def http_request_payload(doc_id):
+    return ("GET /doc/%d HTTP/1.1\r\nHost: example.org\r\n"
+            "User-Agent: graftbot\r\n\r\n" % doc_id).encode("ascii")
+
+
+def http_revisit_payload(doc_id):
+    return b"HTTP/1.1 200 OK\r\nContent-Length: 0\r\n\r\n"
+
+
+def http_warc_archive(pages):
+    """pages: [(doc_id, text)] doc_id order -> archive with request/
+    response/revisit variety (mirrors SparkEntry.httpWarcArchives)."""
+    parts = []
+
+    def rec(rec_type, doc_id, payload):
+        header = ("WARC/1.0\r\nWARC-Type: %s\r\n"
+                  "WARC-Target-URI: %s\r\nWARC-Date: %s\r\n"
+                  "Content-Length: %d\r\n\r\n"
+                  % (rec_type, url_for(doc_id), warc_date(doc_id),
+                     len(payload)))
+        parts.append(header.encode("ascii"))
+        parts.append(payload)
+        parts.append(b"\r\n\r\n")
+
+    for doc_id, text in pages:
+        if doc_id % 5 == 0:
+            rec("request", doc_id, http_request_payload(doc_id))
+        rec("response", doc_id, http_response_payload(doc_id, text))
+        if doc_id % 9 == 2:
+            rec("revisit", doc_id, http_revisit_payload(doc_id))
+    return b"".join(parts)
+
+
+def http_rows(pages, archive_id):
+    """One row per RESPONSE record (mirrors Warc.recordsHttp)."""
+    rows = []
+    blob = http_warc_archive(pages)
+    for (off, rt, uri, _dt, _cl, payload) in warc_parse(blob):
+        if rt != "response":
+            continue
+        h = http_parse(payload)
+        if h is not None:
+            status, mime, charset, body = h
+            cs, bom, text = cs_decode_transport(body, charset or None)
+            rows.append((archive_id, off, uri, status, mime, cs, bom,
+                         len(text), text[:48]))
+        else:
+            cs, bom, text = cs_decode(payload)
+            rows.append((archive_id, off, uri, None, None, cs, bom,
+                         len(text), text[:48]))
+    return rows
+
+
 # ---- interpolated Kneser-Ney trigram (mirrors graft.ops.NgramLm kn*) ----
 
 KN_D = 0.75
