@@ -263,6 +263,45 @@ object SparkEntry {
       }.toDF("archive_id", "data")
   }
 
+  /** The HTTP archives in the .warc.gz member-per-record layout (each
+    * record its own gzip member) — q_ingest_gz_http's input; must reduce
+    * to exactly q_warc_http's rows.
+    */
+  private def httpWarcGzArchives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .groupByKey(_._1 / 20L)
+      .mapGroups { (aid: Long, it: Iterator[(Long, String)]) =>
+        val ascii = java.nio.charset.StandardCharsets.US_ASCII
+        val pages = it.toArray.sortBy(_._1)
+        val bos = new java.io.ByteArrayOutputStream()
+        def rec(recType: String, id: Long, payload: Array[Byte]): Unit = {
+          val date = java.time.Instant
+            .ofEpochMilli(1767225600000L + id * 1000L).toString
+          val header = s"WARC/1.0\r\nWARC-Type: $recType\r\n" +
+            s"WARC-Target-URI: ${graft.pipeline.PageGen.urlFor(id)}\r\n" +
+            s"WARC-Date: $date\r\n" +
+            s"Content-Length: ${payload.length}\r\n\r\n"
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write(header.getBytes(ascii))
+          gz.write(payload)
+          gz.write("\r\n\r\n".getBytes(ascii))
+          gz.finish()
+        }
+        pages.foreach { case (id, t) =>
+          if (id % 5 == 0) rec("request", id,
+            graft.pipeline.HttpGen.requestPayload(id))
+          rec("response", id,
+            graft.pipeline.HttpGen.responsePayload(id, t))
+          if (id % 9 == 2) rec("revisit", id,
+            graft.pipeline.HttpGen.revisitPayload(id))
+        }
+        (aid, bos.toByteArray)
+      }.toDF("archive_id", "data")
+  }
+
   private val linkEdgeCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def linkEdgesFor(s: SparkSession, dir: String): DataFrame =
@@ -916,6 +955,25 @@ object SparkEntry {
     //      whose sum seeks to the next record ----
     "q_cdx" -> ((s, dir) =>
       graft.ops.Warc.cdx(warcArchives(s, dir))
+        .orderBy(col("archive_id"), col("rec_offset"))),
+
+    // ---- CDX over .warc.gz with COMPRESSED member spans — the form the
+    //      real crawl index takes (readers seek + inflate one member).
+    //      Input is the COMMITTED python-gzipped binary fixture, so this
+    //      row cross-verifies the gz codecs at the byte level: the JVM
+    //      inflates CPython-compressed members and must agree on spans,
+    //      digests, and urlkeys ----
+    "q_cdx_gz" -> ((s, dir) =>
+      graft.ops.Warc.cdxGz(
+        s.read.parquet(s"$GoldenDir/fx_warc_gz.parquet"))
+        .orderBy(col("archive_id"), col("rec_offset"), col("uri"))),
+
+    // ---- the FULL gz ingest composition: .warc.gz member split →
+    //      record parse → response filter → HTTP head parse →
+    //      transport-charset decode. Shares q_warc_http's golden
+    //      VERBATIM (anti-drift: the gz path must change nothing) ----
+    "q_ingest_gz_http" -> ((s, dir) =>
+      graft.ops.Warc.recordsHttpGz(httpWarcGzArchives(s, dir))
         .orderBy(col("archive_id"), col("rec_offset"))),
 
     // ---- HTTP-wrapped response payloads (the real crawl record shape):
@@ -2292,7 +2350,13 @@ object SparkEntry {
     // q_warc_records by construction (the generator asserts it)
     "q_warc_gz" -> golden("q_warc_gz"),
     "q_cdx" -> golden("q_cdx"),
+    // shared-input fixture row: both engines read the committed
+    // python-gzipped blobs, so spans/digests are engine-independent
+    "q_cdx_gz" -> golden("q_cdx_gz"),
     "q_warc_http" -> golden("q_warc_http"),
+    // the gz ingest composition must change NOTHING vs the plain path:
+    // shares q_warc_http's golden verbatim (anti-drift)
+    "q_ingest_gz_http" -> golden("q_warc_http"),
     "q_warc_charset" -> golden("q_warc_charset"),
     // stream and batch share ONE golden — any drift between the streaming
     // micro-batch path and the batch kernel fails this row

@@ -185,9 +185,17 @@ object Warc {
     * zlib.decompressobj), so the split points — not the codec — are the
     * pinned surface.
     */
-  def gzMembers(data: Array[Byte]): IndexedSeq[Array[Byte]] = {
+  def gzMembers(data: Array[Byte]): IndexedSeq[Array[Byte]] =
+    gzMemberSpans(data).map(_._3)
+
+  /** Like [[gzMembers]] but each member carries its COMPRESSED span
+    * (offset, length) in the blob — what a `.warc.gz`-addressing index
+    * (see [[cdxGz]]) must record, because seeking a gz member needs its
+    * compressed, not decompressed, position.
+    */
+  def gzMemberSpans(data: Array[Byte]): IndexedSeq[(Long, Long, Array[Byte])] = {
     if (data == null) return IndexedSeq.empty
-    val out = IndexedSeq.newBuilder[Array[Byte]]
+    val out = IndexedSeq.newBuilder[(Long, Long, Array[Byte])]
     var pos = 0
     var done = false
     while (!done) {
@@ -246,7 +254,7 @@ object Warc {
                   le4(trailerAt + 4) != (member.length.toLong & 0xFFFFFFFFL))
                 done = true // corrupt trailer: stop at the valid prefix
               else {
-                out += member
+                out += ((pos.toLong, (trailerAt + 8 - pos).toLong, member))
                 pos = trailerAt + 8
                 if (pos >= data.length) done = true
               }
@@ -451,6 +459,30 @@ object Warc {
         "rec_offset", "rec_length")
   }
 
+  /** CDX over `.warc.gz` archives — the form the real crawl index takes:
+    * `rec_offset`/`rec_length` are the member's COMPRESSED span in the
+    * gz blob (what a reader must seek + inflate), while urlkey, uri,
+    * date, and digest describe the record inside. One gz member per
+    * record (the layout [[recordsGz]]'s fixture pins); a member that
+    * holds several records emits one row per record sharing the member's
+    * span. Map-only per archive.
+    */
+  def cdxGz(archives: DataFrame): DataFrame = {
+    val spark = archives.sparkSession
+    import spark.implicits._
+    archives.select(col("archive_id"), col("data"))
+      .filter(col("archive_id").isNotNull && col("data").isNotNull)
+      .as[(Long, Array[Byte])]
+      .flatMap { case (aid, blob) =>
+        gzMemberSpans(blob).iterator.flatMap { case (off, len, member) =>
+          parse(member).iterator.map { r =>
+            (aid, surt(r.uri), r.uri, r.date, sha1B32(r.payload), off, len)
+          }
+        }
+      }.toDF("archive_id", "urlkey", "uri", "warc_date", "digest",
+        "rec_offset", "rec_length")
+  }
+
   /** `.warc.gz` archive table → the same rows as [[records]]: split the
     * gzip members, reassemble the plain stream, parse. Map-only per
     * archive; the member scan is sequential WITHIN one blob (gzip members
@@ -463,6 +495,16 @@ object Warc {
   def recordsGz(archives: DataFrame): DataFrame = {
     val gunzip = udf((b: Array[Byte]) => gunzipMembers(b))
     records(archives.select(col("archive_id"),
+      gunzip(col("data")).as("data")))
+  }
+
+  /** `.warc.gz` archives with HTTP payloads → [[recordsHttp]] rows: the
+    * full gz ingest composition (member split → record parse → response
+    * filter → HTTP head parse → transport-charset decode).
+    */
+  def recordsHttpGz(archives: DataFrame): DataFrame = {
+    val gunzip = udf((b: Array[Byte]) => gunzipMembers(b))
+    recordsHttp(archives.select(col("archive_id"),
       gunzip(col("data")).as("data")))
   }
 }

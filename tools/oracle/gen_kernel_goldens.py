@@ -14,6 +14,7 @@ Usage: python3 tools/oracle/gen_kernel_goldens.py <sfDir> <outDir>
 e.g.   python3 tools/oracle/gen_kernel_goldens.py /root/testdata/sf0.01 \
              src/test/resources/goldens/sf0.01
 """
+import gzip
 import json
 import math
 import os
@@ -478,6 +479,43 @@ def main():
            "digest": [x[4] for x in _cdx],
            "rec_offset": [x[5] for x in _cdx],
            "rec_length": [x[6] for x in _cdx]})
+
+    # ---- q_cdx_gz: FIRST write the binary .warc.gz fixture
+    #      (fx_warc_gz.parquet — python-gzipped member-per-record blobs)
+    #      that BOTH engines read, then the golden over it. This is the
+    #      one committed SHARED-INPUT fixture: the Spark side must
+    #      inflate python-compressed bytes, so the gz codecs are
+    #      cross-verified at the byte level and the COMPRESSED spans are
+    #      engine-independent. ----
+    _gzfx = []
+    _cdxgz = []
+    for aid in sorted(_by_arc):
+        parts = []
+        for i, t in sorted(_by_arc[aid]):
+            t = t if t is not None else ""
+            html = g.wrap_html(g.noisy_render(t, i), g.url_for(i),
+                               i).encode("utf-8")
+            blob_plain = g.warc_archive([(i, html, g.url_for(i))])
+            parts.append(gzip.compress(blob_plain, mtime=0))
+        blob = b"".join(parts)
+        _gzfx.append((aid, blob))
+        _cdxgz.extend(g.cdx_gz_rows(blob, aid))
+    write("fx_warc_gz",
+          pa.schema([("archive_id", pa.int64()), ("data", pa.binary())]),
+          {"archive_id": [x[0] for x in _gzfx],
+           "data": [x[1] for x in _gzfx]})
+    write("q_cdx_gz",
+          pa.schema([("archive_id", pa.int64()), ("urlkey", pa.string()),
+                     ("uri", pa.string()), ("warc_date", pa.string()),
+                     ("digest", pa.string()), ("rec_offset", pa.int64()),
+                     ("rec_length", pa.int64())]),
+          {"archive_id": [x[0] for x in _cdxgz],
+           "urlkey": [x[1] for x in _cdxgz],
+           "uri": [x[2] for x in _cdxgz],
+           "warc_date": [x[3] for x in _cdxgz],
+           "digest": [x[4] for x in _cdxgz],
+           "rec_offset": [x[5] for x in _cdxgz],
+           "rec_length": [x[6] for x in _cdxgz]})
 
     # ---- q_warc_charset (archive -> record split -> charset sniff +
     #      decode over mixed-encoding payloads; full ingest head) ----

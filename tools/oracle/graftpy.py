@@ -1415,6 +1415,37 @@ def gunzip_members(data):
     return b"".join(gz_members(data))
 
 
+def gz_member_spans(data):
+    """[(compressed_offset, compressed_length, member_bytes)] — mirrors
+    Warc.gzMemberSpans (valid-prefix semantics like gz_members)."""
+    out = []
+    pos = 0
+    while (pos + 10 <= len(data) and data[pos] == 0x1F
+           and data[pos + 1] == 0x8B and data[pos + 2] == 8):
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            member = d.decompress(data[pos:])
+        except zlib.error:
+            break
+        if not d.eof:
+            break
+        end = len(data) - len(d.unused_data)
+        out.append((pos, end - pos, member))
+        pos = end
+    return out
+
+
+def cdx_gz_rows(blob, archive_id):
+    """CDX rows over a .warc.gz blob: spans are the member's COMPRESSED
+    (offset, length) — mirrors Warc.cdxGz."""
+    rows = []
+    for off, ln, member in gz_member_spans(blob):
+        for (_o, _rt, uri, dt, _cl, payload) in warc_parse(member):
+            rows.append((archive_id, cdx_surt(uri), uri, dt,
+                         cdx_sha1_b32(payload), off, ln))
+    return rows
+
+
 def cdx_surt(uri):
     """SURT url key (mirrors Warc.surt): first-'://' scheme strip, one
     leading 'www.' dropped, host labels reversed comma-joined, ')' +
