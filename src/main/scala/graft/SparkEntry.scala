@@ -976,6 +976,21 @@ object SparkEntry {
       graft.ops.Warc.recordsHttpGz(httpWarcGzArchives(s, dir))
         .orderBy(col("archive_id"), col("rec_offset"))),
 
+    // ---- CDX over the HTTP archives: natural duplicate-digest classes
+    //      (identical 404 bodies, empty 301 bodies, identical revisit
+    //      payloads) — the input table for the digest dedup below ----
+    "q_cdx_http" -> ((s, dir) =>
+      graft.ops.Warc.cdx(httpWarcArchives(s, dir))
+        .orderBy(col("archive_id"), col("rec_offset"))),
+
+    // ---- write-time revisit dedup: per payload digest the earliest
+    //      capture is the original, later ones point at it (min-struct
+    //      argmin + join back — no per-digest window sort). Oracle:
+    //      DuckDB windows over the COMMITTED q_cdx_http golden ----
+    "q_cdx_dedup" -> ((s, dir) =>
+      graft.ops.Warc.cdxDedup(graft.ops.Warc.cdx(httpWarcArchives(s, dir)))
+        .orderBy(col("archive_id"), col("rec_offset"))),
+
     // ---- HTTP-wrapped response payloads (the real crawl record shape):
     //      record-type filter (request/revisit records dropped), status
     //      line + Content-Type parse, and transport-charset decode in
@@ -2357,6 +2372,23 @@ object SparkEntry {
     // the gz ingest composition must change NOTHING vs the plain path:
     // shares q_warc_http's golden verbatim (anti-drift)
     "q_ingest_gz_http" -> golden("q_warc_http"),
+    "q_cdx_http" -> golden("q_cdx_http"),
+    // revisit dedup recomputed by DuckDB windows over the committed
+    // q_cdx_http golden — an independent engine over the same input
+    "q_cdx_dedup" ->
+      (s"""WITH c AS (SELECT * FROM '$GoldenDir/q_cdx_http.parquet'),
+         |r AS (SELECT *,
+         |  first_value(archive_id) OVER w AS orig_archive_id,
+         |  first_value(rec_offset) OVER w AS orig_rec_offset
+         |  FROM c WINDOW w AS (PARTITION BY digest
+         |    ORDER BY archive_id, rec_offset))
+         |SELECT archive_id, urlkey, uri, warc_date, digest, rec_offset,
+         |  rec_length,
+         |  (archive_id = orig_archive_id AND rec_offset = orig_rec_offset)
+         |    AS is_original,
+         |  orig_archive_id, orig_rec_offset
+         |FROM r"""
+        .stripMargin.replace("\n", " ")),
     "q_warc_charset" -> golden("q_warc_charset"),
     // stream and batch share ONE golden — any drift between the streaming
     // micro-batch path and the batch kernel fails this row

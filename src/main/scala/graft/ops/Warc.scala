@@ -459,6 +459,32 @@ object Warc {
         "rec_offset", "rec_length")
   }
 
+  /** Digest-level CDX dedup — the write-time revisit dedup a crawler
+    * does: per payload digest the earliest capture (min (archive_id,
+    * rec_offset), lexicographic) is the ORIGINAL; every other row is a
+    * revisit pointing at it. Two-pass relational shape, NO window sort:
+    * a map-side-combining min(struct(...)) per digest (the repo's argmax
+    * recipe — a hot digest never sorts in one task) + one hash join back
+    * on digest. Output = input columns + (is_original, orig_archive_id,
+    * orig_rec_offset).
+    */
+  def cdxDedup(cdxRows: DataFrame): DataFrame = {
+    val keepers = cdxRows
+      .groupBy(col("digest"))
+      .agg(min(struct(col("archive_id"), col("rec_offset"))).as("__k"))
+      .select(col("digest"),
+        col("__k.archive_id").as("orig_archive_id"),
+        col("__k.rec_offset").as("orig_rec_offset"))
+    cdxRows.join(keepers, Seq("digest"))
+      .withColumn("is_original",
+        col("archive_id") === col("orig_archive_id") &&
+          col("rec_offset") === col("orig_rec_offset"))
+      .select(col("archive_id"), col("urlkey"), col("uri"),
+        col("warc_date"), col("digest"), col("rec_offset"),
+        col("rec_length"), col("is_original"),
+        col("orig_archive_id"), col("orig_rec_offset"))
+  }
+
   /** CDX over `.warc.gz` archives — the form the real crawl index takes:
     * `rec_offset`/`rec_length` are the member's COMPRESSED span in the
     * gz blob (what a reader must seek + inflate), while urlkey, uri,

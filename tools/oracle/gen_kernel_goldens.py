@@ -456,6 +456,25 @@ def main():
            "n_chars": [x[7] for x in _ht],
            "prefix": [x[8] for x in _ht]})
 
+    # ---- q_cdx_http (CDX over the HTTP archives: the duplicate-digest
+    #      input table for q_cdx_dedup's DuckDB-window oracle) ----
+    _cdxh = []
+    for aid in sorted(_by_arc):
+        blob = g.http_warc_archive(sorted(_by_arc[aid]))
+        _cdxh.extend(g.cdx_rows(blob, aid))
+    write("q_cdx_http",
+          pa.schema([("archive_id", pa.int64()), ("urlkey", pa.string()),
+                     ("uri", pa.string()), ("warc_date", pa.string()),
+                     ("digest", pa.string()), ("rec_offset", pa.int64()),
+                     ("rec_length", pa.int64())]),
+          {"archive_id": [x[0] for x in _cdxh],
+           "urlkey": [x[1] for x in _cdxh],
+           "uri": [x[2] for x in _cdxh],
+           "warc_date": [x[3] for x in _cdxh],
+           "digest": [x[4] for x in _cdxh],
+           "rec_offset": [x[5] for x in _cdxh],
+           "rec_length": [x[6] for x in _cdxh]})
+
     # ---- q_cdx (crawl-index rows: SURT urlkey, sha1-b32 digest, byte
     #      spans over the plain archives) ----
     _cdx = []
