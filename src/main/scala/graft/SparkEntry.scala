@@ -224,6 +224,14 @@ object SparkEntry {
     graft.pipeline.SitemapGen.rows.toDF("host", "sitemap_xml")
   }
 
+  /** q_blocklist's phrase fixture (mirrored literally in graftpy
+    * BL_PHRASES): 1/2/3-token phrases over the corpus vocabulary, an
+    * uppercase form binding the ASCII fold, and a never-matching tail.
+    */
+  private val BlocklistPhrases: Seq[String] = Seq(
+    "slow", "big data", "hash join", "sort merge group",
+    "SPARK", "never matches anything")
+
   /** HTTP-payload archives (the real crawl record shape): per page an
     * optional request record (id%5==0), the response (HttpGen payload:
     * status/Content-Type variety incl. a transport-vs-meta charset
@@ -975,6 +983,24 @@ object SparkEntry {
     "q_ingest_gz_http" -> ((s, dir) =>
       graft.ops.Warc.recordsHttpGz(httpWarcGzArchives(s, dir))
         .orderBy(col("archive_id"), col("rec_offset"))),
+
+    // ---- phrase-blocklist gate (the bad-words stage of C4-style
+    //      curation): token-boundary contiguous-subsequence hits against
+    //      a broadcast per-length phrase table — no explode, no shuffle.
+    //      The phrase list binds 1/2/3-token phrases, case folding
+    //      ("SPARK" hits 'spark'), and a never-matching phrase ----
+    "q_blocklist" -> ((s, dir) =>
+      graft.ops.Blocklist.matchCounts(docs(s, dir),
+        BlocklistPhrases, maxMatches = 2)
+        .orderBy(col("doc_id"))),
+
+    // ---- WET generation (the extracted-text distribution format):
+    //      record split + extraction + conversion-record serialization
+    //      in one map pass; the digest + byte length pin the full
+    //      serialized output cross-engine ----
+    "q_wet" -> ((s, dir) =>
+      graft.ops.Warc.wet(warcArchives(s, dir))
+        .orderBy(col("archive_id"))),
 
     // ---- CDX over the HTTP archives: natural duplicate-digest classes
     //      (identical 404 bodies, empty 301 bodies, identical revisit
@@ -2373,6 +2399,8 @@ object SparkEntry {
     // shares q_warc_http's golden verbatim (anti-drift)
     "q_ingest_gz_http" -> golden("q_warc_http"),
     "q_cdx_http" -> golden("q_cdx_http"),
+    "q_wet" -> golden("q_wet"),
+    "q_blocklist" -> golden("q_blocklist"),
     // revisit dedup recomputed by DuckDB windows over the committed
     // q_cdx_http golden — an independent engine over the same input
     "q_cdx_dedup" ->

@@ -282,6 +282,59 @@ object Warc {
     }
   }
 
+  // ==== WET generation (Common Crawl's extracted-text distribution
+  //      format: conversion records carrying the plain text) ====
+
+  /** Serialize WET conversion records (pinned subset of the WET spec,
+    * mirrored in graftpy wet_bytes): per source record a header
+    * `WARC/1.0 CRLF WARC-Type: conversion CRLF WARC-Target-URI: uri CRLF
+    * WARC-Date: date CRLF Content-Type: text/plain CRLF Content-Length:
+    * N CRLF CRLF` + the extracted text as UTF-8 (N counts those BYTES) +
+    * `CRLF CRLF`. Deliberately no WARC-Record-ID/Refers-To uuids — they
+    * would be nondeterministic; the (uri, date) pair carries the
+    * linkage. The output is itself a valid archive for [[parse]]
+    * (round-trip pinned in tests).
+    */
+  private[ops] def wetBytes(
+      recs: Seq[(String, String, String)]): Array[Byte] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val bos = new java.io.ByteArrayOutputStream()
+    recs.foreach { case (uri, date, text) =>
+      val body = text.getBytes(utf8)
+      val header = s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+        s"WARC-Target-URI: $uri\r\nWARC-Date: $date\r\n" +
+        s"Content-Type: text/plain\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n"
+      bos.write(header.getBytes(ascii))
+      bos.write(body)
+      bos.write("\r\n\r\n".getBytes(ascii))
+    }
+    bos.toByteArray
+  }
+
+  /** Archive table → WET summary rows (archive_id, n_records,
+    * wet_length, wet_sha1): record split, HTML extraction, and WET
+    * serialization in ONE map pass per archive — records never shuffle
+    * and the emitted row is ~60 B regardless of archive size (the
+    * digest + length pin the full serialized bytes cross-engine; a
+    * production job would write the bytes to storage in the same pass).
+    */
+  def wet(archives: DataFrame): DataFrame = {
+    val spark = archives.sparkSession
+    import spark.implicits._
+    archives.select(col("archive_id"), col("data"))
+      .filter(col("archive_id").isNotNull && col("data").isNotNull)
+      .as[(Long, Array[Byte])]
+      .map { case (aid, blob) =>
+        val rs = parse(blob)
+        val recs = rs.map(r => (r.uri, r.date,
+          graft.align.ExtractHtml.extractText(r.payload)))
+        val bytes = wetBytes(recs)
+        (aid, rs.length, bytes.length.toLong, sha1B32(bytes))
+      }.toDF("archive_id", "n_records", "wet_length", "wet_sha1")
+  }
+
   // ==== HTTP response payloads (the real Common Crawl record shape:
   //      a response record's payload is an HTTP message, not bare
   //      html — status line + headers + body) ====

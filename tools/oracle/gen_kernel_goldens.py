@@ -456,6 +456,35 @@ def main():
            "n_chars": [x[7] for x in _ht],
            "prefix": [x[8] for x in _ht]})
 
+    # ---- q_blocklist (phrase-blocklist gate; token-boundary hits) ----
+    _bl = g.bl_rows(doc_items)
+    write("q_blocklist",
+          pa.schema([("doc_id", pa.int64()), ("n_matches", pa.int32()),
+                     ("n_phrases", pa.int32()), ("keep", pa.bool_())]),
+          {"doc_id": [x[0] for x in _bl],
+           "n_matches": [x[1] for x in _bl],
+           "n_phrases": [x[2] for x in _bl],
+           "keep": [x[3] for x in _bl]})
+
+    # ---- q_wet (extracted-text conversion records: digest + length pin
+    #      the full serialized bytes cross-engine) ----
+    _wet = []
+    for aid in sorted(_by_arc):
+        pages = []
+        for i, t in sorted(_by_arc[aid]):
+            t = t if t is not None else ""
+            html = g.wrap_html(g.noisy_render(t, i), g.url_for(i),
+                               i).encode("utf-8")
+            pages.append((i, html, g.url_for(i)))
+        _wet.append(g.wet_row(g.warc_archive(pages), aid))
+    write("q_wet",
+          pa.schema([("archive_id", pa.int64()), ("n_records", pa.int32()),
+                     ("wet_length", pa.int64()), ("wet_sha1", pa.string())]),
+          {"archive_id": [x[0] for x in _wet],
+           "n_records": [x[1] for x in _wet],
+           "wet_length": [x[2] for x in _wet],
+           "wet_sha1": [x[3] for x in _wet]})
+
     # ---- q_cdx_http (CDX over the HTTP archives: the duplicate-digest
     #      input table for q_cdx_dedup's DuckDB-window oracle) ----
     _cdxh = []

@@ -1446,6 +1446,74 @@ def cdx_gz_rows(blob, archive_id):
     return rows
 
 
+# ---- phrase-blocklist matching (mirrors graft.ops.Blocklist) ----
+
+BL_PHRASES = ["slow", "big data", "hash join", "sort merge group",
+              "SPARK", "never matches anything"]
+
+
+def bl_fold(s):
+    return "".join(chr(ord(c) + 32) if "A" <= c <= "Z" else c for c in s)
+
+
+def bl_tokens(text):
+    if text is None:
+        return []
+    return [bl_fold(w) for w in text.split(" ") if w]
+
+
+def bl_rows(doc_items, phrases=None, max_matches=2):
+    """(doc_id, n_matches, n_phrases, keep) per doc — mirrors
+    Blocklist.matchCounts (token-boundary contiguous-subsequence hits,
+    overlaps counted, duplicate phrases collapse)."""
+    if phrases is None:
+        phrases = BL_PHRASES
+    keys = {" ".join(bl_tokens(p)) for p in phrases if bl_tokens(p)}
+    by_len = {}
+    for k in keys:
+        by_len.setdefault(k.count(" ") + 1, set()).add(k)
+    rows = []
+    for i, t in doc_items:
+        toks = bl_tokens(t)
+        n = 0
+        hit = set()
+        for pos in range(len(toks)):
+            for L, ks in by_len.items():
+                if pos + L <= len(toks):
+                    w = " ".join(toks[pos:pos + L])
+                    if w in ks:
+                        n += 1
+                        hit.add(w)
+        rows.append((i, n, len(hit), n <= max_matches))
+    return rows
+
+
+def wet_bytes(recs):
+    """recs: [(uri, date, text)] -> WET conversion-record bytes (mirrors
+    Warc.wetBytes; Content-Length counts UTF-8 BYTES of the text)."""
+    parts = []
+    for uri, date, text in recs:
+        body = text.encode("utf-8")
+        header = ("WARC/1.0\r\nWARC-Type: conversion\r\n"
+                  "WARC-Target-URI: %s\r\nWARC-Date: %s\r\n"
+                  "Content-Type: text/plain\r\n"
+                  "Content-Length: %d\r\n\r\n" % (uri, date, len(body)))
+        parts.append(header.encode("ascii"))
+        parts.append(body)
+        parts.append(b"\r\n\r\n")
+    return b"".join(parts)
+
+
+def wet_row(blob, archive_id):
+    """(archive_id, n_records, wet_length, wet_sha1) — mirrors Warc.wet
+    over one archive blob."""
+    rs = warc_parse(blob)
+    recs = [(uri, dt, extract_text(payload.decode("utf-8")))
+            for (_o, _rt, uri, dt, _cl, payload) in rs]
+    bb = wet_bytes(recs)
+    return (archive_id, len(rs), len(bb), cdx_sha1_b32(bb))
+
+
 def cdx_surt(uri):
     """SURT url key (mirrors Warc.surt): first-'://' scheme strip, one
     leading 'www.' dropped, host labels reversed comma-joined, ')' +
