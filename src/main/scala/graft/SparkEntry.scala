@@ -431,6 +431,17 @@ object SparkEntry {
     * the training (q_bpe_train itself still calls the op directly: it IS
     * the row under test). Keyed by (applicationId, sfDir).
     */
+  private val unigramCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def trainedUnigramFor(s: SparkSession, dir: String): DataFrame =
+    unigramCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + dir, _ => {
+        val rows = graft.ops.Unigram.train(docs(s, dir)).collect().toSeq
+        import s.implicits._
+        rows.map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toDF("rank", "piece", "count", "lnprob")
+      })
+
   private val bpeMergeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
   private def trainedMergesFor(s: SparkSession, dir: String): Seq[(String, String)] =
@@ -1511,6 +1522,24 @@ object SparkEntry {
     //      OWN independently trained merge list ----
     "q_bpe_encode" -> ((s, dir) =>
       graft.ops.Bpe.encodeCounts(docs(s, dir), trainedMergesFor(s, dir))
+        .orderBy(col("doc_id"))),
+
+    // ---- Unigram-LM tokenizer training (the SentencePiece family next
+    //      to BPE): code-point substring seed → hard-EM Viterbi rounds →
+    //      pruned vocab with portable-ln scores; the Bpe.train dispatch
+    //      discipline (exact local under the word cap, one distributed
+    //      job per stage past it — integer counts make both paths
+    //      bit-identical) ----
+    "q_unigram_train" -> ((s, dir) =>
+      graft.ops.Unigram.train(docs(s, dir))
+        .orderBy(col("rank"))),
+
+    // ---- Unigram encode (train → encode round trip): max-likelihood
+    //      Viterbi segmentation per word against the broadcast vocab,
+    //      identity fallback for unseen code points ----
+    "q_unigram_encode" -> ((s, dir) =>
+      graft.ops.Unigram.encodeCounts(docs(s, dir),
+        trainedUnigramFor(s, dir))
         .orderBy(col("doc_id"))),
 
     // ---- tokenizer-aware packing pipeline (composition row): train BPE
@@ -2661,6 +2690,8 @@ object SparkEntry {
     "q_ann_ivf_q8" -> golden("q_ann_ivf_q8"),
     "q_pack_greedy" -> golden("q_pack_greedy"),
     "q_bpe_train" -> golden("q_bpe_train"),
+    "q_unigram_train" -> golden("q_unigram_train"),
+    "q_unigram_encode" -> golden("q_unigram_encode"),
     "q_bpe_encode" -> golden("q_bpe_encode"),
     "q_tokenizer_pipeline" -> golden("q_tokenizer_pipeline"),
     "q_minhash_join" -> golden("q_minhash_join"),

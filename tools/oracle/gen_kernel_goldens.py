@@ -456,6 +456,25 @@ def main():
            "n_chars": [x[7] for x in _ht],
            "prefix": [x[8] for x in _ht]})
 
+    # ---- q_unigram_train / q_unigram_encode (SentencePiece-family
+    #      tokenizer: substring seed -> hard-EM Viterbi -> pruned vocab;
+    #      portable-ln scores make the doubles bit-exact) ----
+    _ug = g.ug_train(doc_items)
+    write("q_unigram_train",
+          pa.schema([("rank", pa.int32()), ("piece", pa.string()),
+                     ("count", pa.int64()), ("lnprob", pa.float64())]),
+          {"rank": [x[0] for x in _ug],
+           "piece": [x[1] for x in _ug],
+           "count": [x[2] for x in _ug],
+           "lnprob": [x[3] for x in _ug]})
+    _uge = g.ug_encode_rows(doc_items, _ug)
+    write("q_unigram_encode",
+          pa.schema([("doc_id", pa.int64()), ("n_pieces", pa.int32()),
+                     ("piece_preview", pa.string())]),
+          {"doc_id": [x[0] for x in _uge],
+           "n_pieces": [x[1] for x in _uge],
+           "piece_preview": [x[2] for x in _uge]})
+
     # ---- q_blocklist (phrase-blocklist gate; token-boundary hits) ----
     _bl = g.bl_rows(doc_items)
     write("q_blocklist",

@@ -1446,6 +1446,122 @@ def cdx_gz_rows(blob, archive_id):
     return rows
 
 
+# ---- Unigram-LM tokenizer (mirrors graft.ops.Unigram) ----
+
+UG_LN2 = 0.6931471805599453
+
+
+def ug_ln(x):
+    return lm_log2(x) * UG_LN2
+
+
+def ug_substring_freqs(words, max_len):
+    """{substring: sum(freq * overlapping occurrences)} (code points —
+    python strings natively)."""
+    acc = {}
+    for w, f in words:
+        n = len(w)
+        for i in range(n):
+            for l in range(1, min(max_len, n - i) + 1):
+                k = w[i:i + l]
+                acc[k] = acc.get(k, 0) + f
+    return acc
+
+
+def ug_viterbi(w, scores, max_len, floor):
+    """Pinned DP: i ascending, L=1..max ascending, strict > wins (the
+    shortest L takes ties); unknown single cps take `floor`, unknown
+    multis are skipped."""
+    n = len(w)
+    if n == 0:
+        return []
+    NEG = float("-inf")
+    best = [NEG] * (n + 1)
+    bl = [0] * (n + 1)
+    best[0] = 0.0
+    for i in range(1, n + 1):
+        for l in range(1, min(max_len, i) + 1):
+            piece = w[i - l:i]
+            if piece in scores:
+                sc = scores[piece]
+            elif l == 1:
+                sc = floor
+            else:
+                continue
+            if sc == NEG or best[i - l] == NEG:
+                continue
+            cand = best[i - l] + sc
+            if cand > best[i]:
+                best[i] = cand
+                bl[i] = l
+    out = []
+    p = n
+    while p > 0:
+        l = bl[p]
+        out.append(w[p - l:p])
+        p -= l
+    out.reverse()
+    return out
+
+
+def ug_train(doc_items, vocab_size=120, max_len=6, seed_size=400,
+             em_rounds=3):
+    """-> [(rank, piece, count, lnprob)] (mirrors Unigram.train)."""
+    wf = {}
+    for _i, t in doc_items:
+        for w in (t or "").split(" "):
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    words = list(wf.items())
+    sub = ug_substring_freqs(words, max_len)
+    singles = [(p, f) for p, f in sub.items() if len(p) == 1]
+    multis = [(p, f) for p, f in sub.items() if len(p) > 1]
+    multis.sort(key=lambda x: (-x[1], x[0]))
+    counts = dict(singles)
+    for p, f in multis[:max(0, seed_size - len(singles))]:
+        counts[p] = f
+    NEG = float("-inf")
+    for _r in range(em_rounds):
+        total = float(sum(counts.values()))
+        sc = {p: ug_ln(float(n)) - ug_ln(total) for p, n in counts.items()}
+        nxt = {}
+        for w, f in words:
+            for p in ug_viterbi(w, sc, max_len, NEG):
+                nxt[p] = nxt.get(p, 0) + f
+        for p in counts:
+            if len(p) == 1 and p not in nxt:
+                nxt[p] = 1
+        counts = nxt
+    cs = [(p, n) for p, n in counts.items() if len(p) == 1]
+    ms = [(p, n) for p, n in counts.items() if len(p) > 1]
+    ms.sort(key=lambda x: (-x[1], x[0]))
+    kept = cs + ms[:max(0, vocab_size - len(cs))]
+    kept.sort(key=lambda x: (-x[1], x[0]))
+    total = float(sum(n for _p, n in kept))
+    return [(i + 1, p, n, ug_ln(float(n)) - ug_ln(total))
+            for i, (p, n) in enumerate(kept)]
+
+
+def ug_encode_rows(doc_items, trained):
+    """-> [(doc_id, n_pieces, piece_preview)] (mirrors
+    Unigram.encodeCounts over the trained table)."""
+    scores = {p: lp for (_r, p, _n, lp) in trained}
+    max_len = max((len(p) for p in scores), default=1)
+    floor = min(scores.values()) - 1.0 if scores else 0.0
+    rows = []
+    for i, t in doc_items:
+        toks = [w for w in (t or "").split(" ") if w]
+        buf = []
+        n = 0
+        for w in toks:
+            for p in ug_viterbi(w, scores, max_len, floor):
+                if len(buf) < 12:
+                    buf.append(p)
+                n += 1
+        rows.append((i, n, "|".join(buf)))
+    return rows
+
+
 # ---- phrase-blocklist matching (mirrors graft.ops.Blocklist) ----
 
 BL_PHRASES = ["slow", "big data", "hash join", "sort merge group",
