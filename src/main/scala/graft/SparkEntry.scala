@@ -1005,6 +1005,23 @@ object SparkEntry {
         BlocklistPhrases, maxMatches = 2)
         .orderBy(col("doc_id"))),
 
+    // ---- the same blocklist gate as an always-on stream: SAME kernel
+    //      per micro-batch (shared code, anti-drift — the oracle row IS
+    //      the batch golden); stateless map-only, phrase table
+    //      broadcast ----
+    "q_blocklist_stream" -> ((s, dir) => {
+      val tmp = scratchDir(s, "blocklist_stream")
+      docs(s, dir).select(col("doc_id"), col("text"))
+        .write.parquet(s"$tmp/docs")
+      graft.streaming.StreamingJobs.withShufflePartitions(s, 4) {
+        graft.streaming.StreamingJobs.runAvailableNow(
+          graft.streaming.StreamingJobs.blocklistStream(
+            s, s"$tmp/docs", BlocklistPhrases, maxMatches = 2),
+          s"$tmp/out")
+      }
+      s.read.parquet(s"$tmp/out/data").orderBy(col("doc_id"))
+    }),
+
     // ---- WET generation (the extracted-text distribution format):
     //      record split + extraction + conversion-record serialization
     //      in one map pass; the digest + byte length pin the full
@@ -2430,6 +2447,8 @@ object SparkEntry {
     "q_cdx_http" -> golden("q_cdx_http"),
     "q_wet" -> golden("q_wet"),
     "q_blocklist" -> golden("q_blocklist"),
+    // SHARED golden (anti-drift): the stream must equal the batch gate
+    "q_blocklist_stream" -> golden("q_blocklist"),
     // revisit dedup recomputed by DuckDB windows over the committed
     // q_cdx_http golden — an independent engine over the same input
     "q_cdx_dedup" ->

@@ -427,6 +427,24 @@ object StreamingJobs {
     graft.ops.Warc.recordsDecoded(in)
   }
 
+  /** Streaming phrase-blocklist gate: the SAME
+    * [[graft.ops.Blocklist.matchCounts]] kernel per micro-batch (shared
+    * code, so stream and batch CANNOT drift — q_blocklist_stream's
+    * oracle row is literally the batch golden). Stateless map-only with
+    * the phrase table broadcast: the moderation tier of an always-on
+    * ingest stream.
+    */
+  def blocklistStream(
+      spark: SparkSession,
+      docsDir: String,
+      phrases: Seq[String],
+      maxMatches: Int): DataFrame = {
+    val in = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(docsDir)
+    graft.ops.Blocklist.matchCounts(in, phrases, maxMatches)
+  }
+
   /** Run a streaming query to completion over the currently-available input
     * (AvailableNow), writing parquet + checkpoint under outDir.
     */
