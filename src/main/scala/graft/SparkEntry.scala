@@ -922,6 +922,25 @@ object SparkEntry {
         .orderBy(col("host"), col("rnk"))
     }),
 
+    // ---- PageRank-guided frontier: the same wave machinery ordered by
+    //      the link graph's own importance scores (OPIC/PageRank crawl
+    //      ordering) — candidates left-join the pagerank table on url.
+    //      Oracle: the frontier CTE re-ranked by the COMMITTED
+    //      q_pagerank golden ----
+    "q_frontier_ranked" -> ((s, dir) => {
+      import s.implicits._
+      val crawled = docs(s, dir)
+        .filter(col("doc_id").isNotNull && col("doc_id") % 2 === 0)
+        .select(col("doc_id")).as[Long]
+        .map(graft.pipeline.LinkGen.linkUrlFor).toDF("url")
+      val ranks = graft.ops.LinkGraph.pagerank(linkEdgesFor(s, dir),
+        iters = 20, damping = 0.85, exactFold = true)
+      graft.ops.Frontier.nextWaveRanked(linkEdgesFor(s, dir), crawled,
+        robotsTable(s), graft.pipeline.RobotsGen.Agent, k = 5,
+        ranks = ranks, saltBuckets = 4, crawlWindowSec = 7.0)
+        .orderBy(col("host"), col("rnk"))
+    }),
+
     // ---- politeness scheduling over the same wave: the rnk-th fetch of
     //      a host waits (rnk−1) × its hostMeta crawl-delay (default 1.0
     //      when absent/non-positive). Oracle: the q_frontier SQL extended
@@ -1405,6 +1424,31 @@ object SparkEntry {
     // ---- quality scoring (integer-exact + single divisions) ----
     "q_quality" -> ((s, dir) =>
       TextOps.qualityScores(docs(s, dir))),
+
+    // ---- quality ENSEMBLE (the production gate is never one signal):
+    //      classifier logit + LM bits-per-token + alpha ratio combine in
+    //      one pinned linear score. Oracle: DuckDB over the committed
+    //      classifier/LM goldens joined with an inline alpha-ratio
+    //      recompute — three families bound in one row ----
+    "q_quality_ensemble" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cls = graft.ops.Classifier.score(d)
+        .select(col("doc_id"), col("logit"))
+      val model = graft.ops.NgramLm.train(d.filter(col("doc_id") % 7 === 0))
+      val lm = graft.ops.NgramLm.score(d, model,
+        headBelow = 4.97, tailFrom = 5.08)
+        .select(col("doc_id"), col("bits_per_token"))
+      val alpha = TextOps.qualityScores(d)
+        .select(col("doc_id"), col("alpha_ratio"))
+      cls.join(lm, Seq("doc_id")).join(alpha, Seq("doc_id"))
+        .withColumn("score",
+          col("logit") - lit(0.5) * col("bits_per_token") +
+            lit(2.0) * col("alpha_ratio"))
+        .withColumn("keep", col("score") > lit(-2.0))
+        .select(col("doc_id"), col("logit"), col("bits_per_token"),
+          col("alpha_ratio"), col("score"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- repetition-weight upsampling (the other half of a pretraining
     //      mix: keep-rates can only drop; 2.5 epochs of a high-quality
@@ -2361,6 +2405,27 @@ object SparkEntry {
     "q_main_content" -> golden("q_main_content"),
     "q_classifier_score" -> golden("q_classifier_score"),
     "q_lm_perplexity" -> golden("q_lm_perplexity"),
+    // three-family composition: committed classifier + LM goldens joined
+    // with an inline alpha-ratio recompute; identical left-to-right
+    // double arithmetic both engines
+    "q_quality_ensemble" ->
+      (s"""SELECT c.doc_id, c.logit, l.bits_per_token,
+         |  CASE WHEN length(d.text) > 0 THEN
+         |    CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS
+         |      DOUBLE) / length(d.text) ELSE 0.0 END AS alpha_ratio,
+         |  c.logit - 0.5 * l.bits_per_token +
+         |    2.0 * (CASE WHEN length(d.text) > 0 THEN
+         |      CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS
+         |        DOUBLE) / length(d.text) ELSE 0.0 END) AS score,
+         |  (c.logit - 0.5 * l.bits_per_token +
+         |    2.0 * (CASE WHEN length(d.text) > 0 THEN
+         |      CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS
+         |        DOUBLE) / length(d.text) ELSE 0.0 END)) > -2.0 AS keep
+         |FROM '$GoldenDir/q_classifier_score.parquet' c
+         |JOIN '$GoldenDir/q_lm_perplexity.parquet' l
+         |  ON c.doc_id = l.doc_id
+         |JOIN documents d ON c.doc_id = d.doc_id"""
+        .stripMargin.replace("\n", " ")),
     "q_lm_pruned" -> golden("q_lm_pruned"),
     "q_kn_perplexity" -> golden("q_kn_perplexity"),
     "q_classifier_train" -> golden("q_classifier_train"),
@@ -2399,6 +2464,31 @@ object SparkEntry {
          |         CAST(floor(7.0 / crawl_delay) AS BIGINT))) END AS bud
          |  FROM al)
          |SELECT url, host, refs, rnk FROM rk WHERE rnk <= bud"""
+        .stripMargin.replace("\n", " ")),
+    // the frontier CTE re-ranked by the committed q_pagerank golden
+    "q_frontier_ranked" ->
+      (s"""WITH e AS (SELECT * FROM '$GoldenDir/q_link_edges.parquet'),
+         |r AS (SELECT * FROM '$GoldenDir/q_robots.parquet'),
+         |pr AS (SELECT url, rank FROM '$GoldenDir/q_pagerank.parquet'),
+         |c AS (SELECT 'https://site' || (doc_id % 13) ||
+         |  '.example.org/sec' || (doc_id % 5) || '/d/doc' || doc_id ||
+         |  '.html' AS url FROM documents
+         |  WHERE doc_id IS NOT NULL AND doc_id % 2 = 0),
+         |cand AS (SELECT e.dst AS url, count(DISTINCT e.src) AS refs
+         |  FROM e WHERE e.src IN (SELECT url FROM c)
+         |    AND e.dst NOT IN (SELECT url FROM c) GROUP BY e.dst),
+         |cr AS (SELECT cand.url, cand.refs,
+         |  coalesce(pr.rank, 0.0) AS rank FROM cand
+         |  LEFT JOIN pr ON cand.url = pr.url),
+         |al AS (SELECT cr.url, r.host, cr.rank, cr.refs, r.crawl_delay
+         |  FROM cr JOIN r ON cr.url = r.url WHERE r.allowed),
+         |rk AS (SELECT url, host, rank, refs, row_number() OVER
+         |  (PARTITION BY host ORDER BY rank DESC, url) AS rnk,
+         |  CASE WHEN crawl_delay IS NULL OR crawl_delay <= 0 THEN 5
+         |       ELSE least(5, greatest(1,
+         |         CAST(floor(7.0 / crawl_delay) AS BIGINT))) END AS bud
+         |  FROM al)
+         |SELECT url, host, rank, refs, rnk FROM rk WHERE rnk <= bud"""
         .stripMargin.replace("\n", " ")),
     // the same frontier CTE joined against the COMMITTED q_robots_meta
     // golden: the delay reaches the oracle via the hostMeta directive

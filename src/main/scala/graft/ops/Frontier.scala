@@ -87,6 +87,63 @@ object Frontier {
       .select(col("url"), col("host"), col("refs"), col("rnk"))
   }
 
+  /** [[nextWave]] with an external PRIORITY table (url, rank — e.g.
+    * [[LinkGraph.pagerank]]'s output): candidates rank per host by
+    * (rank DESC, url) instead of referral count — the crawl-ordering
+    * policy real crawlers run (OPIC/PageRank-guided frontiers).
+    * Candidates left-join the rank table on the url key (absent urls
+    * take 0.0); everything else — robots gate, crawl-delay budget,
+    * two-phase salted per-host top-k — is the same machinery. Output:
+    * (url, host, rank, refs, rnk).
+    */
+  def nextWaveRanked(
+      edges: DataFrame,
+      crawled: DataFrame,
+      robots: DataFrame,
+      agent: String,
+      k: Int,
+      ranks: DataFrame,
+      saltBuckets: Int = 16,
+      crawlWindowSec: Double = 0.0): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(saltBuckets > 0, s"saltBuckets must be positive: $saltBuckets")
+    val crawledUrls = crawled.select(col("url")).filter(col("url").isNotNull)
+    val cand = edges
+      .join(crawledUrls.withColumnRenamed("url", "__cs"),
+        edges("src") === col("__cs"), "left_semi")
+      .join(crawledUrls.withColumnRenamed("url", "__cd"),
+        edges("dst") === col("__cd"), "left_anti")
+      .groupBy(col("dst").as("url"))
+      .agg(countDistinct(col("src")).as("refs"))
+      .join(ranks.select(col("url"), col("rank"))
+        .filter(col("url").isNotNull), Seq("url"), "left")
+      .na.fill(0.0, Seq("rank"))
+
+    val allowed = Robots.annotate(cand, robots, agent)
+      .filter(col("allowed"))
+      .select(col("url"), col("host"), col("rank"), col("refs"),
+        col("crawl_delay"))
+
+    val budget =
+      if (crawlWindowSec <= 0.0) lit(k)
+      else when(col("crawl_delay").isNull || col("crawl_delay") <= 0.0, lit(k))
+        .otherwise(least(lit(k.toLong),
+          greatest(lit(1L), floor(lit(crawlWindowSec) / col("crawl_delay")))))
+
+    val w = Window
+    val local = allowed
+      .withColumn("__salt", pmod(xxhash64(col("url")), lit(saltBuckets.toLong)))
+      .withColumn("__lr", row_number().over(
+        w.partitionBy(col("host"), col("__salt"))
+          .orderBy(col("rank").desc, col("url"))))
+      .filter(col("__lr") <= k)
+    local
+      .withColumn("rnk", row_number().over(
+        w.partitionBy(col("host")).orderBy(col("rank").desc, col("url"))))
+      .filter(col("rnk") <= budget)
+      .select(col("url"), col("host"), col("rank"), col("refs"), col("rnk"))
+  }
+
   /** Politeness scheduler: turn a wave ([[nextWave]]'s (url, host, refs,
     * rnk) shape) into per-url fetch offsets — the rnk-th fetch of a host
     * waits (rnk−1) × that host's crawl-delay ([[Robots.hostMeta]]'s
