@@ -33,27 +33,58 @@ object SparkEntry {
     * + the PageGen html payload + CRLF CRLF. Content-Length counts BYTES
     * (the ligature-bearing UTF-8 pages make bytes ≠ chars).
     */
-  private def warcArchives(s: SparkSession, dir: String): DataFrame = {
+  /** Shared WARC fixture-record serializer (ONE copy of the pinned
+    * header shape for all four archive builders — review r6; the python
+    * mirrors pin the same bytes). gzip=true wraps THIS record as its own
+    * gzip member; the GZIPOutputStream is close()d per record through a
+    * non-closing wrapper, so the member trailer is written AND the
+    * Deflater's native buffers release deterministically while the
+    * shared buffer stays open.
+    */
+  private def writeFixtureRecord(
+      bos: java.io.ByteArrayOutputStream,
+      gzip: Boolean,
+      recType: String,
+      id: Long,
+      url: String,
+      payload: Array[Byte]): Unit = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val date = java.time.Instant
+      .ofEpochMilli(1767225600000L + id * 1000L).toString
+    val header = s"WARC/1.0\r\nWARC-Type: $recType\r\n" +
+      s"WARC-Target-URI: $url\r\nWARC-Date: $date\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n"
+    val out: java.io.OutputStream =
+      if (!gzip) bos
+      else new java.util.zip.GZIPOutputStream(
+        new java.io.FilterOutputStream(bos) {
+          override def write(b: Array[Byte], off: Int, len: Int): Unit =
+            bos.write(b, off, len)
+          override def close(): Unit = () // keep the shared buffer open
+        })
+    out.write(header.getBytes(ascii))
+    out.write(payload)
+    out.write("\r\n\r\n".getBytes(ascii))
+    out match {
+      case gz: java.util.zip.GZIPOutputStream => gz.close()
+      case _ => ()
+    }
+  }
+
+  private def warcArchives(
+      s: SparkSession, dir: String, gzip: Boolean = false): DataFrame = {
     import s.implicits._
     docs(s, dir).filter(col("doc_id").isNotNull)
       .select(col("doc_id"), col("text"), col("lang"))
       .as[(Long, String, String)]
       .groupByKey(_._1 / 20L)
       .mapGroups { (aid: Long, it: Iterator[(Long, String, String)]) =>
-        val ascii = java.nio.charset.StandardCharsets.US_ASCII
         val pages = it.toArray.sortBy(_._1)
         val bos = new java.io.ByteArrayOutputStream()
         pages.foreach { case (id, t0, lang) =>
           val t = if (t0 == null) "" else t0 // null-text rows archive empty
           val page = graft.pipeline.PageGen.pageFor(id, t, lang)
-          val date = java.time.Instant
-            .ofEpochMilli(1767225600000L + id * 1000L).toString
-          val header = s"WARC/1.0\r\nWARC-Type: response\r\n" +
-            s"WARC-Target-URI: ${page.url}\r\nWARC-Date: $date\r\n" +
-            s"Content-Length: ${page.html.length}\r\n\r\n"
-          bos.write(header.getBytes(ascii))
-          bos.write(page.html)
-          bos.write("\r\n\r\n".getBytes(ascii))
+          writeFixtureRecord(bos, gzip, "response", id, page.url, page.html)
         }
         (aid, bos.toByteArray)
       }.toDF("archive_id", "data")
@@ -67,35 +98,8 @@ object SparkEntry {
     * surface is the member split + reassembled plain stream, which both
     * engines must reduce to the identical q_warc_records rows.
     */
-  private def warcGzArchives(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    docs(s, dir).filter(col("doc_id").isNotNull)
-      .select(col("doc_id"), col("text"), col("lang"))
-      .as[(Long, String, String)]
-      .groupByKey(_._1 / 20L)
-      .mapGroups { (aid: Long, it: Iterator[(Long, String, String)]) =>
-        val ascii = java.nio.charset.StandardCharsets.US_ASCII
-        val pages = it.toArray.sortBy(_._1)
-        val bos = new java.io.ByteArrayOutputStream()
-        pages.foreach { case (id, t0, lang) =>
-          val t = if (t0 == null) "" else t0
-          val page = graft.pipeline.PageGen.pageFor(id, t, lang)
-          val date = java.time.Instant
-            .ofEpochMilli(1767225600000L + id * 1000L).toString
-          val header = s"WARC/1.0\r\nWARC-Type: response\r\n" +
-            s"WARC-Target-URI: ${page.url}\r\nWARC-Date: $date\r\n" +
-            s"Content-Length: ${page.html.length}\r\n\r\n"
-          val rec = new java.io.ByteArrayOutputStream()
-          rec.write(header.getBytes(ascii))
-          rec.write(page.html)
-          rec.write("\r\n\r\n".getBytes(ascii))
-          val gz = new java.util.zip.GZIPOutputStream(bos)
-          gz.write(rec.toByteArray)
-          gz.finish() // member trailer; the next record opens a new member
-        }
-        (aid, bos.toByteArray)
-      }.toDF("archive_id", "data")
-  }
+  private def warcGzArchives(s: SparkSession, dir: String): DataFrame =
+    warcArchives(s, dir, gzip = true)
 
   /** Same archive convention, but the payloads are the CharsetGen
     * mixed-encoding fixtures — q_warc_charset's full-ingest-head input
@@ -238,27 +242,19 @@ object SparkEntry {
     * conflict and a raw non-http fallback), and an optional revisit
     * record (id%9==2) — recordsHttp must keep responses only.
     */
-  private def httpWarcArchives(s: SparkSession, dir: String): DataFrame = {
+  private def httpWarcArchives(
+      s: SparkSession, dir: String, gzip: Boolean = false): DataFrame = {
     import s.implicits._
     docs(s, dir).filter(col("doc_id").isNotNull)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .groupByKey(_._1 / 20L)
       .mapGroups { (aid: Long, it: Iterator[(Long, String)]) =>
-        val ascii = java.nio.charset.StandardCharsets.US_ASCII
         val pages = it.toArray.sortBy(_._1)
         val bos = new java.io.ByteArrayOutputStream()
-        def rec(recType: String, id: Long, payload: Array[Byte]): Unit = {
-          val date = java.time.Instant
-            .ofEpochMilli(1767225600000L + id * 1000L).toString
-          val header = s"WARC/1.0\r\nWARC-Type: $recType\r\n" +
-            s"WARC-Target-URI: ${graft.pipeline.PageGen.urlFor(id)}\r\n" +
-            s"WARC-Date: $date\r\n" +
-            s"Content-Length: ${payload.length}\r\n\r\n"
-          bos.write(header.getBytes(ascii))
-          bos.write(payload)
-          bos.write("\r\n\r\n".getBytes(ascii))
-        }
+        def rec(recType: String, id: Long, payload: Array[Byte]): Unit =
+          writeFixtureRecord(bos, gzip, recType, id,
+            graft.pipeline.PageGen.urlFor(id), payload)
         pages.foreach { case (id, t) =>
           if (id % 5 == 0) rec("request", id,
             graft.pipeline.HttpGen.requestPayload(id))
@@ -275,40 +271,8 @@ object SparkEntry {
     * record its own gzip member) — q_ingest_gz_http's input; must reduce
     * to exactly q_warc_http's rows.
     */
-  private def httpWarcGzArchives(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    docs(s, dir).filter(col("doc_id").isNotNull)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .groupByKey(_._1 / 20L)
-      .mapGroups { (aid: Long, it: Iterator[(Long, String)]) =>
-        val ascii = java.nio.charset.StandardCharsets.US_ASCII
-        val pages = it.toArray.sortBy(_._1)
-        val bos = new java.io.ByteArrayOutputStream()
-        def rec(recType: String, id: Long, payload: Array[Byte]): Unit = {
-          val date = java.time.Instant
-            .ofEpochMilli(1767225600000L + id * 1000L).toString
-          val header = s"WARC/1.0\r\nWARC-Type: $recType\r\n" +
-            s"WARC-Target-URI: ${graft.pipeline.PageGen.urlFor(id)}\r\n" +
-            s"WARC-Date: $date\r\n" +
-            s"Content-Length: ${payload.length}\r\n\r\n"
-          val gz = new java.util.zip.GZIPOutputStream(bos)
-          gz.write(header.getBytes(ascii))
-          gz.write(payload)
-          gz.write("\r\n\r\n".getBytes(ascii))
-          gz.finish()
-        }
-        pages.foreach { case (id, t) =>
-          if (id % 5 == 0) rec("request", id,
-            graft.pipeline.HttpGen.requestPayload(id))
-          rec("response", id,
-            graft.pipeline.HttpGen.responsePayload(id, t))
-          if (id % 9 == 2) rec("revisit", id,
-            graft.pipeline.HttpGen.revisitPayload(id))
-        }
-        (aid, bos.toByteArray)
-      }.toDF("archive_id", "data")
-  }
+  private def httpWarcGzArchives(s: SparkSession, dir: String): DataFrame =
+    httpWarcArchives(s, dir, gzip = true)
 
   private val linkEdgeCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()

@@ -71,7 +71,13 @@ object CharsetSniff {
   /** (charset, bomLen) for one payload per the pinned spec. */
   def sniff(bytes: Array[Byte]): (String, Int) = {
     if (bytes == null) return (Win1252, 0)
-    bomSniff(bytes).foreach(return _)
+    // plain match, not .foreach(return _): a non-local return from a
+    // closure is an exception throw per BOM'd payload on the ingest hot
+    // path (review r6)
+    bomSniff(bytes) match {
+      case Some(t) => return t
+      case None    => ()
+    }
     val n = math.min(1024, bytes.length)
     val prefix = new String(bytes, 0, n,
       java.nio.charset.StandardCharsets.ISO_8859_1)

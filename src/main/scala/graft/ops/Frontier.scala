@@ -48,21 +48,51 @@ object Frontier {
       agent: String,
       k: Int,
       saltBuckets: Int = 16,
-      crawlWindowSec: Double = 0.0): DataFrame = {
+      crawlWindowSec: Double = 0.0): DataFrame =
+    waveCore(edges, crawled, robots, agent, k, saltBuckets,
+      crawlWindowSec, ranks = None)
+
+  /** The shared frontier machinery (ONE copy — review r6): uncrawled
+    * candidates with referral counts, optional priority join, robots
+    * gate, crawl-delay budget, and the two-phase salted per-host top-k
+    * ordered by `priority DESC, url` where priority is `refs` (plain
+    * wave) or the joined `rank` (ranked wave).
+    */
+  private def waveCore(
+      edges: DataFrame,
+      crawled: DataFrame,
+      robots: DataFrame,
+      agent: String,
+      k: Int,
+      saltBuckets: Int,
+      crawlWindowSec: Double,
+      ranks: Option[DataFrame]): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(saltBuckets > 0, s"saltBuckets must be positive: $saltBuckets")
     val crawledUrls = crawled.select(col("url")).filter(col("url").isNotNull)
-    val cand = edges
+    val cand0 = edges
       .join(crawledUrls.withColumnRenamed("url", "__cs"),
         edges("src") === col("__cs"), "left_semi")
       .join(crawledUrls.withColumnRenamed("url", "__cd"),
         edges("dst") === col("__cd"), "left_anti")
       .groupBy(col("dst").as("url"))
       .agg(countDistinct(col("src")).as("refs"))
+    val cand = ranks match {
+      case None => cand0
+      case Some(r) => cand0
+        .join(r.select(col("url"), col("rank"))
+          .filter(col("url").isNotNull), Seq("url"), "left")
+        .na.fill(0.0, Seq("rank"))
+    }
+    val prio = if (ranks.isEmpty) col("refs") else col("rank")
+    val outCols =
+      if (ranks.isEmpty)
+        Seq(col("url"), col("host"), col("refs"), col("rnk"))
+      else
+        Seq(col("url"), col("host"), col("rank"), col("refs"), col("rnk"))
 
     val allowed = Robots.annotate(cand, robots, agent)
       .filter(col("allowed"))
-      .select(col("url"), col("host"), col("refs"), col("crawl_delay"))
 
     // per-host budget (a column, not a collect — hosts never hit the
     // driver); floor() of an IEEE division, pinned in the DuckDB oracle
@@ -78,13 +108,13 @@ object Frontier {
       .withColumn("__salt", pmod(xxhash64(col("url")), lit(saltBuckets.toLong)))
       .withColumn("__lr", row_number().over(
         w.partitionBy(col("host"), col("__salt"))
-          .orderBy(col("refs").desc, col("url"))))
+          .orderBy(prio.desc, col("url"))))
       .filter(col("__lr") <= k)
     local
       .withColumn("rnk", row_number().over(
-        w.partitionBy(col("host")).orderBy(col("refs").desc, col("url"))))
+        w.partitionBy(col("host")).orderBy(prio.desc, col("url"))))
       .filter(col("rnk") <= budget)
-      .select(col("url"), col("host"), col("refs"), col("rnk"))
+      .select(outCols: _*)
   }
 
   /** [[nextWave]] with an external PRIORITY table (url, rank — e.g.
@@ -104,45 +134,9 @@ object Frontier {
       k: Int,
       ranks: DataFrame,
       saltBuckets: Int = 16,
-      crawlWindowSec: Double = 0.0): DataFrame = {
-    require(k > 0, s"k must be positive: $k")
-    require(saltBuckets > 0, s"saltBuckets must be positive: $saltBuckets")
-    val crawledUrls = crawled.select(col("url")).filter(col("url").isNotNull)
-    val cand = edges
-      .join(crawledUrls.withColumnRenamed("url", "__cs"),
-        edges("src") === col("__cs"), "left_semi")
-      .join(crawledUrls.withColumnRenamed("url", "__cd"),
-        edges("dst") === col("__cd"), "left_anti")
-      .groupBy(col("dst").as("url"))
-      .agg(countDistinct(col("src")).as("refs"))
-      .join(ranks.select(col("url"), col("rank"))
-        .filter(col("url").isNotNull), Seq("url"), "left")
-      .na.fill(0.0, Seq("rank"))
-
-    val allowed = Robots.annotate(cand, robots, agent)
-      .filter(col("allowed"))
-      .select(col("url"), col("host"), col("rank"), col("refs"),
-        col("crawl_delay"))
-
-    val budget =
-      if (crawlWindowSec <= 0.0) lit(k)
-      else when(col("crawl_delay").isNull || col("crawl_delay") <= 0.0, lit(k))
-        .otherwise(least(lit(k.toLong),
-          greatest(lit(1L), floor(lit(crawlWindowSec) / col("crawl_delay")))))
-
-    val w = Window
-    val local = allowed
-      .withColumn("__salt", pmod(xxhash64(col("url")), lit(saltBuckets.toLong)))
-      .withColumn("__lr", row_number().over(
-        w.partitionBy(col("host"), col("__salt"))
-          .orderBy(col("rank").desc, col("url"))))
-      .filter(col("__lr") <= k)
-    local
-      .withColumn("rnk", row_number().over(
-        w.partitionBy(col("host")).orderBy(col("rank").desc, col("url"))))
-      .filter(col("rnk") <= budget)
-      .select(col("url"), col("host"), col("rank"), col("refs"), col("rnk"))
-  }
+      crawlWindowSec: Double = 0.0): DataFrame =
+    waveCore(edges, crawled, robots, agent, k, saltBuckets,
+      crawlWindowSec, ranks = Some(ranks))
 
   /** Politeness scheduler: turn a wave ([[nextWave]]'s (url, host, refs,
     * rnk) shape) into per-url fetch offsets — the rnk-th fetch of a host

@@ -46,8 +46,18 @@ object Warc {
   }
 
   /** Parse one archive blob. Returns the records of the valid prefix. */
-  def parse(data: Array[Byte]): IndexedSeq[WarcRecord] = {
-    if (data == null) return IndexedSeq.empty
+  def parse(data: Array[Byte]): IndexedSeq[WarcRecord] =
+    parseConsumed(data)._1
+
+  /** Like [[parse]] but also returns how many bytes the accepted records
+    * consumed (the start of the first unparseable/incomplete byte) — the
+    * carry-over contract [[parseGzStream]] needs: records are emitted
+    * greedily and a tail that fails here may simply be INCOMPLETE and
+    * succeed once more bytes arrive, which is exactly how it re-parses.
+    */
+  private def parseConsumed(
+      data: Array[Byte]): (IndexedSeq[WarcRecord], Int) = {
+    if (data == null) return (IndexedSeq.empty, 0)
     val out = IndexedSeq.newBuilder[WarcRecord]
     var pos = 0
     var done = false
@@ -125,7 +135,7 @@ object Warc {
         }
       }
     }
-    out.result()
+    (out.result(), pos)
   }
 
   /** Archive table (archive_id, data: binary) → per-record rows with the
@@ -186,22 +196,37 @@ object Warc {
     * pinned surface.
     */
   def gzMembers(data: Array[Byte]): IndexedSeq[Array[Byte]] =
-    gzMemberSpans(data).map(_._3)
+    gzMemberIterator(data).map(_._3).toIndexedSeq
 
   /** Like [[gzMembers]] but each member carries its COMPRESSED span
     * (offset, length) in the blob — what a `.warc.gz`-addressing index
     * (see [[cdxGz]]) must record, because seeking a gz member needs its
-    * compressed, not decompressed, position.
+    * compressed, not decompressed, position. Materializes every member;
+    * for blob-scale work consume [[gzMemberIterator]] instead.
     */
-  def gzMemberSpans(data: Array[Byte]): IndexedSeq[(Long, Long, Array[Byte])] = {
-    if (data == null) return IndexedSeq.empty
-    val out = IndexedSeq.newBuilder[(Long, Long, Array[Byte])]
-    var pos = 0
-    var done = false
-    while (!done) {
-      if (pos + 10 > data.length || (data(pos) & 0xFF) != 0x1F ||
-          (data(pos + 1) & 0xFF) != 0x8B || data(pos + 2) != 8) done = true
-      else {
+  def gzMemberSpans(data: Array[Byte]): IndexedSeq[(Long, Long, Array[Byte])] =
+    gzMemberIterator(data).toIndexedSeq
+
+  /** LAZY member scan — one decompressed member in memory at a time, so
+    * consumers ([[recordsGz]], [[cdxGz]]) hold O(largest member), never
+    * O(blob decompressed). Yields (compressedOffset, compressedLength,
+    * memberBytes) with the same valid-prefix semantics as the eager
+    * forms.
+    */
+  def gzMemberIterator(
+      data: Array[Byte]): Iterator[(Long, Long, Array[Byte])] =
+    new scala.collection.AbstractIterator[(Long, Long, Array[Byte])] {
+      private var pos = 0
+      private var nextItem: (Long, Long, Array[Byte]) = _
+      private var done = data == null
+      private def advance(): Unit = {
+        nextItem = null
+        if (!done) scanOne()
+        if (nextItem == null) done = true
+      }
+      private def scanOne(): Unit = {
+        if (pos + 10 > data.length || (data(pos) & 0xFF) != 0x1F ||
+            (data(pos + 1) & 0xFF) != 0x8B || data(pos + 2) != 8) return
         val flg = data(pos + 3) & 0xFF
         var p = pos + 10
         var ok = true
@@ -219,52 +244,53 @@ object Warc {
         if (ok && (flg & 8) != 0) skipZeroTerminated()
         if (ok && (flg & 16) != 0) skipZeroTerminated()
         if (ok && (flg & 2) != 0) p += 2 // FHCRC
-        if (!ok || p > data.length) done = true
-        else {
-          val inf = new java.util.zip.Inflater(true) // raw deflate
-          inf.setInput(data, p, data.length - p)
-          val bos = new java.io.ByteArrayOutputStream(
-            math.max(64, (data.length - p) * 3))
-          val buf = new Array[Byte](65536)
-          var err = false
-          try {
-            while (!inf.finished() && !err) {
-              val n = inf.inflate(buf)
-              if (n > 0) bos.write(buf, 0, n)
-              else if (inf.needsInput() || inf.needsDictionary())
-                err = true // truncated / preset-dictionary: damage
-            }
-          } catch {
-            case _: java.util.zip.DataFormatException => err = true
+        if (!ok || p > data.length) return
+        val inf = new java.util.zip.Inflater(true) // raw deflate
+        inf.setInput(data, p, data.length - p)
+        // fixed-size growth: a member's decompressed size is unknown
+        // up front and sizing from the remaining COMPRESSED blob would
+        // be O(members x blob) transient allocation (review r6)
+        val bos = new java.io.ByteArrayOutputStream(65536)
+        val buf = new Array[Byte](65536)
+        var err = false
+        try {
+          while (!inf.finished() && !err) {
+            val n = inf.inflate(buf)
+            if (n > 0) bos.write(buf, 0, n)
+            else if (inf.needsInput() || inf.needsDictionary())
+              err = true // truncated / preset-dictionary: damage
           }
-          val consumed = (data.length - p) - inf.getRemaining
-          inf.end()
-          if (err) done = true
-          else {
-            val trailerAt = p + consumed
-            if (trailerAt + 8 > data.length) done = true
-            else {
-              val member = bos.toByteArray
-              def le4(o: Int): Long =
-                (data(o) & 0xFFL) | ((data(o + 1) & 0xFFL) << 8) |
-                  ((data(o + 2) & 0xFFL) << 16) | ((data(o + 3) & 0xFFL) << 24)
-              val crc = new java.util.zip.CRC32()
-              crc.update(member)
-              if (le4(trailerAt) != crc.getValue ||
-                  le4(trailerAt + 4) != (member.length.toLong & 0xFFFFFFFFL))
-                done = true // corrupt trailer: stop at the valid prefix
-              else {
-                out += ((pos.toLong, (trailerAt + 8 - pos).toLong, member))
-                pos = trailerAt + 8
-                if (pos >= data.length) done = true
-              }
-            }
-          }
+        } catch {
+          case _: java.util.zip.DataFormatException => err = true
         }
+        val consumed = (data.length - p) - inf.getRemaining
+        inf.end()
+        if (err) return
+        val trailerAt = p + consumed
+        if (trailerAt + 8 > data.length) return
+        val member = bos.toByteArray
+        def le4(o: Int): Long =
+          (data(o) & 0xFFL) | ((data(o + 1) & 0xFFL) << 8) |
+            ((data(o + 2) & 0xFFL) << 16) | ((data(o + 3) & 0xFFL) << 24)
+        val crc = new java.util.zip.CRC32()
+        crc.update(member)
+        if (le4(trailerAt) != crc.getValue ||
+            le4(trailerAt + 4) != (member.length.toLong & 0xFFFFFFFFL))
+          return // corrupt trailer: stop at the valid prefix
+        nextItem = (pos.toLong, (trailerAt + 8 - pos).toLong, member)
+        pos = trailerAt + 8
+      }
+      def hasNext: Boolean = {
+        if (!done && nextItem == null) advance()
+        !done
+      }
+      def next(): (Long, Long, Array[Byte]) = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = nextItem
+        nextItem = null
+        r
       }
     }
-    out.result()
-  }
 
   /** Decompress every valid-prefix member and concatenate — for a
     * per-record-gzipped WARC this reconstructs the PLAIN archive byte
@@ -276,9 +302,47 @@ object Warc {
     if (ms.isEmpty) Array.emptyByteArray
     else if (ms.length == 1) ms(0)
     else {
-      val bos = new java.io.ByteArrayOutputStream(ms.iterator.map(_.length).sum)
+      // a single JVM array caps at 2^31-1 bytes: fail LOUDLY past it
+      // (review r6 — an Int sum would overflow silently). Blob-scale
+      // consumers use parseGzStream, which never reassembles.
+      val total = ms.iterator.map(_.length.toLong).sum
+      require(total <= Int.MaxValue - 16,
+        s"gunzipMembers: $total decompressed bytes exceed one JVM " +
+          "array - consume parseGzStream/gzMemberIterator instead")
+      val bos = new java.io.ByteArrayOutputStream(total.toInt)
       ms.foreach(m => bos.write(m, 0, m.length))
       bos.toByteArray
+    }
+  }
+
+  /** Streaming record parse of a multi-member gz blob: EXACTLY the
+    * records of `parse(gunzipMembers(blob))` with the same plain-stream
+    * offsets, but holding only (pending tail + one member) in memory —
+    * records may span members. Per member the pending buffer re-parses
+    * greedily ([[parseConsumed]]): complete records emit with offsets
+    * rebased to the plain stream, the unconsumed tail carries over (it
+    * may just be INCOMPLETE), and whatever remains at blob end is the
+    * damaged tail both forms drop. Prefix-stability of the greedy parse
+    * makes the equivalence exact (round-tripped in WarcSpec).
+    */
+  private[ops] def parseGzStream(blob: Array[Byte]): Iterator[WarcRecord] = {
+    var pending = Array.emptyByteArray
+    var plainBase = 0L
+    gzMemberIterator(blob).flatMap { case (_, _, member) =>
+      pending =
+        if (pending.isEmpty) member
+        else {
+          val merged = new Array[Byte](pending.length + member.length)
+          System.arraycopy(pending, 0, merged, 0, pending.length)
+          System.arraycopy(member, 0, merged, pending.length, member.length)
+          merged
+        }
+      val (recs, consumed) = parseConsumed(pending)
+      val base = plainBase
+      plainBase += consumed
+      pending = java.util.Arrays.copyOfRange(
+        pending, consumed, pending.length)
+      recs.iterator.map(r => r.copy(offset = r.offset + base))
     }
   }
 
@@ -414,6 +478,26 @@ object Warc {
     * decodes whole with null status/mime (the raw-payload fallback).
     * Map-only; null rows dropped.
     */
+  /** One output row for a response record (shared by the plain and gz
+    * forms so they cannot drift).
+    */
+  private def httpRow(aid: Long, r: WarcRecord)
+      : (Long, Long, String, Option[Int], Option[String], String,
+        Boolean, Int, String) =
+    httpParse(r.payload) match {
+      case Some(h) =>
+        val (cs, bom, text) =
+          CharsetSniff.decodeWithTransport(h.body, h.charset)
+        val (n, prefix) = CharsetSniff.codePointStats(text, 48)
+        (aid, r.offset, r.uri, Option(h.status), Option(h.mime),
+          cs, bom, n, prefix)
+      case None =>
+        val (cs, bom, text) = CharsetSniff.decode(r.payload)
+        val (n, prefix) = CharsetSniff.codePointStats(text, 48)
+        (aid, r.offset, r.uri, Option.empty[Int],
+          Option.empty[String], cs, bom, n, prefix)
+    }
+
   def recordsHttp(archives: DataFrame): DataFrame = {
     val spark = archives.sparkSession
     import spark.implicits._
@@ -423,21 +507,7 @@ object Warc {
       .flatMap { case (aid, blob) =>
         parse(blob).iterator
           .filter(_.recType == "response")
-          .map { r =>
-            httpParse(r.payload) match {
-              case Some(h) =>
-                val (cs, bom, text) =
-                  CharsetSniff.decodeWithTransport(h.body, h.charset)
-                val (n, prefix) = CharsetSniff.codePointStats(text, 48)
-                (aid, r.offset, r.uri, Option(h.status), Option(h.mime),
-                  cs, bom, n, prefix)
-              case None =>
-                val (cs, bom, text) = CharsetSniff.decode(r.payload)
-                val (n, prefix) = CharsetSniff.codePointStats(text, 48)
-                (aid, r.offset, r.uri, Option.empty[Int],
-                  Option.empty[String], cs, bom, n, prefix)
-            }
-          }
+          .map(r => httpRow(aid, r))
       }.toDF("archive_id", "rec_offset", "uri", "status", "mime",
         "charset", "had_bom", "n_chars", "prefix")
   }
@@ -553,7 +623,7 @@ object Warc {
       .filter(col("archive_id").isNotNull && col("data").isNotNull)
       .as[(Long, Array[Byte])]
       .flatMap { case (aid, blob) =>
-        gzMemberSpans(blob).iterator.flatMap { case (off, len, member) =>
+        gzMemberIterator(blob).flatMap { case (off, len, member) =>
           parse(member).iterator.map { r =>
             (aid, surt(r.uri), r.uri, r.date, sha1B32(r.payload), off, len)
           }
@@ -562,19 +632,30 @@ object Warc {
         "rec_offset", "rec_length")
   }
 
-  /** `.warc.gz` archive table → the same rows as [[records]]: split the
-    * gzip members, reassemble the plain stream, parse. Map-only per
-    * archive; the member scan is sequential WITHIN one blob (gzip members
-    * only reveal their end by decompression) but archives parallelize —
-    * the Common Crawl layout is many ~1 GB warc.gz files, one task each,
-    * which is exactly this op's input shape. Offsets are positions in the
-    * reassembled plain stream, identical to the uncompressed convention
-    * (pinned by q_warc_gz sharing q_warc_records' row values).
+  /** `.warc.gz` archive table → the same rows as [[records]]: the
+    * STREAMING member parse ([[parseGzStream]] — O(largest member)
+    * memory, records may span members, never a 2 GiB reassembly array).
+    * Map-only per archive; the member scan is sequential WITHIN one blob
+    * (gzip members only reveal their end by decompression) but archives
+    * parallelize — the Common Crawl layout is many ~1 GB warc.gz files,
+    * one task each, which is exactly this op's input shape. Offsets are
+    * positions in the logical plain stream, identical to the
+    * uncompressed convention (pinned by q_warc_gz sharing
+    * q_warc_records' row values).
     */
   def recordsGz(archives: DataFrame): DataFrame = {
-    val gunzip = udf((b: Array[Byte]) => gunzipMembers(b))
-    records(archives.select(col("archive_id"),
-      gunzip(col("data")).as("data")))
+    val spark = archives.sparkSession
+    import spark.implicits._
+    archives.select(col("archive_id"), col("data"))
+      .filter(col("archive_id").isNotNull && col("data").isNotNull)
+      .as[(Long, Array[Byte])]
+      .flatMap { case (aid, blob) =>
+        parseGzStream(blob).map { r =>
+          (aid, r.offset, r.recType, r.uri, r.date, r.contentLength,
+            graft.align.ExtractHtml.extractText(r.payload))
+        }
+      }.toDF("archive_id", "rec_offset", "rec_type", "uri", "warc_date",
+        "content_length", "extracted")
   }
 
   /** `.warc.gz` archives with HTTP payloads → [[recordsHttp]] rows: the
@@ -582,8 +663,16 @@ object Warc {
     * filter → HTTP head parse → transport-charset decode).
     */
   def recordsHttpGz(archives: DataFrame): DataFrame = {
-    val gunzip = udf((b: Array[Byte]) => gunzipMembers(b))
-    recordsHttp(archives.select(col("archive_id"),
-      gunzip(col("data")).as("data")))
+    val spark = archives.sparkSession
+    import spark.implicits._
+    archives.select(col("archive_id"), col("data"))
+      .filter(col("archive_id").isNotNull && col("data").isNotNull)
+      .as[(Long, Array[Byte])]
+      .flatMap { case (aid, blob) =>
+        parseGzStream(blob)
+          .filter(_.recType == "response")
+          .map(r => httpRow(aid, r))
+      }.toDF("archive_id", "rec_offset", "uri", "status", "mime",
+        "charset", "had_bom", "n_chars", "prefix")
   }
 }
