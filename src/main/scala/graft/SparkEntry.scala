@@ -527,6 +527,60 @@ object SparkEntry {
     sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
 
+  /** Deterministic STRUCTURED page for the Markdown/table fixtures:
+    * headings, inline emphasis/links (with and without href), a nested
+    * list on every 3rd doc, a nested blockquote on every 6th, a pre block
+    * with pinned internal whitespace, a th-headed table (headerless on
+    * every 4th doc — binds the separator rule), a second one-column table
+    * on every even doc (binds table_idx), entities in heading/cell/tail,
+    * an unknown `<span>` on every 5th doc (binds tag transparency).
+    * Mirrored token-for-token in graftpy.py `mdx_structured_html`.
+    */
+  private[graft] def structuredHtml(docId: Long, text: String): Array[Byte] = {
+    val toks = Option(text).getOrElse("").split(" ").filter(_.nonEmpty)
+    def tk(i: Int): String = if (toks.isEmpty) "lorem" else toks((i % toks.length).toInt)
+    val sb = new java.lang.StringBuilder
+    sb.append("<!DOCTYPE html><html><head><title>d").append(docId)
+      .append("</title><script>var x=1;</script></head><body>")
+    sb.append("<h1>Doc ").append(docId).append("</h1>")
+    sb.append("<p>").append(tk(0)).append(" <b>").append(tk(1)).append("</b> ")
+      .append(tk(2)).append(" <i>").append(tk(3)).append("</i> &amp; <a href=\"/d/")
+      .append(docId).append("\">").append(tk(4)).append(' ').append(tk(5))
+      .append("</a> end.</p>")
+    sb.append("<h2>Notes &amp; details</h2>")
+    sb.append("<p>").append(tk(6)).append(' ').append(tk(7)).append("<br>")
+      .append(tk(8)).append(" <code>").append(tk(9)).append("</code>")
+    if (docId % 5 == 0)
+      sb.append("<span class=\"z\"> extra ").append(tk(10)).append("</span>")
+    sb.append("</p>")
+    sb.append("<ul><li>").append(tk(11)).append("</li><li>").append(tk(12))
+    if (docId % 3 == 0)
+      sb.append("<ol><li>deep ").append(tk(13)).append("</li><li>deeper ")
+        .append(tk(14)).append("</li></ol>")
+    sb.append("</li><li>").append(tk(15)).append("</li></ul>")
+    sb.append("<ol><li>").append(tk(16)).append("</li><li><a>").append(tk(17))
+      .append("</a></li></ol>")
+    sb.append("<blockquote><p>").append(tk(18)).append(' ').append(tk(19))
+      .append(" quoted</p>")
+    if (docId % 6 == 0)
+      sb.append("<blockquote><p>inner ").append(tk(20)).append("</p></blockquote>")
+    sb.append("</blockquote>")
+    sb.append("<pre>\ncode line one  ").append(tk(21)).append("\n  indented ")
+      .append(tk(22)).append("\n</pre>")
+    sb.append("<table>")
+    if (docId % 4 != 0)
+      sb.append("<tr><th>Key</th><th>Value &amp; unit</th></tr>")
+    sb.append("<tr><td>").append(tk(23)).append("</td><td>").append(tk(24))
+      .append("</td></tr><tr><td>").append(tk(25)).append("</td><td><a href=\"/x/")
+      .append(docId).append("\">").append(tk(26)).append("</a></td></tr></table>")
+    if (docId % 2 == 0)
+      sb.append("<table><tr><th>N</th></tr><tr><td>").append(docId)
+        .append("</td></tr></table>")
+    sb.append("<hr><p>tail ").append(tk(27)).append(" &#8212; done</p>")
+    sb.append("</body></html>")
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- flagship kernel pipeline (non-SQL; golden/differential-verified) ----
@@ -689,6 +743,33 @@ object SparkEntry {
           (id, e.content, e.nBlocks, e.nKept, e.removedChars)
         }.toDF("doc_id", "content", "n_blocks", "n_kept", "removed_chars")
         .orderBy(col("doc_id"))
+    }),
+    // ---- HTML→Markdown structured extraction (FineWeb/Dolma-style):
+    //      headings/lists/tables/blockquotes/pre survive as Markdown
+    //      structure instead of flattening to a char stream. Map-only
+    //      per-row kernel over the structured fixture; golden is the
+    //      clean-room Python mirror (graftpy.mdx_convert) ----
+    "q_markdown" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val c = graft.align.Markdown.convert(structuredHtml(id, text))
+          (id, c.markdown, c.nBlocks)
+        }.toDF("doc_id", "markdown", "n_blocks")
+        .orderBy(col("doc_id"))
+    }),
+    // ---- HTML table extraction: every <table> flattened to typed
+    //      (table, row, col, header, cell) rows — the structured-data
+    //      harvest step of a training pipeline. Same single parse as
+    //      q_markdown (one kernel, two consumers) ----
+    "q_html_tables" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          graft.align.Markdown.convert(structuredHtml(id, text)).tables
+            .map(c => (id, c.tableIdx, c.rowIdx, c.colIdx, c.isHeader, c.text))
+        }.toDF("doc_id", "table_idx", "row_idx", "col_idx", "is_header", "cell")
+        .orderBy(col("doc_id"), col("table_idx"), col("row_idx"), col("col_idx"))
     }),
     "q_syllabify" -> ((s, dir) => {
       Functions.register(s)
@@ -2367,6 +2448,8 @@ object SparkEntry {
     "q_align_metrics" -> golden("q_align_metrics"),
     "q_extract_text" -> golden("q_extract_text"),
     "q_main_content" -> golden("q_main_content"),
+    "q_markdown" -> golden("q_markdown"),
+    "q_html_tables" -> golden("q_html_tables"),
     "q_classifier_score" -> golden("q_classifier_score"),
     "q_lm_perplexity" -> golden("q_lm_perplexity"),
     // three-family composition: committed classifier + LM goldens joined

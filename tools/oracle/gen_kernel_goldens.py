@@ -209,6 +209,33 @@ def main():
            "n_kept": [x[3] for x in _mc_rows],
            "removed_chars": [x[4] for x in _mc_rows]})
 
+    # ---- q_markdown + q_html_tables (HTML→Markdown conversion + table
+    #      flattening over the structured fixture; one clean-room parse,
+    #      two goldens) ----
+    _md_rows = []
+    _tb_rows = []
+    for i, t in doc_items:
+        md, nb, cells = g.mdx_convert(g.mdx_structured_html(i, t))
+        _md_rows.append((i, md, nb))
+        for (ti, ri, ci, hdr, cell) in cells:
+            _tb_rows.append((i, ti, ri, ci, hdr, cell))
+    write("q_markdown",
+          pa.schema([("doc_id", pa.int64()), ("markdown", pa.string()),
+                     ("n_blocks", pa.int32())]),
+          {"doc_id": [x[0] for x in _md_rows],
+           "markdown": [x[1] for x in _md_rows],
+           "n_blocks": [x[2] for x in _md_rows]})
+    write("q_html_tables",
+          pa.schema([("doc_id", pa.int64()), ("table_idx", pa.int32()),
+                     ("row_idx", pa.int32()), ("col_idx", pa.int32()),
+                     ("is_header", pa.bool_()), ("cell", pa.string())]),
+          {"doc_id": [x[0] for x in _tb_rows],
+           "table_idx": [x[1] for x in _tb_rows],
+           "row_idx": [x[2] for x in _tb_rows],
+           "col_idx": [x[3] for x in _tb_rows],
+           "is_header": [x[4] for x in _tb_rows],
+           "cell": [x[5] for x in _tb_rows]})
+
     # ---- link graph: q_link_edges (clean-room parse+resolve over the
     #      LinkGen fixture convention) + q_pagerank (exact-fold PageRank,
     #      K=20, d=0.85 — pinned addition orders, bit-identical doubles) ----

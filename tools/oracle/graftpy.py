@@ -710,6 +710,310 @@ def boilerplate_html(doc_id, text):
     return "".join(parts)
 
 
+# ---------------- Markdown conversion + table extraction -------------------
+# Clean-room mirror of graft/align/Markdown.scala (pinned rendering spec in
+# that file's scaladoc): tokenizer + recursive block/inline renderers.
+
+MDX_DROP_RE = re.compile(
+    r"<(script|style|head|noscript|template|svg)\b[^>]*>.*?</\1\s*>",
+    re.I | re.S)
+MDX_HREF_RE = re.compile(r"\bhref\s*=\s*(\"([^\"]*)\"|'([^']*)')", re.I | re.S)
+MDX_NAME_RE = re.compile(r"(/?)([a-zA-Z][a-zA-Z0-9]*)")
+MDX_WS_RE = re.compile(r"[ \t\n\r\f]+")
+MDX_BLOCK_CONTAINERS = {"p", "div", "section", "article", "header", "footer",
+                        "nav", "aside", "main", "figure", "figcaption"}
+MDX_INLINE_WRAP = {"b": "**", "strong": "**", "i": "*", "em": "*",
+                   "code": "`"}
+
+
+def mdx_tokenize(html):
+    """→ list of ('t', text) | ('o'/'c', name, href)."""
+    t = COMMENT_RE.sub(" ", html)
+    prev = None
+    while prev != t:
+        prev = t
+        t = MDX_DROP_RE.sub(" ", t)
+    toks, i, n = [], 0, len(t)
+    while i < n:
+        lt = t.find("<", i)
+        if lt < 0:
+            toks.append(("t", decode_entities(t[i:])))
+            break
+        if lt > i:
+            toks.append(("t", decode_entities(t[i:lt])))
+        gt = t.find(">", lt + 1)
+        if gt < 0:
+            toks.append(("t", decode_entities(t[lt:])))
+            break
+        body = t[lt + 1:gt]
+        m = MDX_NAME_RE.match(body)
+        if m:
+            name = m.group(2).lower()
+            href = None
+            if name == "a" and not m.group(1):
+                hm = MDX_HREF_RE.search(body)
+                if hm:
+                    href = decode_entities(
+                        hm.group(2) if hm.group(2) is not None else hm.group(3))
+            toks.append(("c" if m.group(1) else "o", name, href))
+        i = gt + 1
+    return toks
+
+
+def mdx_ws(s):
+    # strip set pinned to the run regex's five ASCII chars — str.strip()
+    # with no args strips U+00A0 etc., which the Scala side must not
+    return MDX_WS_RE.sub(" ", s).strip(" \t\n\r\f")
+
+
+def mdx_close(toks, start, name):
+    """(index of matching close, index past it) — balanced on same name."""
+    depth, j = 1, start
+    while j < len(toks) and depth:
+        tk = toks[j]
+        if tk[0] != "t" and tk[1] == name:
+            depth += -1 if tk[0] == "c" else 1
+        j += 1
+    return (j - 1, j) if depth == 0 else (len(toks), len(toks))
+
+
+def mdx_inline(toks, i, end):
+    parts = []
+    while i < end:
+        tk = toks[i]
+        if tk[0] == "t":
+            parts.append(tk[1])
+            i += 1
+        elif tk[0] == "o" and tk[1] == "br":
+            parts.append(" ")
+            i += 1
+        elif tk[0] == "o" and tk[1] == "a":
+            ce, ni = mdx_close(toks, i + 1, "a")
+            inner = mdx_ws(mdx_inline(toks, i + 1, min(ce, end)))
+            if inner:
+                if tk[2]:
+                    parts.append("[%s](%s) " % (inner, tk[2]))
+                else:
+                    parts.append(inner + " ")
+            i = ni
+        elif tk[0] == "o" and tk[1] in MDX_INLINE_WRAP:
+            w = MDX_INLINE_WRAP[tk[1]]
+            ce, ni = mdx_close(toks, i + 1, tk[1])
+            inner = mdx_ws(mdx_inline(toks, i + 1, min(ce, end)))
+            if inner:
+                parts.append(w + inner + w + " ")
+            i = ni
+        else:
+            i += 1
+    return "".join(parts)
+
+
+def mdx_raw(toks, i, end):
+    return "".join(tk[1] for tk in toks[i:end] if tk[0] == "t")
+
+
+def mdx_list(toks, i, end, ordered, depth):
+    lines, counter = [], 0
+    while i < end:
+        tk = toks[i]
+        if tk[0] == "o" and tk[1] == "li":
+            ce, ni = mdx_close(toks, i + 1, "li")
+            ce2 = min(ce, end)
+            nest = -1
+            for j in range(i + 1, ce2):
+                if toks[j][0] == "o" and toks[j][1] in ("ul", "ol"):
+                    nest = j
+                    break
+            item_end = nest if nest >= 0 else ce2
+            counter += 1
+            marker = "%d. " % counter if ordered else "- "
+            lines.append("  " * depth + marker +
+                         mdx_ws(mdx_inline(toks, i + 1, item_end)))
+            if nest >= 0:
+                nce, _ = mdx_close(toks, nest + 1, toks[nest][1])
+                lines.extend(mdx_list(toks, nest + 1, min(nce, ce2),
+                                      toks[nest][1] == "ol", depth + 1))
+            i = ni
+        else:
+            i += 1
+    return lines
+
+
+def mdx_table(toks, i, end, table_idx):
+    lines, cells, row_idx = [], [], 0
+    while i < end:
+        tk = toks[i]
+        if tk[0] == "o" and tk[1] == "tr":
+            ce, ni = mdx_close(toks, i + 1, "tr")
+            ce2 = min(ce, end)
+            j, row = i + 1, []
+            while j < ce2:
+                t2 = toks[j]
+                if t2[0] == "o" and t2[1] in ("td", "th"):
+                    cce, cni = mdx_close(toks, j + 1, t2[1])
+                    row.append((t2[1] == "th",
+                                mdx_ws(mdx_inline(toks, j + 1, min(cce, ce2)))))
+                    j = cni
+                else:
+                    j += 1
+            if row:
+                lines.append("| " + " | ".join(
+                    c[1].replace("|", "\\|") for c in row) + " |")
+                if row_idx == 0 and all(c[0] for c in row):
+                    lines.append("| " + " | ".join("---" for _ in row) + " |")
+                for c, (hdr, txt) in enumerate(row):
+                    cells.append((table_idx, row_idx, c, hdr, txt))
+                row_idx += 1
+            i = ni
+        else:
+            i += 1
+    return lines, cells
+
+
+def mdx_quote(block, quote):
+    if not quote:
+        return block
+    return "\n".join("> " * quote + l for l in block.split("\n"))
+
+
+def mdx_blocks(toks, i, end, quote, tables, counter):
+    blocks, buf = [], []
+
+    def flush():
+        s = mdx_ws("".join(buf))
+        del buf[:]
+        if s:
+            blocks.append(mdx_quote(s, quote))
+
+    while i < end:
+        tk = toks[i]
+        if tk[0] == "t":
+            buf.append(tk[1])
+            i += 1
+        elif tk[0] == "o" and len(tk[1]) == 2 and tk[1][0] == "h" \
+                and "1" <= tk[1][1] <= "6":
+            flush()
+            ce, ni = mdx_close(toks, i + 1, tk[1])
+            inner = mdx_ws(mdx_inline(toks, i + 1, min(ce, end)))
+            if inner:
+                blocks.append(mdx_quote("#" * int(tk[1][1]) + " " + inner, quote))
+            i = ni
+        elif tk[0] == "o" and tk[1] in MDX_BLOCK_CONTAINERS:
+            flush()
+            ce, ni = mdx_close(toks, i + 1, tk[1])
+            blocks.extend(mdx_blocks(toks, i + 1, min(ce, end), quote,
+                                     tables, counter))
+            i = ni
+        elif tk[0] == "o" and tk[1] == "blockquote":
+            flush()
+            ce, ni = mdx_close(toks, i + 1, "blockquote")
+            blocks.extend(mdx_blocks(toks, i + 1, min(ce, end), quote + 1,
+                                     tables, counter))
+            i = ni
+        elif tk[0] == "o" and tk[1] in ("ul", "ol"):
+            flush()
+            ce, ni = mdx_close(toks, i + 1, tk[1])
+            lines = mdx_list(toks, i + 1, min(ce, end), tk[1] == "ol", 0)
+            if lines:
+                blocks.append(mdx_quote("\n".join(lines), quote))
+            i = ni
+        elif tk[0] == "o" and tk[1] == "pre":
+            flush()
+            ce, ni = mdx_close(toks, i + 1, "pre")
+            raw = mdx_raw(toks, i + 1, min(ce, end)).strip("\n\r")
+            blocks.append(mdx_quote("```\n" + raw + "\n```", quote))
+            i = ni
+        elif tk[0] == "o" and tk[1] == "table":
+            flush()
+            ce, ni = mdx_close(toks, i + 1, "table")
+            idx = counter[0]
+            counter[0] += 1
+            lines, cells = mdx_table(toks, i + 1, min(ce, end), idx)
+            tables.extend(cells)
+            if lines:
+                blocks.append(mdx_quote("\n".join(lines), quote))
+            i = ni
+        elif tk[0] == "o" and tk[1] == "hr":
+            flush()
+            blocks.append(mdx_quote("---", quote))
+            i += 1
+        elif tk[0] == "o" and tk[1] == "br":
+            buf.append(" ")
+            i += 1
+        elif tk[0] == "o" and tk[1] == "a":
+            ce, ni = mdx_close(toks, i + 1, "a")
+            inner = mdx_ws(mdx_inline(toks, i + 1, min(ce, end)))
+            if inner:
+                buf.append("[%s](%s) " % (inner, tk[2]) if tk[2]
+                           else inner + " ")
+            i = ni
+        elif tk[0] == "o" and tk[1] in MDX_INLINE_WRAP:
+            w = MDX_INLINE_WRAP[tk[1]]
+            ce, ni = mdx_close(toks, i + 1, tk[1])
+            inner = mdx_ws(mdx_inline(toks, i + 1, min(ce, end)))
+            if inner:
+                buf.append(w + inner + w + " ")
+            i = ni
+        else:
+            i += 1
+    flush()
+    return blocks
+
+
+def mdx_convert(html):
+    """→ (markdown, n_blocks, [(table_idx, row_idx, col_idx, is_header,
+    cell), ...])."""
+    if not html:
+        return "", 0, []
+    toks = mdx_tokenize(html)
+    tables, counter = [], [0]
+    blocks = mdx_blocks(toks, 0, len(toks), 0, tables, counter)
+    return "\n\n".join(blocks), len(blocks), tables
+
+
+def mdx_structured_html(doc_id, text):
+    """Mirror of SparkEntry.structuredHtml — the Markdown/table fixture."""
+    toks = [w for w in (text or "").split(" ") if w]
+
+    def tk(i):
+        return toks[i % len(toks)] if toks else "lorem"
+
+    p = ["<!DOCTYPE html><html><head><title>d%d</title>"
+         "<script>var x=1;</script></head><body>" % doc_id,
+         "<h1>Doc %d</h1>" % doc_id,
+         '<p>%s <b>%s</b> %s <i>%s</i> &amp; <a href="/d/%d">%s %s</a> '
+         "end.</p>" % (tk(0), tk(1), tk(2), tk(3), doc_id, tk(4), tk(5)),
+         "<h2>Notes &amp; details</h2>",
+         "<p>%s %s<br>%s <code>%s</code>" % (tk(6), tk(7), tk(8), tk(9))]
+    if doc_id % 5 == 0:
+        p.append('<span class="z"> extra %s</span>' % tk(10))
+    p.append("</p>")
+    p.append("<ul><li>%s</li><li>%s" % (tk(11), tk(12)))
+    if doc_id % 3 == 0:
+        p.append("<ol><li>deep %s</li><li>deeper %s</li></ol>"
+                 % (tk(13), tk(14)))
+    p.append("</li><li>%s</li></ul>" % tk(15))
+    p.append("<ol><li>%s</li><li><a>%s</a></li></ol>" % (tk(16), tk(17)))
+    p.append("<blockquote><p>%s %s quoted</p>" % (tk(18), tk(19)))
+    if doc_id % 6 == 0:
+        p.append("<blockquote><p>inner %s</p></blockquote>" % tk(20))
+    p.append("</blockquote>")
+    p.append("<pre>\ncode line one  %s\n  indented %s\n</pre>"
+             % (tk(21), tk(22)))
+    p.append("<table>")
+    if doc_id % 4 != 0:
+        p.append("<tr><th>Key</th><th>Value &amp; unit</th></tr>")
+    p.append("<tr><td>%s</td><td>%s</td></tr><tr><td>%s</td>"
+             '<td><a href="/x/%d">%s</a></td></tr></table>'
+             % (tk(23), tk(24), tk(25), doc_id, tk(26)))
+    if doc_id % 2 == 0:
+        p.append("<table><tr><th>N</th></tr><tr><td>%d</td></tr></table>"
+                 % doc_id)
+    p.append("<hr><p>tail %s &#8212; done</p>" % tk(27))
+    p.append("</body></html>")
+    return "".join(p)
+
+
 # ---------------- Classifier (hashed linear, dyadic stand-in weights) ------
 # Clean-room mirror of graft/ops/Classifier.scala.
 
