@@ -799,6 +799,17 @@ object SparkEntry {
         iters = 20, damping = 0.85, exactFold = true)
         .orderBy(col("url"))),
 
+    // ---- harmonic centrality (Common Crawl's published host ranking):
+    //      exact = pinned local BFS oracle path; hll = the HyperBall
+    //      production loop, whose pinned sketch makes even the
+    //      APPROXIMATE path hard-golden-checkable ----
+    "q_harmonic" -> ((s, dir) =>
+      graft.ops.Centrality.harmonicExact(linkEdgesFor(s, dir))
+        .orderBy(col("url"))),
+    "q_harmonic_hll" -> ((s, dir) =>
+      graft.ops.Centrality.harmonicHll(linkEdgesFor(s, dir), iters = 10)
+        .orderBy(col("url"))),
+
     // ---- head-metadata extraction (title / description / og:title /
     //      canonical / lang) over the MetaGen fixture — map-only parse,
     //      canonical resolved through the SAME restricted resolver as the
@@ -2486,6 +2497,8 @@ object SparkEntry {
     //      edge extraction — drift in either side fails the row) ----
     "q_link_edges" -> golden("q_link_edges"),
     "q_pagerank" -> golden("q_pagerank"),
+    "q_harmonic" -> golden("q_harmonic"),
+    "q_harmonic_hll" -> golden("q_harmonic_hll"),
     "q_robots" -> golden("q_robots"),
     "q_robots_meta" -> golden("q_robots_meta"),
     "q_sitemap" -> golden("q_sitemap"),

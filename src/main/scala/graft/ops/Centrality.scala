@@ -1,0 +1,227 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Harmonic centrality over the link graph — the ranking Common Crawl
+  * actually publishes for hosts (harmonic centrality of the host-level
+  * webgraph), complementing [[LinkGraph.pagerank]]:
+  *
+  *   H(v) = Σ_{u ≠ v, d(u,v) < ∞} 1 / d(u,v)
+  *
+  * with d(u,v) the directed shortest-path length FROM u TO v (a page is
+  * central when many pages reach it over short link chains).
+  *
+  * Two paths, dispatched like pagerank's:
+  *
+  *   - `harmonicExact`: the oracle path — collects the deduplicated edge
+  *     set under the SAME enforced 5M-edge cap and runs pinned-order BFS
+  *     from every vertex locally (sources iterated in sorted order, so
+  *     the 1/d additions fold deterministically; bit-identical to the
+  *     clean-room mirror `hc_exact` by construction).
+  *
+  *   - `harmonicHll`: the 10^12-edge path — HyperBall (Boldi & Vigna,
+  *     2013): every vertex carries a 2^B-register HyperLogLog sketch of
+  *     the set of vertices that reach it within t hops; one round is
+  *     edges ⋈ sketches → register-wise max groupBy — a plain
+  *     partial-aggregating shuffle whose state is m bytes per vertex, no
+  *     per-pair work anywhere. H accumulates (|B_t| − |B_{t−1}|)/t from
+  *     the HLL estimates. Every round is lineage-truncated ([[Lineage]])
+  *     like the pagerank loop. The sketch hash (md5 head), register
+  *     update rule, estimator (raw + linear-counting branch, portable
+  *     ln) and all fold orders are PINNED, so the sketch registers are
+  *     cross-engine identical integers and the estimates bit-identical
+  *     doubles — the HLL path gets a hard golden too, not a tolerance.
+  */
+object Centrality {
+
+  /** Register-count exponent: m = 2^B = 64 registers (6-bit indices),
+    * standard error ≈ 1.04/√64 ≈ 13% per-ball — HyperBall's regime; the
+    * q_harmonic_hll oracle pins exact register equality, not accuracy.
+    */
+  val B: Int = 6
+  val M: Int = 1 << B
+  /** HLL bias constant for m = 64 (Flajolet et al. 2007). */
+  val AlphaM: Double = 0.709
+
+  /** First 8 bytes of md5(utf8) big-endian — the same digest family the
+    * shard/sampling layers replay; mirrored as `hc_hash64`.
+    */
+  private[ops] def hash64(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** (register index, rank) of one element: index = top B bits, rank =
+    * leading-zero count of the remaining 64−B bits + 1 (all-zero rest →
+    * 64−B+1).
+    */
+  private[ops] def registerOf(h: Long): (Int, Int) = {
+    val j = (h >>> (64 - B)).toInt
+    val rest = h & ((1L << (64 - B)) - 1L)
+    val bitLen = if (rest == 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(rest)
+    (j, (64 - B) - bitLen + 1)
+  }
+
+  private[ops] def initRegisters(url: String): Array[Byte] = {
+    val regs = new Array[Byte](M)
+    val (j, rho) = registerOf(hash64(url))
+    regs(j) = rho.toByte
+    regs
+  }
+
+  /** Pinned HLL estimate: sum of exact powers of two in register order,
+    * raw = α·m²/sum, linear counting when raw ≤ 2.5m and zeros remain.
+    * Portable ln keeps the LC branch bit-identical cross-engine.
+    */
+  private[ops] def estimate(regs: Array[Byte]): Double = {
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < M) {
+      sum += Math.scalb(1.0, -regs(i))
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    val raw = AlphaM * M * M / sum
+    if (raw <= 2.5 * M && zeros > 0) M * Retrieval.lnPortable(M.toDouble / zeros)
+    else raw
+  }
+
+  /** Register-wise max over sketch arrays — the HyperBall union. Max is
+    * commutative/associative/idempotent, so partial (map-side) aggregation
+    * is exact regardless of partitioning.
+    */
+  private final class RegMax extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    def zero: Array[Byte] = new Array[Byte](M)
+    def reduce(acc: Array[Byte], x: Array[Byte]): Array[Byte] = merge(acc, x)
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](M)
+      var i = 0
+      while (i < M) {
+        out(i) = if (a(i) >= b(i)) a(i) else b(i)
+        i += 1
+      }
+      out
+    }
+    def finish(acc: Array[Byte]): Array[Byte] = acc
+    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Exact harmonic centrality — oracle path. Same enforced edge cap and
+    * failure contract as pagerank's exactFold.
+    */
+  def harmonicExact(edgesDf: DataFrame): DataFrame = {
+    val spark = edgesDf.sparkSession
+    import spark.implicits._
+    val ExactModeEdgeCap = 5000000L
+    val simple = edgesDf.select(col("src"), col("dst")).distinct()
+    val bounded = simple.limit((ExactModeEdgeCap + 1).toInt).as[(String, String)].collect()
+    require(bounded.length <= ExactModeEdgeCap,
+      s"harmonicExact is the oracle path (local BFS over collected edges): " +
+        s"> $ExactModeEdgeCap edges — use harmonicHll")
+    localExactHarmonic(bounded).toSeq.toDF("url", "harmonic")
+  }
+
+  /** Pinned-order local kernel: vertices sorted; BFS from each source in
+    * that order; H(v) += 1/d folds in source order. ASCII urls (resolver
+    * output) keep JVM order == Python code-point order.
+    */
+  private[ops] def localExactHarmonic(
+      pairs: Array[(String, String)]): Array[(String, Double)] = {
+    val simple = pairs.distinct.sorted
+    val verts = (simple.map(_._1) ++ simple.map(_._2)).distinct.sorted
+    val idx = verts.zipWithIndex.toMap
+    val adj = Array.fill(verts.length)(List.empty[Int])
+    // build in reverse-sorted edge order so each list ends up sorted
+    for (i <- simple.indices.reverse) {
+      val (s, d) = simple(i)
+      adj(idx(s)) ::= idx(d)
+    }
+    val h = new Array[Double](verts.length)
+    val dist = new Array[Int](verts.length)
+    var src = 0
+    while (src < verts.length) {
+      java.util.Arrays.fill(dist, -1)
+      dist(src) = 0
+      var frontier = List(src)
+      var d = 1
+      while (frontier.nonEmpty) {
+        var next = List.empty[Int]
+        // frontier is consumed in order; 1/d additions are order-free
+        // within a round (equal addends), across rounds source-pinned
+        for (u <- frontier; v <- adj(u)) if (dist(v) < 0) {
+          dist(v) = d
+          h(v) += 1.0 / d
+          next ::= v
+        }
+        frontier = next.reverse
+        d += 1
+      }
+      src += 1
+    }
+    verts.zip(h)
+  }
+
+  /** HyperBall harmonic centrality — the production path. Returns
+    * (url, harmonic, reach_est): reach_est is the final ball's size
+    * estimate (|reachable-to| within `iters`), a useful rank feature on
+    * its own.
+    */
+  def harmonicHll(edgesDf: DataFrame, iters: Int = 10): DataFrame = {
+    require(iters >= 1, s"harmonicHll: iters must be >= 1, got $iters")
+    val spark = edgesDf.sparkSession
+    import spark.implicits._
+    val regMax = udaf(new RegMax)
+
+    val simple = CacheRegistry.register(
+      edgesDf.select(col("src"), col("dst")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val initUdf = udf((u: String) => initRegisters(u))
+    val estUdf = udf((r: Array[Byte]) => estimate(r))
+
+    val vertices = CacheRegistry.register(
+      simple.select(col("src").as("url"))
+        .union(simple.select(col("dst").as("url"))).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    vertices.count()
+
+    // state: url, regs (the ball sketch), prev_est, h
+    var state = vertices.select(col("url"), initUdf(col("url")).as("regs"))
+      .withColumn("prev_est", estUdf(col("regs")))
+      .withColumn("h", lit(0.0))
+    var prevCk: Seq[org.apache.hadoop.fs.Path] = Seq.empty
+    var t = 1
+    while (t <= iters) {
+      // alias before joining the multiply-referenced edge frame
+      // (self-join ambiguity — same rule as the pagerank loop)
+      val inbound = simple
+        .join(state.select(col("url").as("__src"), col("regs").as("__regs")),
+          simple("src") === col("__src"))
+        .select(col("dst").as("url"), col("__regs").as("regs"))
+      val unioned = state.select(col("url"), col("regs")).unionByName(inbound)
+      val merged = unioned.groupBy(col("url")).agg(regMax(col("regs")).as("regs"))
+      val next = state.select(col("url"), col("prev_est"), col("h"))
+        .join(merged, Seq("url"))
+        .withColumn("est", estUdf(col("regs")))
+        .select(col("url"), col("regs"),
+          col("est").as("prev_est"),
+          (col("h") + (col("est") - col("prev_est")) / lit(t.toDouble)).as("h"))
+      val (truncated, created) = Lineage.truncateTracked(next)
+      Lineage.deleteCheckpointFiles(truncated, prevCk)
+      prevCk = created
+      state = truncated
+      t += 1
+    }
+    state.select(col("url"), col("h").as("harmonic"),
+      col("prev_est").as("reach_est"))
+  }
+}

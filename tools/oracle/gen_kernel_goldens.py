@@ -253,6 +253,19 @@ def main():
           pa.schema([("url", pa.string()), ("rank", pa.float64())]),
           {"url": [x[0] for x in _pr], "rank": [x[1] for x in _pr]})
 
+    # ---- q_harmonic (exact pinned BFS) + q_harmonic_hll (HyperBall with
+    #      pinned sketch — register-identical, estimate bit-identical) ----
+    _hc = g.hc_exact(_le)
+    write("q_harmonic",
+          pa.schema([("url", pa.string()), ("harmonic", pa.float64())]),
+          {"url": [x[0] for x in _hc], "harmonic": [x[1] for x in _hc]})
+    _hb = g.hc_hyperball(_le, iters=10)
+    write("q_harmonic_hll",
+          pa.schema([("url", pa.string()), ("harmonic", pa.float64()),
+                     ("reach_est", pa.float64())]),
+          {"url": [x[0] for x in _hb], "harmonic": [x[1] for x in _hb],
+           "reach_est": [x[2] for x in _hb]})
+
     # ---- q_robots (robots-exclusion decisions for every distinct link
     #      target under the RobotsGen fixture; parser + longest-match glob
     #      mirrored clean-room) ----

@@ -8,6 +8,7 @@ HTML extraction). Everything here was written from the operator CONTRACTS
 bit-identical when the Scala code is correct — a true differential oracle,
 not a transcription of Spark output.
 """
+import hashlib
 import math
 import re
 
@@ -1456,6 +1457,102 @@ def lg_pagerank(edge_rows, iters=20, damping=0.85):
             nxt[v] = base + damping * (c + dmn)
         rank = nxt
     return [(v, rank[v]) for v in verts]
+
+
+# ---------------- Centrality (harmonic, exact + HyperBall) -----------------
+# Clean-room mirror of graft/ops/Centrality.scala: pinned md5-head hash,
+# 64-register HLL, portable-ln linear-counting branch, source-sorted BFS.
+
+HC_B = 6
+HC_M = 1 << HC_B
+HC_ALPHA = 0.709
+
+
+def hc_hash64(s):
+    return int.from_bytes(
+        hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+
+
+def hc_register(h):
+    j = h >> (64 - HC_B)
+    rest = h & ((1 << (64 - HC_B)) - 1)
+    return j, (64 - HC_B) - rest.bit_length() + 1
+
+
+def hc_init(url):
+    regs = bytearray(HC_M)
+    j, rho = hc_register(hc_hash64(url))
+    regs[j] = rho
+    return regs
+
+
+def hc_estimate(regs):
+    sm = 0.0
+    zeros = 0
+    for r in regs:  # register-index fold — pinned order
+        sm += math.ldexp(1.0, -r)
+        if r == 0:
+            zeros += 1
+    raw = HC_ALPHA * HC_M * HC_M / sm
+    if raw <= 2.5 * HC_M and zeros > 0:
+        return HC_M * (lm_log2(HC_M / zeros) * LN2)
+    return raw
+
+
+def hc_exact(edge_rows):
+    """Exact harmonic centrality: sorted-source BFS, H(v) += 1/d folds in
+    source order."""
+    simple = sorted({(s, d) for (s, d, _a, _p) in edge_rows})
+    verts = sorted({s for s, _ in simple} | {d for _, d in simple})
+    adj = {}
+    for s, d in simple:
+        adj.setdefault(s, []).append(d)
+    h = {v: 0.0 for v in verts}
+    for src in verts:
+        dist = {src: 0}
+        frontier = [src]
+        d = 1
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, []):
+                    if v not in dist:
+                        dist[v] = d
+                        h[v] = h[v] + 1.0 / d
+                        nxt.append(v)
+            frontier = nxt
+            d += 1
+    return [(v, h[v]) for v in verts]
+
+
+def hc_hyperball(edge_rows, iters=10):
+    """HyperBall: register-wise-max rounds over in-edges; H accumulates
+    (est_t - est_{t-1})/t. Registers are integers (order-free max), so
+    the whole run is cross-engine deterministic."""
+    simple = sorted({(s, d) for (s, d, _a, _p) in edge_rows})
+    verts = sorted({s for s, _ in simple} | {d for _, d in simple})
+    by_dst = {}
+    for s, d in simple:
+        by_dst.setdefault(d, []).append(s)
+    regs = {v: hc_init(v) for v in verts}
+    prev = {v: hc_estimate(regs[v]) for v in verts}
+    h = {v: 0.0 for v in verts}
+    for t in range(1, iters + 1):
+        nxt = {}
+        for v in verts:
+            merged = bytearray(regs[v])
+            for s in by_dst.get(v, []):
+                sr = regs[s]
+                for i in range(HC_M):
+                    if sr[i] > merged[i]:
+                        merged[i] = sr[i]
+            nxt[v] = merged
+        regs = nxt
+        for v in verts:
+            est = hc_estimate(regs[v])
+            h[v] = h[v] + (est - prev[v]) / float(t)
+            prev[v] = est
+    return [(v, h[v], prev[v]) for v in verts]
 
 
 # ---------------- Retrieval (BM25) ----------------------------------------
