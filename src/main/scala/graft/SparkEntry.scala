@@ -406,6 +406,13 @@ object SparkEntry {
           r.getDouble(3))).toDF("rank", "piece", "count", "lnprob")
       })
 
+  private val wordpieceModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.Wordpiece.Model]()
+  private def trainedWordpieceFor(s: SparkSession, dir: String): graft.ops.Wordpiece.Model =
+    wordpieceModelCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + dir, _ =>
+        graft.ops.Wordpiece.model(docs(s, dir), numMerges = 10, minSymCount = 2L))
+
   private val bpeMergeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
   private def trainedMergesFor(s: SparkSession, dir: String): Seq[(String, String)] =
@@ -1641,6 +1648,22 @@ object SparkEntry {
       graft.ops.Bpe.encodeCounts(docs(s, dir), trainedMergesFor(s, dir))
         .orderBy(col("doc_id"))),
 
+    // ---- WordPiece training (the BERT family, completing the tokenizer
+    //      triple): likelihood-gain merges over the distributed word
+    //      histogram, exact local loop under the enforced cap; integer
+    //      count columns keep the golden float-free ----
+    "q_wordpiece_train" -> ((s, dir) =>
+      graft.ops.Wordpiece.train(docs(s, dir), numMerges = 10)
+        .orderBy(col("merge_rank"))),
+
+    // ---- WordPiece encode (train → encode round trip): greedy
+    //      longest-match with ## continuations, whole-word [UNK] on any
+    //      miss (minSymCount=2 makes hapax code points bind it) ----
+    "q_wordpiece_encode" -> ((s, dir) =>
+      graft.ops.Wordpiece.encodeCounts(docs(s, dir),
+        trainedWordpieceFor(s, dir))
+        .orderBy(col("doc_id"))),
+
     // ---- Unigram-LM tokenizer training (the SentencePiece family next
     //      to BPE): code-point substring seed → hard-EM Viterbi rounds →
     //      pruned vocab with portable-ln scores; the Bpe.train dispatch
@@ -2859,6 +2882,8 @@ object SparkEntry {
     "q_ann_ivf_q8" -> golden("q_ann_ivf_q8"),
     "q_pack_greedy" -> golden("q_pack_greedy"),
     "q_bpe_train" -> golden("q_bpe_train"),
+    "q_wordpiece_train" -> golden("q_wordpiece_train"),
+    "q_wordpiece_encode" -> golden("q_wordpiece_encode"),
     "q_unigram_train" -> golden("q_unigram_train"),
     "q_unigram_encode" -> golden("q_unigram_encode"),
     "q_bpe_encode" -> golden("q_bpe_encode"),

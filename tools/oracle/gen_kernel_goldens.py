@@ -1071,6 +1071,45 @@ def main():
            "merged": [x[3] for x in _bpe],
            "pair_count": [x[4] for x in _bpe]})
 
+    # ---- q_wordpiece_train + q_wordpiece_encode (likelihood-gain merges
+    #      + greedy longest-match inference; clean-room graftpy mirror) ----
+    _wp_merges = g.wp_train_local(dict(_wf), 10)
+    write("q_wordpiece_train",
+          pa.schema([("merge_rank", pa.int32()), ("left", pa.string()),
+                     ("right", pa.string()), ("token", pa.string()),
+                     ("pair_count", pa.int64()), ("left_count", pa.int64()),
+                     ("right_count", pa.int64())]),
+          {"merge_rank": [x[0] for x in _wp_merges],
+           "left": [x[1] for x in _wp_merges],
+           "right": [x[2] for x in _wp_merges],
+           "token": [x[3] for x in _wp_merges],
+           "pair_count": [x[4] for x in _wp_merges],
+           "left_count": [x[5] for x in _wp_merges],
+           "right_count": [x[6] for x in _wp_merges]})
+    _wp_vocab = g.wp_model(dict(_wf), 10, min_sym_count=2)
+    _wp_max = max(max(len(g.wp_strip(p)) for p in _wp_vocab), 1) \
+        if _wp_vocab else 1
+    _wp_rows = []
+    for i, t in doc_items:
+        n = unk = 0
+        preview = []
+        for w in t.split(" "):
+            if w:
+                for p in g.wp_encode(w, _wp_vocab, _wp_max):
+                    if len(preview) < 12:
+                        preview.append(p)
+                    n += 1
+                    if p == g.WP_UNK:
+                        unk += 1
+        _wp_rows.append((int(i), n, unk, "|".join(preview)))
+    write("q_wordpiece_encode",
+          pa.schema([("doc_id", pa.int64()), ("n_pieces", pa.int64()),
+                     ("n_unk", pa.int64()), ("piece_preview", pa.string())]),
+          {"doc_id": [x[0] for x in _wp_rows],
+           "n_pieces": [x[1] for x in _wp_rows],
+           "n_unk": [x[2] for x in _wp_rows],
+           "piece_preview": [x[3] for x in _wp_rows]})
+
     # ---- near-dup corpus: docs ∪ mutated every-10th (SparkEntry.docsWithNearDups) ----
     near = {int(i): t for i, t in doc_items}
     for doc_id, text in doc_items:

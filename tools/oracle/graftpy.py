@@ -1555,6 +1555,93 @@ def hc_hyperball(edge_rows, iters=10):
     return [(v, h[v], prev[v]) for v in verts]
 
 
+# ---------------- WordPiece (BERT-family tokenizer) ------------------------
+# Clean-room mirror of graft/ops/Wordpiece.scala: likelihood-gain merges
+# (score = pc / (float(cl) * float(cr)) — floats converted BEFORE the
+# multiply, pinned), ## continuations, greedy longest-match inference
+# with whole-word [UNK].
+
+WP_UNK = "[UNK]"
+
+
+def wp_syms(w):
+    return [c if i == 0 else "##" + c for i, c in enumerate(w)]
+
+
+def wp_strip(s):
+    return s[2:] if s.startswith("##") else s
+
+
+def wp_apply(syms, l, r, token):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+            out.append(token)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def wp_train_local(word_freqs, num_merges):
+    """word_freqs: {word: freq}. Returns merge rows
+    (rank, left, right, token, pair_count, left_count, right_count)."""
+    vocab = {w: wp_syms(w) for w in word_freqs}
+    merges = []
+    for k in range(1, num_merges + 1):
+        pc = {}
+        sc = {}
+        for w, f in word_freqs.items():
+            s = vocab[w]
+            for sym in s:
+                sc[sym] = sc.get(sym, 0) + f
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + f
+        if not pc:
+            break
+        best, best_n, best_s = None, 0, float("-inf")
+        for p, n in pc.items():
+            s = n / (float(sc[p[0]]) * float(sc[p[1]]))
+            if s > best_s or (s == best_s and p < best):
+                best, best_n, best_s = p, n, s
+        l, r = best
+        token = l + wp_strip(r)
+        merges.append((k, l, r, token, best_n, sc[l], sc[r]))
+        vocab = {w: wp_apply(s, l, r, token) for w, s in vocab.items()}
+    return merges
+
+
+def wp_model(word_freqs, num_merges, min_sym_count=2):
+    sc = {}
+    for w, f in word_freqs.items():
+        for sym in wp_syms(w):
+            sc[sym] = sc.get(sym, 0) + f
+    merges = wp_train_local(word_freqs, num_merges)
+    vocab = {s for s, n in sc.items() if n >= min_sym_count}
+    vocab |= {m[3] for m in merges}
+    return vocab
+
+
+def wp_encode(w, vocab, max_cps):
+    out, i, first = [], 0, True
+    while i < len(w):
+        j = min(len(w), i + max_cps)
+        hit = None
+        while hit is None and j > i:
+            cand = w[i:j] if first else "##" + w[i:j]
+            if cand in vocab:
+                hit = cand
+            else:
+                j -= 1
+        if hit is None:
+            return [WP_UNK]
+        out.append(hit)
+        i = j
+        first = False
+    return out
+
+
 # ---------------- Retrieval (BM25) ----------------------------------------
 # Clean-room mirror of graft/ops/Retrieval.scala: Okapi BM25, pinned
 # portable ln (lm_log2 * ln2), query-term-order score folds, Lucene +1 idf
