@@ -1648,6 +1648,14 @@ object SparkEntry {
       graft.ops.Bpe.encodeCounts(docs(s, dir), trainedMergesFor(s, dir))
         .orderBy(col("doc_id"))),
 
+    // ---- DSIR importance resampling (hashed unigram+bigram log-ratio
+    //      vs the en target slice, Gumbel-top-k with pinned
+    //      pseudo-randomness): ONE bounded bucket aggregate + map-side
+    //      scoring + TakeOrderedAndProject top-k ----
+    "q_dsir" -> ((s, dir) =>
+      graft.ops.Dsir.select(docs(s, dir), col("lang") === "en", k = 100)
+        .orderBy(col("doc_id"))),
+
     // ---- WordPiece training (the BERT family, completing the tokenizer
     //      triple): likelihood-gain merges over the distributed word
     //      histogram, exact local loop under the enforced cap; integer
@@ -2883,6 +2891,7 @@ object SparkEntry {
     "q_pack_greedy" -> golden("q_pack_greedy"),
     "q_bpe_train" -> golden("q_bpe_train"),
     "q_wordpiece_train" -> golden("q_wordpiece_train"),
+    "q_dsir" -> golden("q_dsir"),
     "q_wordpiece_encode" -> golden("q_wordpiece_encode"),
     "q_unigram_train" -> golden("q_unigram_train"),
     "q_unigram_encode" -> golden("q_unigram_encode"),

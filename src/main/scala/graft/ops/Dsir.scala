@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection with Importance Resampling (Xie et al. 2023),
+  * the hashed-n-gram data-selection step modern pretraining pipelines run
+  * between dedup and tokenization: score every raw document by how much
+  * its hashed unigram+bigram distribution looks like a TARGET corpus
+  * (here: a trusted high-quality slice), then Gumbel-top-k resample.
+  *
+  * Pinned spec (mirrored clean-room as `ds_*` in graftpy.py):
+  *   - features of a doc: whitespace tokens in order (unigrams), then
+  *     adjacent pairs in order joined by one space (bigrams) — tokens
+  *     cannot contain spaces, so the joined form is collision-free.
+  *   - bucket = low 13 bits of the md5-head hash (m = 8192 — a POWER OF
+  *     TWO, so signed-Long masking and Python unsigned arithmetic agree;
+  *     a modulus would diverge on negative hashes).
+  *   - add-1-smoothed bucket log-ratio, portable ln, double divisions
+  *     pinned as (cnt+1) / (total+m):
+  *       logratio[b] = ln((ct[b]+1)/(tt+m)) − ln((cr[b]+1)/(tr+m))
+  *   - log_weight(doc) = Σ logratio[bucket(f)] over features in order.
+  *   - gumbel(doc) = −ln(−ln(u)), u = ((h >>> 11) + 0.5)·2⁻⁵³ from the
+  *     md5-head of "dsir|<doc_id>" — the Gumbel-top-k trick with pinned
+  *     pseudo-randomness, so "sampling" is reproducible and
+  *     oracle-checkable.
+  *   - selected = the k largest (score = log_weight + gumbel) with ties
+  *     on doc_id ASC.
+  *
+  * 100 TB shape: the bucket table is ONE pass (explode → 8192-row
+  * aggregate, partial map-side combine) collected bounded-by-construction
+  * (m rows); scoring is map-only against the broadcast ratio array; the
+  * top-k is TakeOrderedAndProject (per-partition heaps, driver merges k),
+  * never a full sort. Document text never shuffles.
+  */
+object Dsir {
+
+  val NumBuckets: Int = 8192 // power of two — see bucket pinning above
+
+  private[ops] def bucketOf(feature: String): Int =
+    (Centrality.hash64(feature) & (NumBuckets - 1)).toInt
+
+  /** Feature buckets of a doc: unigrams in token order, then bigrams. */
+  private[ops] def featureBuckets(text: String): Array[Int] = {
+    if (text == null) return Array.empty
+    val toks = text.split(" ").filter(_.nonEmpty)
+    val out = new Array[Int](if (toks.length == 0) 0 else 2 * toks.length - 1)
+    var i = 0
+    while (i < toks.length) { out(i) = bucketOf(toks(i)); i += 1 }
+    var j = 0
+    while (j + 1 < toks.length) {
+      out(toks.length + j) = bucketOf(toks(j) + " " + toks(j + 1))
+      j += 1
+    }
+    out
+  }
+
+  private[ops] def gumbelOf(docId: Long): Double = {
+    val h = Centrality.hash64("dsir|" + docId)
+    val u = ((h >>> 11).toDouble + 0.5) * Math.scalb(1.0, -53)
+    -Retrieval.lnPortable(-Retrieval.lnPortable(u))
+  }
+
+  /** Score + select: `documents` must carry (doc_id, text) and
+    * `targetCol` a boolean marking the trusted slice. Returns every doc
+    * with (log_weight, gumbel, score, selected).
+    */
+  def select(
+      documents: DataFrame,
+      targetCol: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"dsir: k must be positive, got $k")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val bucketsUdf = udf((t: String) => featureBuckets(t))
+
+    val base = documents.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("text"), targetCol.as("__is_target"))
+
+    // ONE bucket-count pass for both distributions; ≤ m rows collected
+    // (bounded by construction)
+    val counts = base
+      .select(explode(bucketsUdf(col("text"))).as("bucket"), col("__is_target"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__is_target"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+      .collect()
+    val targetCnt = new Array[Long](NumBuckets)
+    val rawCnt = new Array[Long](NumBuckets)
+    var tt = 0L
+    var tr = 0L
+    counts.foreach { r =>
+      val b = r.getInt(0)
+      targetCnt(b) = r.getLong(1)
+      rawCnt(b) = r.getLong(2)
+      tt += r.getLong(1)
+      tr += r.getLong(2)
+    }
+    val m = NumBuckets
+    val ratio = new Array[Double](m)
+    var b = 0
+    while (b < m) {
+      ratio(b) =
+        Retrieval.lnPortable((targetCnt(b) + 1L).toDouble / (tt + m).toDouble) -
+          Retrieval.lnPortable((rawCnt(b) + 1L).toDouble / (tr + m).toDouble)
+      b += 1
+    }
+    val ratioB = spark.sparkContext.broadcast(ratio)
+
+    val scored = base.as[(Long, String, Boolean)]
+      .map { case (id, text, _) =>
+        val r = ratioB.value
+        var w = 0.0
+        featureBuckets(text).foreach(bk => w += r(bk)) // feature-order fold
+        val g = gumbelOf(id)
+        (id, w, g, w + g)
+      }
+      .toDF("doc_id", "log_weight", "gumbel", "score")
+    val scoredP = CacheRegistry.register(
+      scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+    // exact top-k: per-partition heaps + driver merge of k ids
+    // (TakeOrderedAndProject), then a broadcast membership gate
+    val topIds = scoredP.orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k).select(col("doc_id")).as[Long].collect().toSet
+    val idsB = spark.sparkContext.broadcast(topIds)
+    val selUdf = udf((id: Long) => idsB.value.contains(id))
+    scoredP.withColumn("selected", selUdf(col("doc_id")))
+  }
+}

@@ -1110,6 +1110,21 @@ def main():
            "n_unk": [x[2] for x in _wp_rows],
            "piece_preview": [x[3] for x in _wp_rows]})
 
+    # ---- q_dsir (importance-resampling selection vs the en slice;
+    #      clean-room graftpy mirror, bit-identical doubles) ----
+    _langs = docs.lang.tolist()
+    _ds = g.ds_select(
+        [(int(i), t, l == "en") for (i, t), l in zip(doc_items, _langs)], 100)
+    write("q_dsir",
+          pa.schema([("doc_id", pa.int64()), ("log_weight", pa.float64()),
+                     ("gumbel", pa.float64()), ("score", pa.float64()),
+                     ("selected", pa.bool_())]),
+          {"doc_id": [x[0] for x in _ds],
+           "log_weight": [x[1] for x in _ds],
+           "gumbel": [x[2] for x in _ds],
+           "score": [x[3] for x in _ds],
+           "selected": [x[4] for x in _ds]})
+
     # ---- near-dup corpus: docs ∪ mutated every-10th (SparkEntry.docsWithNearDups) ----
     near = {int(i): t for i, t in doc_items}
     for doc_id, text in doc_items:

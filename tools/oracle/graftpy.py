@@ -1555,6 +1555,64 @@ def hc_hyperball(edge_rows, iters=10):
     return [(v, h[v], prev[v]) for v in verts]
 
 
+# ---------------- DSIR (importance-resampling data selection) --------------
+# Clean-room mirror of graft/ops/Dsir.scala: md5-head hash masked to the
+# power-of-two bucket count, add-1 log-ratios via the portable ln,
+# feature-order weight folds, pinned Gumbel from the doc_id hash.
+
+DS_M = 8192
+
+
+def ds_bucket(feature):
+    return hc_hash64(feature) & (DS_M - 1)
+
+
+def ds_buckets(text):
+    toks = [w for w in (text or "").split(" ") if w]
+    out = [ds_bucket(w) for w in toks]
+    out.extend(ds_bucket(toks[j] + " " + toks[j + 1])
+               for j in range(len(toks) - 1))
+    return out
+
+
+def ds_ln(x):
+    return lm_log2(x) * LN2
+
+
+def ds_gumbel(doc_id):
+    h = hc_hash64("dsir|%d" % doc_id)
+    u = (float(h >> 11) + 0.5) * math.ldexp(1.0, -53)
+    return -ds_ln(-ds_ln(u))
+
+
+def ds_select(rows, k):
+    """rows: [(doc_id, text, is_target)]. Returns
+    [(doc_id, log_weight, gumbel, score, selected)] in input order."""
+    tcnt = [0] * DS_M
+    rcnt = [0] * DS_M
+    tt = tr = 0
+    for _id, text, is_t in rows:
+        for b in ds_buckets(text):
+            rcnt[b] += 1
+            tr += 1
+            if is_t:
+                tcnt[b] += 1
+                tt += 1
+    ratio = [ds_ln(float(tcnt[b] + 1) / float(tt + DS_M)) -
+             ds_ln(float(rcnt[b] + 1) / float(tr + DS_M))
+             for b in range(DS_M)]
+    out = []
+    for _id, text, _ in rows:
+        w = 0.0
+        for b in ds_buckets(text):
+            w = w + ratio[b]
+        g = ds_gumbel(_id)
+        out.append((_id, w, g, w + g))
+    top = sorted(out, key=lambda r: (-r[3], r[0]))[:k]
+    sel = {r[0] for r in top}
+    return [(i, w, g, s, i in sel) for (i, w, g, s) in out]
+
+
 # ---------------- WordPiece (BERT-family tokenizer) ------------------------
 # Clean-room mirror of graft/ops/Wordpiece.scala: likelihood-gain merges
 # (score = pc / (float(cl) * float(cr)) — floats converted BEFORE the
