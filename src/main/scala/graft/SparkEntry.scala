@@ -1112,6 +1112,13 @@ object SparkEntry {
       graft.ops.Warc.wet(warcArchives(s, dir))
         .orderBy(col("archive_id"))),
 
+    // ---- WAT metadata sidecar (completes the WARC/WET/WAT triple):
+    //      links + head metadata serialized as the pinned JSON envelope
+    //      subset, one map pass per archive, digest-pinned bytes ----
+    "q_wat" -> ((s, dir) =>
+      graft.ops.Warc.wat(warcArchives(s, dir))
+        .orderBy(col("archive_id"))),
+
     // ---- CDX over the HTTP archives: natural duplicate-digest classes
     //      (identical 404 bodies, empty 301 bodies, identical revisit
     //      payloads) — the input table for the digest dedup below ----
@@ -2627,6 +2634,7 @@ object SparkEntry {
     "q_ingest_gz_http" -> golden("q_warc_http"),
     "q_cdx_http" -> golden("q_cdx_http"),
     "q_wet" -> golden("q_wet"),
+    "q_wat" -> golden("q_wat"),
     "q_blocklist" -> golden("q_blocklist"),
     // SHARED golden (anti-drift): the stream must equal the batch gate
     "q_blocklist_stream" -> golden("q_blocklist"),

@@ -399,6 +399,112 @@ object Warc {
       }.toDF("archive_id", "n_records", "wet_length", "wet_sha1")
   }
 
+  // ==== WAT generation (Common Crawl's metadata sidecar — completes
+  //      the WARC / WET / WAT format triple) ====
+
+  /** JSON string escaping pinned to python json.dumps(ensure_ascii=False):
+    * `"` and `\` escape, the five control shortcuts, \\u%04x for the other
+    * C0 controls, everything else (incl. non-ASCII) raw — so the Scala
+    * serializer and the mirror's json.dumps emit identical bytes.
+    */
+  private[ops] def jsonEscape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case _ =>
+          if (c < 0x20) sb.append(f"\\u${c.toInt}%04x") else sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def jstr(s: String): String = "\"" + jsonEscape(s) + "\""
+
+  /** One record's WAT JSON payload — a pinned subset of the real WAT
+    * envelope (field order fixed; Title omitted when the page has none;
+    * links carry raw un-resolved hrefs exactly as extracted). Mirrored
+    * as `wat_json` via json.dumps over the same structure.
+    */
+  private[ops] def watJson(
+      uri: String, date: String, contentLength: Long,
+      title: Option[String], links: Seq[LinkGraph.RawLink]): String = {
+    val sb = new java.lang.StringBuilder(256)
+    sb.append("{\"Envelope\":{\"WARC-Header-Metadata\":{")
+      .append("\"WARC-Target-URI\":").append(jstr(uri))
+      .append(",\"WARC-Date\":").append(jstr(date))
+      .append(",\"Content-Length\":").append(contentLength)
+      .append("},\"Payload-Metadata\":{\"HTML-Metadata\":{\"Head\":{")
+    title.foreach(t => sb.append("\"Title\":").append(jstr(t)))
+    sb.append("},\"Links\":[")
+    var i = 0
+    while (i < links.length) {
+      if (i > 0) sb.append(',')
+      sb.append("{\"url\":").append(jstr(links(i).href))
+        .append(",\"text\":").append(jstr(links(i).anchor)).append('}')
+      i += 1
+    }
+    sb.append("]}}}}")
+    sb.toString
+  }
+
+  /** Serialize WAT metadata records (same pinned WARC framing as
+    * [[wetBytes]], Content-Type application/json); the output is itself
+    * a valid archive for [[parse]].
+    */
+  private[ops] def watBytes(recs: Seq[(String, String, String)]): Array[Byte] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val bos = new java.io.ByteArrayOutputStream()
+    recs.foreach { case (uri, date, json) =>
+      val body = json.getBytes(utf8)
+      val header = s"WARC/1.0\r\nWARC-Type: metadata\r\n" +
+        s"WARC-Target-URI: $uri\r\nWARC-Date: $date\r\n" +
+        s"Content-Type: application/json\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n"
+      bos.write(header.getBytes(ascii))
+      bos.write(body)
+      bos.write("\r\n\r\n".getBytes(ascii))
+    }
+    bos.toByteArray
+  }
+
+  /** Archive table → WAT summary rows (archive_id, n_records, n_links,
+    * wat_length, wat_sha1): record split, link extraction, head-metadata
+    * parse, and WAT serialization in ONE map pass per archive — the same
+    * never-shuffle-the-payload contract as [[wet]].
+    */
+  def wat(archives: DataFrame): DataFrame = {
+    val spark = archives.sparkSession
+    import spark.implicits._
+    archives.select(col("archive_id"), col("data"))
+      .filter(col("archive_id").isNotNull && col("data").isNotNull)
+      .as[(Long, Array[Byte])]
+      .map { case (aid, blob) =>
+        val rs = parse(blob)
+        var nLinks = 0L
+        val recs = rs.map { r =>
+          val html = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+          val links = LinkGraph.extractLinks(html)
+          nLinks += links.length
+          val meta = HtmlMeta.parse(html, r.uri)
+          (r.uri, r.date,
+            watJson(r.uri, r.date, r.payload.length.toLong, meta.title, links))
+        }
+        val bytes = watBytes(recs)
+        (aid, rs.length, nLinks, bytes.length.toLong, sha1B32(bytes))
+      }.toDF("archive_id", "n_records", "n_links", "wat_length", "wat_sha1")
+  }
+
   // ==== HTTP response payloads (the real Common Crawl record shape:
   //      a response record's payload is an HTTP message, not bare
   //      html — status line + headers + body) ====

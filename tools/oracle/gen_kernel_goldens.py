@@ -544,6 +544,27 @@ def main():
            "wet_length": [x[2] for x in _wet],
            "wet_sha1": [x[3] for x in _wet]})
 
+    # ---- q_wat (metadata sidecar records: links + head metadata as the
+    #      pinned JSON envelope subset; digest + length pin the bytes) ----
+    _wat = []
+    for aid in sorted(_by_arc):
+        pages = []
+        for i, t in sorted(_by_arc[aid]):
+            t = t if t is not None else ""
+            html = g.wrap_html(g.noisy_render(t, i), g.url_for(i),
+                               i).encode("utf-8")
+            pages.append((i, html, g.url_for(i)))
+        _wat.append(g.wat_row(g.warc_archive(pages), aid))
+    write("q_wat",
+          pa.schema([("archive_id", pa.int64()), ("n_records", pa.int32()),
+                     ("n_links", pa.int64()), ("wat_length", pa.int64()),
+                     ("wat_sha1", pa.string())]),
+          {"archive_id": [x[0] for x in _wat],
+           "n_records": [x[1] for x in _wat],
+           "n_links": [x[2] for x in _wat],
+           "wat_length": [x[3] for x in _wat],
+           "wat_sha1": [x[4] for x in _wat]})
+
     # ---- q_cdx_http (CDX over the HTTP archives: the duplicate-digest
     #      input table for q_cdx_dedup's DuckDB-window oracle) ----
     _cdxh = []

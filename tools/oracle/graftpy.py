@@ -2176,6 +2176,55 @@ def wet_row(blob, archive_id):
     return (archive_id, len(rs), len(bb), cdx_sha1_b32(bb))
 
 
+def wat_json(uri, date, content_length, title, links):
+    """Mirror of Warc.watJson — json.dumps over the same pinned structure
+    (the Scala serializer's escaping is pinned to json.dumps's)."""
+    import json as _json
+    head = {}
+    if title is not None:
+        head["Title"] = title
+    obj = {"Envelope": {
+        "WARC-Header-Metadata": {
+            "WARC-Target-URI": uri, "WARC-Date": date,
+            "Content-Length": content_length},
+        "Payload-Metadata": {"HTML-Metadata": {
+            "Head": head,
+            "Links": [{"url": h, "text": a} for (h, a, _p) in links]}}}}
+    return _json.dumps(obj, separators=(",", ":"), ensure_ascii=False)
+
+
+def wat_bytes(recs):
+    """recs: [(uri, date, json)] -> WAT metadata-record bytes (mirrors
+    Warc.watBytes)."""
+    parts = []
+    for uri, date, js in recs:
+        body = js.encode("utf-8")
+        header = ("WARC/1.0\r\nWARC-Type: metadata\r\n"
+                  "WARC-Target-URI: %s\r\nWARC-Date: %s\r\n"
+                  "Content-Type: application/json\r\n"
+                  "Content-Length: %d\r\n\r\n" % (uri, date, len(body)))
+        parts.append(header.encode("ascii"))
+        parts.append(body)
+        parts.append(b"\r\n\r\n")
+    return b"".join(parts)
+
+
+def wat_row(blob, archive_id):
+    """(archive_id, n_records, n_links, wat_length, wat_sha1) — mirrors
+    Warc.wat over one archive blob."""
+    rs = warc_parse(blob)
+    recs = []
+    n_links = 0
+    for (_o, _rt, uri, dt, _cl, payload) in rs:
+        html = payload.decode("utf-8")
+        links = lg_extract_links(html)
+        n_links += len(links)
+        title = hm_parse(html, uri)[0]
+        recs.append((uri, dt, wat_json(uri, dt, len(payload), title, links)))
+    bb = wat_bytes(recs)
+    return (archive_id, len(rs), n_links, len(bb), cdx_sha1_b32(bb))
+
+
 def cdx_surt(uri):
     """SURT url key (mirrors Warc.surt): first-'://' scheme strip, one
     leading 'www.' dropped, host labels reversed comma-joined, ')' +
