@@ -39,11 +39,14 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Markdown {
 
+  // every whitespace class below is the PINNED ASCII set, never \s —
+  // Java \s is ASCII-only while Python \s is Unicode (U+00A0 etc.), so a
+  // \s anywhere in a mirrored regex breaks the bit-identical contract
   private val CommentRe = Pattern.compile("(?s)<!--.*?-->")
   private val DropSubtreeRe = Pattern.compile(
-    "(?is)<(script|style|head|noscript|template|svg)\\b[^>]*>.*?</\\1\\s*>")
+    "(?is)<(script|style|head|noscript|template|svg)\\b[^>]*>.*?</\\1[ \t\n\r\f]*>")
   private val HrefRe = Pattern.compile(
-    "(?is)\\bhref\\s*=\\s*(\"([^\"]*)\"|'([^']*)')")
+    "(?is)\\bhref[ \t\n\r\f]*=[ \t\n\r\f]*(\"([^\"]*)\"|'([^']*)')")
   private val WsRunRe = Pattern.compile("[ \t\n\r\f]+")
 
   /** One parse event: either a text run or a tag. */
@@ -87,7 +90,9 @@ object Markdown {
           val ns = k
           while (k < body.length && (asciiLetter(body.charAt(k)) ||
               (k > ns && body.charAt(k) >= '0' && body.charAt(k) <= '9'))) k += 1
-          val name = body.substring(ns, k).toLowerCase
+          // Locale.ROOT: default-locale toLowerCase turns "LI"/"I" into
+          // dotless-ı forms under tr/az and silently unmaps the handlers
+          val name = body.substring(ns, k).toLowerCase(java.util.Locale.ROOT)
           if (name.nonEmpty) {
             val href =
               if (name == "a" && !isClose) {
@@ -342,22 +347,13 @@ object Markdown {
         blocks += withQuote("---", quote)
         i += 1
       } else if (!tk.isClose && tk.name == "br") { buf.append(' '); i += 1 }
-      else if (!tk.isClose && tk.name == "a") {
-        val (ce, ni) = matchClose(toks, i + 1, "a")
-        val inner = wsNorm(renderInline(toks, i + 1, math.min(ce, end)))
-        if (inner.nonEmpty) {
-          if (tk.href != null && tk.href.nonEmpty)
-            buf.append('[').append(inner).append("](").append(tk.href).append(')')
-          else buf.append(inner)
-          buf.append(' ')
-        }
-        i = ni
-      } else if (!tk.isClose && InlineWrap.contains(tk.name)) {
-        val w = InlineWrap(tk.name)
-        val (ce, ni) = matchClose(toks, i + 1, tk.name)
-        val inner = wsNorm(renderInline(toks, i + 1, math.min(ce, end)))
-        if (inner.nonEmpty) buf.append(w).append(inner).append(w).append(' ')
-        i = ni
+      else if (!tk.isClose && (tk.name == "a" || InlineWrap.contains(tk.name))) {
+        // delegate the whole inline span (open tag included) to
+        // renderInline — ONE implementation of link/emphasis rendering
+        val (_, ni) = matchClose(toks, i + 1, tk.name)
+        val ni2 = math.min(ni, end)
+        buf.append(renderInline(toks, i, ni2))
+        i = ni2
       } else i += 1 // transparent (unknown tag, stray close, tbody, ...)
     }
     flush()

@@ -101,25 +101,33 @@ object Centrality {
     */
   private final class RegMax extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
     def zero: Array[Byte] = new Array[Byte](M)
+    // mutate the buffer in place (the Aggregator contract allows it):
+    // this runs once per edge per round — a fresh allocation here is
+    // per-edge garbage on the graphs the HyperBall path exists for
     def reduce(acc: Array[Byte], x: Array[Byte]): Array[Byte] = merge(acc, x)
     def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-      val out = new Array[Byte](M)
       var i = 0
       while (i < M) {
-        out(i) = if (a(i) >= b(i)) a(i) else b(i)
+        if (b(i) > a(i)) a(i) = b(i)
         i += 1
       }
-      out
+      a
     }
     def finish(acc: Array[Byte]): Array[Byte] = acc
     def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
-  /** Exact harmonic centrality — oracle path. Same enforced edge cap and
-    * failure contract as pagerank's exactFold.
+  /** Exact harmonic centrality — oracle path. Unlike pagerank's exactFold
+    * (whose kernel is linear per iteration), all-sources BFS is Θ(V·E),
+    * so the edge cap alone bounds memory but NOT runtime: a 1M-edge /
+    * 300k-vertex graph passes a 5M-edge gate and then hangs for days.
+    * The gate here is the actual WORK product V·E — loud failure, never
+    * a silent hang.
     */
-  def harmonicExact(edgesDf: DataFrame): DataFrame = {
+  def harmonicExact(
+      edgesDf: DataFrame,
+      maxBfsWork: Long = 2000000000L): DataFrame = {
     val spark = edgesDf.sparkSession
     import spark.implicits._
     val ExactModeEdgeCap = 5000000L
@@ -128,6 +136,11 @@ object Centrality {
     require(bounded.length <= ExactModeEdgeCap,
       s"harmonicExact is the oracle path (local BFS over collected edges): " +
         s"> $ExactModeEdgeCap edges — use harmonicHll")
+    val nV = (bounded.iterator.map(_._1) ++ bounded.iterator.map(_._2))
+      .toSet.size.toLong
+    require(nV * bounded.length <= maxBfsWork,
+      s"harmonicExact: V*E = ${nV}*${bounded.length} exceeds the " +
+        s"$maxBfsWork work bound (all-sources BFS is Θ(V·E)) — use harmonicHll")
     localExactHarmonic(bounded).toSeq.toDF("url", "harmonic")
   }
 

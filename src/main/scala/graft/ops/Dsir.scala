@@ -74,8 +74,12 @@ object Dsir {
     import spark.implicits._
     val bucketsUdf = udf((t: String) => featureBuckets(t))
 
+    // coalesce: a NULL target predicate (e.g. lang IS NULL under
+    // `lang === "en"`) must mean "not target", not a non-nullable-field
+    // crash in the typed scoring pass below
     val base = documents.filter(col("doc_id").isNotNull)
-      .select(col("doc_id"), col("text"), targetCol.as("__is_target"))
+      .select(col("doc_id"), col("text"),
+        coalesce(targetCol, lit(false)).as("__is_target"))
 
     // ONE bucket-count pass for both distributions; ≤ m rows collected
     // (bounded by construction)

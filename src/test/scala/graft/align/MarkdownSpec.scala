@@ -102,4 +102,32 @@ class MarkdownSpec extends AnyFunSuite {
     val c = md("<p><a href=\"/x&#63;y\">t&#8212;d</a></p>")
     assert(c.markdown === "[t—d](/x?y)")
   }
+
+  test("regex whitespace classes are ASCII-pinned, not \\s") {
+    // NBSP before the close-tag '>' is NOT pinned whitespace: the style
+    // subtree is not dropped, so its text renders (both engines agree —
+    // python \s would have dropped it while Java \s would not)
+    assert(md("<style>x{}</style >tail").markdown
+      .contains("x{}"))
+    // pinned ASCII whitespace around href '=' still parses
+    assert(md("<p><a href\t=\n\"/y\">t</a></p>").markdown === "[t](/y)")
+  }
+
+  test("tag names lowercase via Locale.ROOT (tr-locale immune)") {
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      val c = md("<UL><LI>one</LI><LI><I>two</I></LI></UL><DIV>p</DIV>")
+      assert(c.markdown === "- one\n- *two*\n\np")
+    } finally java.util.Locale.setDefault(saved)
+  }
+
+  test("block-level inline delegation matches in-paragraph rendering") {
+    // the same <a>/<b> outside any block container must render exactly
+    // as inside one (single renderInline implementation)
+    val bare = md("<a href=\"/z\">go</a> and <b>bold</b>").markdown
+    val inP = md("<p><a href=\"/z\">go</a> and <b>bold</b></p>").markdown
+    assert(bare === inP)
+    assert(bare === "[go](/z) and **bold**")
+  }
 }

@@ -84,6 +84,15 @@ class CentralitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("harmonicExact fails loudly past the V*E work bound") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Centrality.harmonicExact(edges, maxBfsWork = 10L)
+    }
+    assert(e.getMessage.contains("work bound"))
+  }
+
   test("harmonicHll reach_est approaches component size on a cycle") {
     import spark.implicits._
     val n = 6

@@ -60,4 +60,15 @@ class DsirSpec extends AnyFunSuite with BeforeAndAfterAll {
     // noise to rescue
     assert(selected.forall(_ < 10), s"selected $selected")
   }
+
+  test("null target predicate means non-target, never a crash") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick fox", Some("en")),
+      (2L, "the slow fox", None: Option[String]),
+      (3L, "zzq xvw qqj", Some("xx")))
+      .toDF("doc_id", "text", "lang")
+    val out = Dsir.select(df, col("lang") === "en", k = 1).collect()
+    assert(out.length === 3) // the null-lang row scored, not crashed
+  }
 }

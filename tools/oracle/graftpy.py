@@ -715,10 +715,13 @@ def boilerplate_html(doc_id, text):
 # Clean-room mirror of graft/align/Markdown.scala (pinned rendering spec in
 # that file's scaladoc): tokenizer + recursive block/inline renderers.
 
+# pinned ASCII whitespace classes, never \s (python \s is Unicode, Java's
+# is not — the engines would diverge on U+00A0 inside tags)
 MDX_DROP_RE = re.compile(
-    r"<(script|style|head|noscript|template|svg)\b[^>]*>.*?</\1\s*>",
+    r"<(script|style|head|noscript|template|svg)\b[^>]*>.*?</\1[ \t\n\r\f]*>",
     re.I | re.S)
-MDX_HREF_RE = re.compile(r"\bhref\s*=\s*(\"([^\"]*)\"|'([^']*)')", re.I | re.S)
+MDX_HREF_RE = re.compile(
+    r"\bhref[ \t\n\r\f]*=[ \t\n\r\f]*(\"([^\"]*)\"|'([^']*)')", re.I | re.S)
 MDX_NAME_RE = re.compile(r"(/?)([a-zA-Z][a-zA-Z0-9]*)")
 MDX_WS_RE = re.compile(r"[ \t\n\r\f]+")
 MDX_BLOCK_CONTAINERS = {"p", "div", "section", "article", "header", "footer",
@@ -941,20 +944,13 @@ def mdx_blocks(toks, i, end, quote, tables, counter):
         elif tk[0] == "o" and tk[1] == "br":
             buf.append(" ")
             i += 1
-        elif tk[0] == "o" and tk[1] == "a":
-            ce, ni = mdx_close(toks, i + 1, "a")
-            inner = mdx_ws(mdx_inline(toks, i + 1, min(ce, end)))
-            if inner:
-                buf.append("[%s](%s) " % (inner, tk[2]) if tk[2]
-                           else inner + " ")
-            i = ni
-        elif tk[0] == "o" and tk[1] in MDX_INLINE_WRAP:
-            w = MDX_INLINE_WRAP[tk[1]]
-            ce, ni = mdx_close(toks, i + 1, tk[1])
-            inner = mdx_ws(mdx_inline(toks, i + 1, min(ce, end)))
-            if inner:
-                buf.append(w + inner + w + " ")
-            i = ni
+        elif tk[0] == "o" and (tk[1] == "a" or tk[1] in MDX_INLINE_WRAP):
+            # delegate the whole inline span (open tag included) to
+            # mdx_inline — one implementation of link/emphasis rendering
+            _ce, ni = mdx_close(toks, i + 1, tk[1])
+            ni2 = min(ni, end)
+            buf.append(mdx_inline(toks, i, ni2))
+            i = ni2
         else:
             i += 1
     flush()
