@@ -778,6 +778,23 @@ object SparkEntry {
         }.toDF("doc_id", "table_idx", "row_idx", "col_idx", "is_header", "cell")
         .orderBy(col("doc_id"), col("table_idx"), col("row_idx"), col("col_idx"))
     }),
+    // ---- streaming form of q_markdown (SHARED golden, anti-drift: the
+    //      same Markdown.convert kernel per micro-batch) ----
+    "q_markdown_stream" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = scratchDir(s, "markdown_stream")
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) => (id, structuredHtml(id, t)) }
+        .toDF("doc_id", "html")
+        .write.parquet(s"$tmp/pages")
+      graft.streaming.StreamingJobs.withShufflePartitions(s, 4) {
+        graft.streaming.StreamingJobs.runAvailableNow(
+          graft.streaming.StreamingJobs.markdownStream(s, s"$tmp/pages"),
+          s"$tmp/out")
+      }
+      s.read.parquet(s"$tmp/out/data").orderBy(col("doc_id"))
+    }),
+
     "q_syllabify" -> ((s, dir) => {
       Functions.register(s)
       docs(s, dir).select(col("doc_id"),
@@ -1111,6 +1128,23 @@ object SparkEntry {
     "q_wet" -> ((s, dir) =>
       graft.ops.Warc.wet(warcArchives(s, dir))
         .orderBy(col("archive_id"))),
+
+    // ---- adaptive recrawl scheduling (Cho/Garcia-Molina freshness
+    //      family): per-url change rates from consecutive CDX captures,
+    //      integer-only rate classes; ONE urlkey shuffle (window + agg
+    //      share the key) ----
+    "q_recrawl" -> ((s, dir) =>
+      graft.ops.Recrawl.schedule(
+        graft.ops.Warc.cdx(httpWarcArchives(s, dir)))
+        .orderBy(col("urlkey"))),
+
+    // ---- centrality-ranked crawl budgets: Zipf-shaped integer
+    //      allocation over the harmonic ranking (floor-division, never a
+    //      double->long cast — Spark truncates, DuckDB rounds) ----
+    "q_crawl_budget" -> ((s, dir) =>
+      graft.ops.Recrawl.budget(
+        graft.ops.Centrality.harmonicExact(linkEdgesFor(s, dir)), k = 1000L)
+        .orderBy(col("rank"))),
 
     // ---- WAT metadata sidecar (completes the WARC/WET/WAT triple):
     //      links + head metadata serialized as the pinned JSON envelope
@@ -2498,6 +2532,8 @@ object SparkEntry {
     "q_extract_text" -> golden("q_extract_text"),
     "q_main_content" -> golden("q_main_content"),
     "q_markdown" -> golden("q_markdown"),
+    // SHARED golden (anti-drift): the stream must equal the batch kernel
+    "q_markdown_stream" -> golden("q_markdown"),
     "q_html_tables" -> golden("q_html_tables"),
     "q_classifier_score" -> golden("q_classifier_score"),
     "q_lm_perplexity" -> golden("q_lm_perplexity"),
@@ -2635,6 +2671,32 @@ object SparkEntry {
     "q_cdx_http" -> golden("q_cdx_http"),
     "q_wet" -> golden("q_wet"),
     "q_wat" -> golden("q_wat"),
+    // recrawl scheduling recomputed by DuckDB windows over the committed
+    // q_cdx_http golden — independent engine, same pinned capture order
+    "q_recrawl" ->
+      (s"""WITH c AS (SELECT * FROM '$GoldenDir/q_cdx_http.parquet'),
+         |l AS (SELECT urlkey, digest, lag(digest) OVER (PARTITION BY urlkey
+         |  ORDER BY warc_date, archive_id, rec_offset) AS pd FROM c),
+         |a AS (SELECT urlkey, count(*) AS n_captures,
+         |  CAST(sum(CASE WHEN pd IS NOT NULL AND pd <> digest
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+         |  FROM l GROUP BY 1)
+         |SELECT urlkey, n_captures, n_changes,
+         |  CASE WHEN n_captures = 1 THEN 'new'
+         |       WHEN n_changes*2 >= n_captures-1 THEN 'hot'
+         |       WHEN n_changes*4 >= n_captures-1 THEN 'warm'
+         |       ELSE 'cold' END AS refresh_class
+         |FROM a""".stripMargin),
+    // budgets recomputed by a DuckDB window over the committed
+    // q_harmonic golden (the harmonic values themselves are
+    // hash-verified bit-identical by the q_harmonic row)
+    "q_crawl_budget" ->
+      (s"""WITH h AS (SELECT * FROM '$GoldenDir/q_harmonic.parquet'),
+         |r AS (SELECT url, CAST(row_number() OVER
+         |  (ORDER BY harmonic DESC, url ASC) AS BIGINT) AS rank FROM h)
+         |SELECT url, rank, greatest(CAST(1 AS BIGINT),
+         |  CAST(floor(1000.0 / rank) AS BIGINT)) AS budget FROM r"""
+        .stripMargin),
     "q_blocklist" -> golden("q_blocklist"),
     // SHARED golden (anti-drift): the stream must equal the batch gate
     "q_blocklist_stream" -> golden("q_blocklist"),

@@ -427,6 +427,26 @@ object StreamingJobs {
     graft.ops.Warc.recordsDecoded(in)
   }
 
+  /** Streaming Markdown extraction: the SAME
+    * [[graft.align.Markdown.convert]] kernel per micro-batch over
+    * pre-rendered page bytes (shared code, so stream and batch CANNOT
+    * drift — q_markdown_stream's oracle row is literally the batch
+    * golden). Stateless map-only: the structured-extraction tier of an
+    * always-on ingest stream.
+    */
+  def markdownStream(spark: SparkSession, pagesDir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream
+      .schema("doc_id LONG, html BINARY")
+      .parquet(pagesDir)
+      .as[(Long, Array[Byte])]
+      .map { case (id, html) =>
+        val c = graft.align.Markdown.convert(html)
+        (id, c.markdown, c.nBlocks)
+      }
+      .toDF("doc_id", "markdown", "n_blocks")
+  }
+
   /** Streaming phrase-blocklist gate: the SAME
     * [[graft.ops.Blocklist.matchCounts]] kernel per micro-batch (shared
     * code, so stream and batch CANNOT drift — q_blocklist_stream's
