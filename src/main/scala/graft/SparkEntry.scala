@@ -1697,6 +1697,14 @@ object SparkEntry {
       graft.ops.Dsir.select(docs(s, dir), col("lang") === "en", k = 100)
         .orderBy(col("doc_id"))),
 
+    // ---- per-shard distribution drift (KL vs corpus over the hashed
+    //      feature buckets): the sharded-corpus quality monitor; one
+    //      (shard, bucket) aggregate, enforced shard cap, driver KL
+    //      folds over the bounded count table ----
+    "q_shard_drift" -> ((s, dir) =>
+      graft.ops.Dsir.divergence(docs(s, dir), col("source"))
+        .orderBy(col("shard"))),
+
     // ---- WordPiece training (the BERT family, completing the tokenizer
     //      triple): likelihood-gain merges over the distributed word
     //      histogram, exact local loop under the enforced cap; integer
@@ -2962,6 +2970,7 @@ object SparkEntry {
     "q_bpe_train" -> golden("q_bpe_train"),
     "q_wordpiece_train" -> golden("q_wordpiece_train"),
     "q_dsir" -> golden("q_dsir"),
+    "q_shard_drift" -> golden("q_shard_drift"),
     "q_wordpiece_encode" -> golden("q_wordpiece_encode"),
     "q_unigram_train" -> golden("q_unigram_train"),
     "q_unigram_encode" -> golden("q_unigram_encode"),

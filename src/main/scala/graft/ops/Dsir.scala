@@ -131,4 +131,69 @@ object Dsir {
     val selUdf = udf((id: Long) => idsB.value.contains(id))
     scoredP.withColumn("selected", selUdf(col("doc_id")))
   }
+
+  /** Per-shard distribution drift — KL(shard ‖ corpus) over the same
+    * hashed feature buckets: the data-quality monitor a sharded corpus
+    * runs to catch a shard whose token distribution silently diverged
+    * (bad extraction batch, mis-routed language, duplicated source).
+    * Smoothing and fold order pinned like [[select]]:
+    *
+    *   p_b = (c_sb + 1)/(tot_s + m),  q_b = (c_b + 1)/(tot + m),
+    *   kl = Σ_b p_b · ln(p_b / q_b)   (bucket-index order, portable ln)
+    *
+    * Shape: ONE explode → (shard, bucket) aggregate (map-side combined);
+    * the collect is bounded by the ENFORCED maxShards cap (≤
+    * maxShards·m rows); the KL folds are driver-side over the collected
+    * count table. Document text never shuffles.
+    */
+  def divergence(
+      documents: DataFrame,
+      shardCol: org.apache.spark.sql.Column,
+      maxShards: Int = 64): DataFrame = {
+    require(maxShards >= 1, s"divergence: maxShards must be positive")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val bucketsUdf = udf((t: String) => featureBuckets(t))
+    val m = NumBuckets
+
+    // cap probe FIRST, on the column-pruned distinct-shard projection —
+    // a limit on the grouped counts could silently truncate a shard's
+    // buckets and pass the cap check with incomplete data
+    val probe = documents.select(shardCol.cast("string").as("__shard"))
+      .distinct().limit(maxShards + 1).as[String].collect()
+    require(probe.length <= maxShards,
+      s"divergence: > $maxShards shards — raise maxShards or pre-bucket " +
+        "the shard key")
+    val counts = documents.filter(col("doc_id").isNotNull)
+      .select(shardCol.cast("string").as("__shard"),
+        explode(bucketsUdf(col("text"))).as("bucket"))
+      .groupBy(col("__shard"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, Int, Long)].collect() // ≤ maxShards·m rows (probed)
+
+    val perShard = counts.groupBy(_._1).map { case (s, rows) =>
+      val arr = new Array[Long](m)
+      rows.foreach { case (_, b, c) => arr(b) = c }
+      (s, arr, rows.iterator.map(_._3).sum)
+    }.toSeq.sortBy(_._1)
+    val corpus = new Array[Long](m)
+    perShard.foreach { case (_, arr, _) =>
+      var b = 0
+      while (b < m) { corpus(b) += arr(b); b += 1 }
+    }
+    val tot = corpus.sum
+
+    val rows = perShard.map { case (s, arr, totS) =>
+      var kl = 0.0
+      var b = 0
+      while (b < m) {
+        val p = (arr(b) + 1L).toDouble / (totS + m).toDouble
+        val q = (corpus(b) + 1L).toDouble / (tot + m).toDouble
+        kl += p * Retrieval.lnPortable(p / q)
+        b += 1
+      }
+      (s, totS, kl)
+    }
+    rows.toDF("shard", "n_features", "kl_nats")
+  }
 }

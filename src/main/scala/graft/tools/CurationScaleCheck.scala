@@ -134,6 +134,27 @@ object CurationScaleCheck {
       }
     }
 
+    // round-6 third wave: Markdown structured extraction (synthesize the
+    // structured page + convert per doc — map-only, CPU-bound, the same
+    // class as robots_annotate) and the HyperBall harmonic loop (the
+    // register-max shuffle is what scales, 4 rounds over a synthetic
+    // graph with n/8 vertices and n edges)
+    results("markdown") = timedWarm {
+      import spark.implicits._
+      force(corpus.select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val c = graft.align.Markdown.convert(graft.SparkEntry.structuredHtml(id, t))
+          (id, c.markdown.length, c.nBlocks)
+        }.toDF("doc_id", "md_len", "n_blocks"))
+    }
+    results("hyperball") = timedWarm {
+      val v = math.max(16L, n / 8)
+      val edges = corpus.select(
+        concat(lit("u"), pmod(col("doc_id"), lit(v))).as("src"),
+        concat(lit("u"), pmod(col("doc_id") * 31L + 7L, lit(v))).as("dst"))
+      force(graft.ops.Centrality.harmonicHll(edges, iters = 4))
+    }
+
     // the replica corpus is adversarially near-duplicate BY CONSTRUCTION
     // (k variants per base doc differ by one token), so minhash candidate
     // volume grows ~k× per eval doc — at large k the run measures that

@@ -61,6 +61,32 @@ class DsirSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(selected.forall(_ < 10), s"selected $selected")
   }
 
+  test("divergence flags the shard whose distribution drifted") {
+    import spark.implicits._
+    val common = "the quick brown fox jumps over the lazy dog"
+    val rows =
+      (0 until 8).map(i => (i.toLong, common + " a" + (i % 2), "shardA")) ++
+        (8 until 16).map(i => (i.toLong, common + " b" + (i % 2), "shardB")) ++
+        (16 until 24).map(i => (i.toLong, "zzq xvw qqj kkp wwl rrm", "shardC"))
+    val df = rows.toDF("doc_id", "text", "source")
+    val out = Dsir.divergence(df, col("source")).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out.keySet === Set("shardA", "shardB", "shardC"))
+    assert(out("shardC") > out("shardA") * 2,
+      s"drifted shard should dominate: $out")
+    assert(out("shardC") > out("shardB") * 2)
+  }
+
+  test("divergence enforces the shard cap on the pruned probe") {
+    import spark.implicits._
+    val df = (0 until 10).map(i => (i.toLong, "x y", s"s$i"))
+      .toDF("doc_id", "text", "source")
+    val e = intercept[IllegalArgumentException] {
+      Dsir.divergence(df, col("source"), maxShards = 4)
+    }
+    assert(e.getMessage.contains("shards"))
+  }
+
   test("null target predicate means non-target, never a crash") {
     import spark.implicits._
     val df = Seq(

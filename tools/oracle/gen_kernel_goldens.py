@@ -106,7 +106,8 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
 
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text", "lang"]).to_pandas()
+                         columns=["doc_id", "text", "lang",
+                                  "source"]).to_pandas()
     docs = docs.sort_values("doc_id").reset_index(drop=True)
     doc_items = list(zip(docs.doc_id.tolist(), docs.text.tolist()))
 
@@ -1145,6 +1146,17 @@ def main():
            "gumbel": [x[2] for x in _ds],
            "score": [x[3] for x in _ds],
            "selected": [x[4] for x in _ds]})
+
+    # ---- q_shard_drift (per-source KL drift over the hashed buckets) ----
+    _srcs = docs.source.tolist()
+    _dd = g.ds_divergence(
+        [(int(i), t, sc) for (i, t), sc in zip(doc_items, _srcs)])
+    write("q_shard_drift",
+          pa.schema([("shard", pa.string()), ("n_features", pa.int64()),
+                     ("kl_nats", pa.float64())]),
+          {"shard": [x[0] for x in _dd],
+           "n_features": [x[1] for x in _dd],
+           "kl_nats": [x[2] for x in _dd]})
 
     # ---- near-dup corpus: docs ∪ mutated every-10th (SparkEntry.docsWithNearDups) ----
     near = {int(i): t for i, t in doc_items}

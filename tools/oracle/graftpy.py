@@ -1609,6 +1609,34 @@ def ds_select(rows, k):
     return [(i, w, g, s, i in sel) for (i, w, g, s) in out]
 
 
+def ds_divergence(rows):
+    """rows: [(doc_id, text, shard)] -> [(shard, n_features, kl_nats)]
+    sorted by shard. Mirrors Dsir.divergence (pinned smoothing + folds)."""
+    per = {}
+    for _id, text, shard in rows:
+        arr = per.setdefault(shard, [0] * DS_M)
+        for b in ds_buckets(text):
+            arr[b] += 1
+    shards = sorted(per)
+    corpus = [0] * DS_M
+    for s in shards:
+        a = per[s]
+        for b in range(DS_M):
+            corpus[b] += a[b]
+    tot = sum(corpus)
+    out = []
+    for s in shards:
+        a = per[s]
+        tot_s = sum(a)
+        kl = 0.0
+        for b in range(DS_M):
+            p = float(a[b] + 1) / float(tot_s + DS_M)
+            q = float(corpus[b] + 1) / float(tot + DS_M)
+            kl += p * ds_ln(p / q)
+        out.append((s, tot_s, kl))
+    return out
+
+
 # ---------------- WordPiece (BERT-family tokenizer) ------------------------
 # Clean-room mirror of graft/ops/Wordpiece.scala: likelihood-gain merges
 # (score = pc / (float(cl) * float(cr)) — floats converted BEFORE the
