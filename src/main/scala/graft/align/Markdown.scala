@@ -131,48 +131,78 @@ object Markdown {
   private val InlineWrap = Map(
     "b" -> "**", "strong" -> "**", "i" -> "*", "em" -> "*", "code" -> "`")
 
-  /** Find the index just past the matching close of `name` opened at
-    * `start` (start points at the first token AFTER the open), balancing
-    * nested same-name opens. Returns (contentEnd, nextIndex).
+  /** Nesting cap (pinned, shared with the mirror): past this depth every
+    * structural tag renders transparently. Crawl bytes are adversarial —
+    * without the cap, 100k nested opens is a StackOverflowError (JVM) or
+    * RecursionError (mirror).
     */
-  private def matchClose(toks: ArrayBuffer[Tok], start: Int, name: String): (Int, Int) = {
-    var depth = 1
-    var j = start
-    while (j < toks.length && depth > 0) {
-      val tk = toks(j)
-      if (tk.name == name) { if (tk.isClose) depth -= 1 else depth += 1 }
-      j += 1
+  private val MaxNest = 100
+
+  /** One-pass per-name LIFO close matching: matchIdx(i) = index of the
+    * close token pairing the open at i, or -1. Per-name stack pairing is
+    * exactly the balanced-depth scan of the spec, but O(n) total — a
+    * per-open forward scan is O(n²) on an unclosed-tag flood (250k bare
+    * `<a>` in a 1 MB page = 3·10^10 steps, an effective hang).
+    */
+  private def matchIndex(toks: ArrayBuffer[Tok]): Array[Int] = {
+    val idx = Array.fill(toks.length)(-1)
+    val stacks = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayDeque[Int]]
+    var i = 0
+    while (i < toks.length) {
+      val tk = toks(i)
+      if (tk.name != null) {
+        if (!tk.isClose)
+          stacks.getOrElseUpdate(tk.name, scala.collection.mutable.ArrayDeque.empty)
+            .append(i)
+        else stacks.get(tk.name).foreach { st =>
+          if (st.nonEmpty) idx(st.removeLast()) = i
+        }
+      }
+      i += 1
     }
-    if (depth == 0) (j - 1, j) else (toks.length, toks.length)
+    idx
+  }
+
+  /** (contentEnd, nextIndex) for the open token at `i` — the lookup form
+    * of the old balanced scan: contentEnd points AT the close token.
+    */
+  @inline private def matchedEnd(
+      toks: ArrayBuffer[Tok], mi: Array[Int], i: Int): (Int, Int) = {
+    val m = mi(i)
+    if (m < 0) (toks.length, toks.length) else (m, m + 1)
   }
 
   /** Inline rendering of tokens[i, end): text + a/b/i/em/strong/code/br;
     * any block tag inside an inline context renders transparently (its
-    * own text becomes inline); unknown tags are transparent.
+    * own text becomes inline); unknown tags are transparent; structural
+    * tags past [[MaxNest]] are transparent too.
     */
-  private def renderInline(toks: ArrayBuffer[Tok], i0: Int, end: Int): String = {
+  private def renderInline(
+      toks: ArrayBuffer[Tok], mi: Array[Int],
+      i0: Int, end: Int, depth: Int): String = {
     val sb = new java.lang.StringBuilder
     var i = i0
     while (i < end) {
       val tk = toks(i)
       if (tk.text != null) { sb.append(tk.text); i += 1 }
       else if (!tk.isClose && tk.name == "br") { sb.append(' '); i += 1 }
-      else if (!tk.isClose && tk.name == "a") {
-        val (ce, ni) = matchClose(toks, i + 1, "a")
-        val inner = wsNorm(renderInline(toks, i + 1, math.min(ce, end)))
+      else if (!tk.isClose && depth < MaxNest && tk.name == "a") {
+        val (ce, ni) = matchedEnd(toks, mi, i)
+        val inner = wsNorm(renderInline(toks, mi, i + 1, math.min(ce, end), depth + 1))
         if (inner.nonEmpty) {
           if (tk.href != null && tk.href.nonEmpty)
             sb.append('[').append(inner).append("](").append(tk.href).append(')')
           else sb.append(inner)
           sb.append(' ')
         }
-        i = ni
-      } else if (!tk.isClose && InlineWrap.contains(tk.name)) {
+        i = math.min(ni, end)
+      } else if (!tk.isClose && depth < MaxNest && InlineWrap.contains(tk.name)) {
         val w = InlineWrap(tk.name)
-        val (ce, ni) = matchClose(toks, i + 1, tk.name)
-        val inner = wsNorm(renderInline(toks, i + 1, math.min(ce, end)))
+        val (ce, ni) = matchedEnd(toks, mi, i)
+        val inner = wsNorm(renderInline(toks, mi, i + 1, math.min(ce, end), depth + 1))
         if (inner.nonEmpty) sb.append(w).append(inner).append(w).append(' ')
-        i = ni
+        i = math.min(ni, end)
       } else i += 1 // transparent tag
     }
     sb.toString
@@ -196,17 +226,19 @@ object Markdown {
     s.substring(a, b)
   }
 
-  /** List rendering: returns the lines of one list block. */
+  /** List rendering: returns the lines of one list block. `listDepth`
+    * drives the two-space indent; `depth` is the structural nesting cap.
+    */
   private def renderList(
-      toks: ArrayBuffer[Tok], i0: Int, end: Int,
-      ordered: Boolean, depth: Int): ArrayBuffer[String] = {
+      toks: ArrayBuffer[Tok], mi: Array[Int], i0: Int, end: Int,
+      ordered: Boolean, listDepth: Int, depth: Int): ArrayBuffer[String] = {
     val lines = new ArrayBuffer[String]
     var i = i0
     var counter = 0
     while (i < end) {
       val tk = toks(i)
-      if (tk.name == "li" && !tk.isClose) {
-        val (ce, ni) = matchClose(toks, i + 1, "li")
+      if (tk.name == "li" && !tk.isClose && depth < MaxNest) {
+        val (ce, ni) = matchedEnd(toks, mi, i)
         val ce2 = math.min(ce, end)
         // split the item at its first nested list (if any)
         var j = i + 1
@@ -219,15 +251,15 @@ object Markdown {
         val itemEnd = if (nest >= 0) nest else ce2
         counter += 1
         val marker = if (ordered) s"$counter. " else "- "
-        val txt = wsNorm(renderInline(toks, i + 1, itemEnd))
-        lines += ("  " * depth) + marker + txt
-        if (nest >= 0) {
+        val txt = wsNorm(renderInline(toks, mi, i + 1, itemEnd, depth + 1))
+        lines += ("  " * listDepth) + marker + txt
+        if (nest >= 0 && depth + 1 < MaxNest) {
           val nTag = toks(nest)
-          val (nce, _) = matchClose(toks, nest + 1, nTag.name)
-          lines ++= renderList(toks, nest + 1, math.min(nce, ce2),
-            nTag.name == "ol", depth + 1)
+          val (nce, _) = matchedEnd(toks, mi, nest)
+          lines ++= renderList(toks, mi, nest + 1, math.min(nce, ce2),
+            nTag.name == "ol", listDepth + 1, depth + 2)
         }
-        i = ni
+        i = math.min(ni, end)
       } else i += 1
     }
     lines
@@ -243,7 +275,8 @@ object Markdown {
     * Also returns the per-cell rows for the table-extraction operator.
     */
   private def renderTable(
-      toks: ArrayBuffer[Tok], i0: Int, end: Int, tableIdx: Int)
+      toks: ArrayBuffer[Tok], mi: Array[Int], i0: Int, end: Int,
+      tableIdx: Int, depth: Int)
       : (ArrayBuffer[String], ArrayBuffer[Cell]) = {
     val lines = new ArrayBuffer[String]
     val cells = new ArrayBuffer[Cell]
@@ -251,18 +284,19 @@ object Markdown {
     var rowIdx = 0
     while (i < end) {
       val tk = toks(i)
-      if (tk.name == "tr" && !tk.isClose) {
-        val (ce, ni) = matchClose(toks, i + 1, "tr")
+      if (tk.name == "tr" && !tk.isClose && depth < MaxNest) {
+        val (ce, ni) = matchedEnd(toks, mi, i)
         val ce2 = math.min(ce, end)
         var j = i + 1
         val rowCells = new ArrayBuffer[(Boolean, String)]
         while (j < ce2) {
           val t2 = toks(j)
           if (!t2.isClose && (t2.name == "td" || t2.name == "th")) {
-            val (cce, cni) = matchClose(toks, j + 1, t2.name)
-            val txt = wsNorm(renderInline(toks, j + 1, math.min(cce, ce2)))
+            val (cce, cni) = matchedEnd(toks, mi, j)
+            val txt = wsNorm(
+              renderInline(toks, mi, j + 1, math.min(cce, ce2), depth + 1))
             rowCells += ((t2.name == "th", txt))
-            j = cni
+            j = math.min(cni, ce2)
           } else j += 1
         }
         if (rowCells.nonEmpty) {
@@ -276,7 +310,7 @@ object Markdown {
           }
           rowIdx += 1
         }
-        i = ni
+        i = math.min(ni, end)
       } else i += 1
     }
     (lines, cells)
@@ -286,10 +320,13 @@ object Markdown {
     if (quote == 0) block
     else block.split("\n", -1).map(l => ("> " * quote) + l).mkString("\n")
 
-  /** Block-level walk of tokens[i, end): returns finished blocks. */
+  /** Block-level walk of tokens[i, end): returns finished blocks.
+    * Structural tags past [[MaxNest]] render transparently.
+    */
   private def renderBlocks(
-      toks: ArrayBuffer[Tok], i0: Int, end: Int, quote: Int,
-      tables: ArrayBuffer[Cell], tableCounter: Array[Int]): ArrayBuffer[String] = {
+      toks: ArrayBuffer[Tok], mi: Array[Int], i0: Int, end: Int, quote: Int,
+      tables: ArrayBuffer[Cell], tableCounter: Array[Int],
+      depth: Int): ArrayBuffer[String] = {
     val blocks = new ArrayBuffer[String]
     val buf = new java.lang.StringBuilder
 
@@ -299,60 +336,67 @@ object Markdown {
       if (s.nonEmpty) blocks += withQuote(s, quote)
     }
 
+    val structural = depth < MaxNest
     var i = i0
     while (i < end) {
       val tk = toks(i)
       if (tk.text != null) { buf.append(tk.text); i += 1 }
-      else if (!tk.isClose && tk.name.length == 2 && tk.name.charAt(0) == 'h' &&
+      else if (!tk.isClose && structural && tk.name.length == 2 &&
+          tk.name.charAt(0) == 'h' &&
           tk.name.charAt(1) >= '1' && tk.name.charAt(1) <= '6') {
         flush()
         val lvl = tk.name.charAt(1) - '0'
-        val (ce, ni) = matchClose(toks, i + 1, tk.name)
-        val inner = wsNorm(renderInline(toks, i + 1, math.min(ce, end)))
+        val (ce, ni) = matchedEnd(toks, mi, i)
+        val inner = wsNorm(renderInline(toks, mi, i + 1, math.min(ce, end), depth + 1))
         if (inner.nonEmpty) blocks += withQuote(("#" * lvl) + " " + inner, quote)
-        i = ni
-      } else if (!tk.isClose && BlockContainers.contains(tk.name)) {
+        i = math.min(ni, end)
+      } else if (!tk.isClose && structural && BlockContainers.contains(tk.name)) {
         flush()
-        val (ce, ni) = matchClose(toks, i + 1, tk.name)
-        blocks ++= renderBlocks(toks, i + 1, math.min(ce, end), quote, tables, tableCounter)
-        i = ni
-      } else if (!tk.isClose && tk.name == "blockquote") {
+        val (ce, ni) = matchedEnd(toks, mi, i)
+        blocks ++= renderBlocks(toks, mi, i + 1, math.min(ce, end), quote,
+          tables, tableCounter, depth + 1)
+        i = math.min(ni, end)
+      } else if (!tk.isClose && structural && tk.name == "blockquote") {
         flush()
-        val (ce, ni) = matchClose(toks, i + 1, "blockquote")
-        blocks ++= renderBlocks(toks, i + 1, math.min(ce, end), quote + 1, tables, tableCounter)
-        i = ni
-      } else if (!tk.isClose && (tk.name == "ul" || tk.name == "ol")) {
+        val (ce, ni) = matchedEnd(toks, mi, i)
+        blocks ++= renderBlocks(toks, mi, i + 1, math.min(ce, end), quote + 1,
+          tables, tableCounter, depth + 1)
+        i = math.min(ni, end)
+      } else if (!tk.isClose && structural && (tk.name == "ul" || tk.name == "ol")) {
         flush()
-        val (ce, ni) = matchClose(toks, i + 1, tk.name)
-        val lines = renderList(toks, i + 1, math.min(ce, end), tk.name == "ol", 0)
+        val (ce, ni) = matchedEnd(toks, mi, i)
+        val lines = renderList(toks, mi, i + 1, math.min(ce, end),
+          tk.name == "ol", 0, depth + 1)
         if (lines.nonEmpty) blocks += withQuote(lines.mkString("\n"), quote)
-        i = ni
-      } else if (!tk.isClose && tk.name == "pre") {
+        i = math.min(ni, end)
+      } else if (!tk.isClose && structural && tk.name == "pre") {
         flush()
-        val (ce, ni) = matchClose(toks, i + 1, "pre")
+        val (ce, ni) = matchedEnd(toks, mi, i)
         val raw = stripNl(rawText(toks, i + 1, math.min(ce, end)))
         blocks += withQuote("```\n" + raw + "\n```", quote)
-        i = ni
-      } else if (!tk.isClose && tk.name == "table") {
+        i = math.min(ni, end)
+      } else if (!tk.isClose && structural && tk.name == "table") {
         flush()
-        val (ce, ni) = matchClose(toks, i + 1, "table")
+        val (ce, ni) = matchedEnd(toks, mi, i)
         val idx = tableCounter(0)
         tableCounter(0) += 1
-        val (lines, cells) = renderTable(toks, i + 1, math.min(ce, end), idx)
+        val (lines, cells) = renderTable(toks, mi, i + 1, math.min(ce, end),
+          idx, depth + 1)
         tables ++= cells
         if (lines.nonEmpty) blocks += withQuote(lines.mkString("\n"), quote)
-        i = ni
+        i = math.min(ni, end)
       } else if (!tk.isClose && tk.name == "hr") {
         flush()
         blocks += withQuote("---", quote)
         i += 1
       } else if (!tk.isClose && tk.name == "br") { buf.append(' '); i += 1 }
-      else if (!tk.isClose && (tk.name == "a" || InlineWrap.contains(tk.name))) {
+      else if (!tk.isClose && structural &&
+          (tk.name == "a" || InlineWrap.contains(tk.name))) {
         // delegate the whole inline span (open tag included) to
         // renderInline — ONE implementation of link/emphasis rendering
-        val (_, ni) = matchClose(toks, i + 1, tk.name)
+        val (_, ni) = matchedEnd(toks, mi, i)
         val ni2 = math.min(ni, end)
-        buf.append(renderInline(toks, i, ni2))
+        buf.append(renderInline(toks, mi, i, ni2, depth))
         i = ni2
       } else i += 1 // transparent (unknown tag, stray close, tbody, ...)
     }
@@ -368,8 +412,9 @@ object Markdown {
   def convert(html: Array[Byte]): Conversion = {
     if (html == null || html.isEmpty) return Conversion("", 0, Vector.empty)
     val toks = tokenize(new String(html, StandardCharsets.UTF_8))
+    val mi = matchIndex(toks)
     val tables = new ArrayBuffer[Cell]
-    val blocks = renderBlocks(toks, 0, toks.length, 0, tables, Array(0))
+    val blocks = renderBlocks(toks, mi, 0, toks.length, 0, tables, Array(0), 0)
     Conversion(blocks.mkString("\n\n"), blocks.length, tables.toVector)
   }
 }

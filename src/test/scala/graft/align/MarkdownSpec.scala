@@ -122,6 +122,29 @@ class MarkdownSpec extends AnyFunSuite {
     } finally java.util.Locale.setDefault(saved)
   }
 
+  test("adversarial: 200k-tag unclosed-anchor flood completes (O(n) match)") {
+    // a per-open forward scan would be ~10^10 steps here; the one-pass
+    // match index makes it linear
+    val html = "<a>" * 200000 + "x"
+    val t0 = System.nanoTime()
+    val c = md(html)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(c.markdown === "x")
+    assert(sec < 10.0, f"flood took $sec%.1f s — matching is not linear")
+  }
+
+  test("adversarial: deep nesting is capped, never a stack overflow") {
+    // 5000 nested <b>: past MaxNest the opens render transparently
+    val bold = "<b>" * 5000 + "core" + "</b>" * 5000
+    assert(md(bold).markdown.contains("core"))
+    // 5000 nested blockquotes
+    val bq = "<blockquote>" * 5000 + "<p>q</p>" + "</blockquote>" * 5000
+    assert(md(bq).markdown.contains("q"))
+    // 400 nested lists
+    val ul = "<ul><li>i" * 400 + "</li></ul>" * 400
+    assert(md(ul).markdown.contains("i"))
+  }
+
   test("block-level inline delegation matches in-paragraph rendering") {
     // the same <a>/<b> outside any block container must render exactly
     // as inside one (single renderInline implementation)

@@ -770,18 +770,33 @@ def mdx_ws(s):
     return MDX_WS_RE.sub(" ", s).strip(" \t\n\r\f")
 
 
-def mdx_close(toks, start, name):
-    """(index of matching close, index past it) — balanced on same name."""
-    depth, j = 1, start
-    while j < len(toks) and depth:
-        tk = toks[j]
-        if tk[0] != "t" and tk[1] == name:
-            depth += -1 if tk[0] == "c" else 1
-        j += 1
-    return (j - 1, j) if depth == 0 else (len(toks), len(toks))
+MDX_MAX_NEST = 100  # pinned nesting cap — past it structural tags are
+                    # transparent (adversarial crawl bytes would otherwise
+                    # exhaust either engine's stack)
 
 
-def mdx_inline(toks, i, end):
+def mdx_match_index(toks):
+    """One-pass per-name LIFO close matching (mirrors Markdown.matchIndex):
+    idx[i] = index of the close pairing the open at i, or -1."""
+    idx = [-1] * len(toks)
+    stacks = {}
+    for i, tk in enumerate(toks):
+        if tk[0] == "o":
+            stacks.setdefault(tk[1], []).append(i)
+        elif tk[0] == "c":
+            st = stacks.get(tk[1])
+            if st:
+                idx[st.pop()] = i
+    return idx
+
+
+def mdx_close(toks, mi, i):
+    """(contentEnd, nextIndex) for the open token at i, via the index."""
+    m = mi[i]
+    return (m, m + 1) if m >= 0 else (len(toks), len(toks))
+
+
+def mdx_inline(toks, mi, i, end, depth):
     parts = []
     while i < end:
         tk = toks[i]
@@ -791,22 +806,22 @@ def mdx_inline(toks, i, end):
         elif tk[0] == "o" and tk[1] == "br":
             parts.append(" ")
             i += 1
-        elif tk[0] == "o" and tk[1] == "a":
-            ce, ni = mdx_close(toks, i + 1, "a")
-            inner = mdx_ws(mdx_inline(toks, i + 1, min(ce, end)))
+        elif tk[0] == "o" and depth < MDX_MAX_NEST and tk[1] == "a":
+            ce, ni = mdx_close(toks, mi, i)
+            inner = mdx_ws(mdx_inline(toks, mi, i + 1, min(ce, end), depth + 1))
             if inner:
                 if tk[2]:
                     parts.append("[%s](%s) " % (inner, tk[2]))
                 else:
                     parts.append(inner + " ")
-            i = ni
-        elif tk[0] == "o" and tk[1] in MDX_INLINE_WRAP:
+            i = min(ni, end)
+        elif tk[0] == "o" and depth < MDX_MAX_NEST and tk[1] in MDX_INLINE_WRAP:
             w = MDX_INLINE_WRAP[tk[1]]
-            ce, ni = mdx_close(toks, i + 1, tk[1])
-            inner = mdx_ws(mdx_inline(toks, i + 1, min(ce, end)))
+            ce, ni = mdx_close(toks, mi, i)
+            inner = mdx_ws(mdx_inline(toks, mi, i + 1, min(ce, end), depth + 1))
             if inner:
                 parts.append(w + inner + w + " ")
-            i = ni
+            i = min(ni, end)
         else:
             i += 1
     return "".join(parts)
@@ -816,12 +831,12 @@ def mdx_raw(toks, i, end):
     return "".join(tk[1] for tk in toks[i:end] if tk[0] == "t")
 
 
-def mdx_list(toks, i, end, ordered, depth):
+def mdx_list(toks, mi, i, end, ordered, list_depth, depth):
     lines, counter = [], 0
     while i < end:
         tk = toks[i]
-        if tk[0] == "o" and tk[1] == "li":
-            ce, ni = mdx_close(toks, i + 1, "li")
+        if tk[0] == "o" and tk[1] == "li" and depth < MDX_MAX_NEST:
+            ce, ni = mdx_close(toks, mi, i)
             ce2 = min(ce, end)
             nest = -1
             for j in range(i + 1, ce2):
@@ -831,33 +846,36 @@ def mdx_list(toks, i, end, ordered, depth):
             item_end = nest if nest >= 0 else ce2
             counter += 1
             marker = "%d. " % counter if ordered else "- "
-            lines.append("  " * depth + marker +
-                         mdx_ws(mdx_inline(toks, i + 1, item_end)))
-            if nest >= 0:
-                nce, _ = mdx_close(toks, nest + 1, toks[nest][1])
-                lines.extend(mdx_list(toks, nest + 1, min(nce, ce2),
-                                      toks[nest][1] == "ol", depth + 1))
-            i = ni
+            lines.append("  " * list_depth + marker +
+                         mdx_ws(mdx_inline(toks, mi, i + 1, item_end,
+                                           depth + 1)))
+            if nest >= 0 and depth + 1 < MDX_MAX_NEST:
+                nce, _ = mdx_close(toks, mi, nest)
+                lines.extend(mdx_list(toks, mi, nest + 1, min(nce, ce2),
+                                      toks[nest][1] == "ol",
+                                      list_depth + 1, depth + 2))
+            i = min(ni, end)
         else:
             i += 1
     return lines
 
 
-def mdx_table(toks, i, end, table_idx):
+def mdx_table(toks, mi, i, end, table_idx, depth):
     lines, cells, row_idx = [], [], 0
     while i < end:
         tk = toks[i]
-        if tk[0] == "o" and tk[1] == "tr":
-            ce, ni = mdx_close(toks, i + 1, "tr")
+        if tk[0] == "o" and tk[1] == "tr" and depth < MDX_MAX_NEST:
+            ce, ni = mdx_close(toks, mi, i)
             ce2 = min(ce, end)
             j, row = i + 1, []
             while j < ce2:
                 t2 = toks[j]
                 if t2[0] == "o" and t2[1] in ("td", "th"):
-                    cce, cni = mdx_close(toks, j + 1, t2[1])
+                    cce, cni = mdx_close(toks, mi, j)
                     row.append((t2[1] == "th",
-                                mdx_ws(mdx_inline(toks, j + 1, min(cce, ce2)))))
-                    j = cni
+                                mdx_ws(mdx_inline(toks, mi, j + 1,
+                                                  min(cce, ce2), depth + 1))))
+                    j = min(cni, ce2)
                 else:
                     j += 1
             if row:
@@ -868,7 +886,7 @@ def mdx_table(toks, i, end, table_idx):
                 for c, (hdr, txt) in enumerate(row):
                     cells.append((table_idx, row_idx, c, hdr, txt))
                 row_idx += 1
-            i = ni
+            i = min(ni, end)
         else:
             i += 1
     return lines, cells
@@ -880,7 +898,7 @@ def mdx_quote(block, quote):
     return "\n".join("> " * quote + l for l in block.split("\n"))
 
 
-def mdx_blocks(toks, i, end, quote, tables, counter):
+def mdx_blocks(toks, mi, i, end, quote, tables, counter, depth):
     blocks, buf = [], []
 
     def flush():
@@ -889,54 +907,57 @@ def mdx_blocks(toks, i, end, quote, tables, counter):
         if s:
             blocks.append(mdx_quote(s, quote))
 
+    structural = depth < MDX_MAX_NEST
     while i < end:
         tk = toks[i]
         if tk[0] == "t":
             buf.append(tk[1])
             i += 1
-        elif tk[0] == "o" and len(tk[1]) == 2 and tk[1][0] == "h" \
-                and "1" <= tk[1][1] <= "6":
+        elif tk[0] == "o" and structural and len(tk[1]) == 2 \
+                and tk[1][0] == "h" and "1" <= tk[1][1] <= "6":
             flush()
-            ce, ni = mdx_close(toks, i + 1, tk[1])
-            inner = mdx_ws(mdx_inline(toks, i + 1, min(ce, end)))
+            ce, ni = mdx_close(toks, mi, i)
+            inner = mdx_ws(mdx_inline(toks, mi, i + 1, min(ce, end), depth + 1))
             if inner:
                 blocks.append(mdx_quote("#" * int(tk[1][1]) + " " + inner, quote))
-            i = ni
-        elif tk[0] == "o" and tk[1] in MDX_BLOCK_CONTAINERS:
+            i = min(ni, end)
+        elif tk[0] == "o" and structural and tk[1] in MDX_BLOCK_CONTAINERS:
             flush()
-            ce, ni = mdx_close(toks, i + 1, tk[1])
-            blocks.extend(mdx_blocks(toks, i + 1, min(ce, end), quote,
-                                     tables, counter))
-            i = ni
-        elif tk[0] == "o" and tk[1] == "blockquote":
+            ce, ni = mdx_close(toks, mi, i)
+            blocks.extend(mdx_blocks(toks, mi, i + 1, min(ce, end), quote,
+                                     tables, counter, depth + 1))
+            i = min(ni, end)
+        elif tk[0] == "o" and structural and tk[1] == "blockquote":
             flush()
-            ce, ni = mdx_close(toks, i + 1, "blockquote")
-            blocks.extend(mdx_blocks(toks, i + 1, min(ce, end), quote + 1,
-                                     tables, counter))
-            i = ni
-        elif tk[0] == "o" and tk[1] in ("ul", "ol"):
+            ce, ni = mdx_close(toks, mi, i)
+            blocks.extend(mdx_blocks(toks, mi, i + 1, min(ce, end), quote + 1,
+                                     tables, counter, depth + 1))
+            i = min(ni, end)
+        elif tk[0] == "o" and structural and tk[1] in ("ul", "ol"):
             flush()
-            ce, ni = mdx_close(toks, i + 1, tk[1])
-            lines = mdx_list(toks, i + 1, min(ce, end), tk[1] == "ol", 0)
+            ce, ni = mdx_close(toks, mi, i)
+            lines = mdx_list(toks, mi, i + 1, min(ce, end), tk[1] == "ol",
+                             0, depth + 1)
             if lines:
                 blocks.append(mdx_quote("\n".join(lines), quote))
-            i = ni
-        elif tk[0] == "o" and tk[1] == "pre":
+            i = min(ni, end)
+        elif tk[0] == "o" and structural and tk[1] == "pre":
             flush()
-            ce, ni = mdx_close(toks, i + 1, "pre")
+            ce, ni = mdx_close(toks, mi, i)
             raw = mdx_raw(toks, i + 1, min(ce, end)).strip("\n\r")
             blocks.append(mdx_quote("```\n" + raw + "\n```", quote))
-            i = ni
-        elif tk[0] == "o" and tk[1] == "table":
+            i = min(ni, end)
+        elif tk[0] == "o" and structural and tk[1] == "table":
             flush()
-            ce, ni = mdx_close(toks, i + 1, "table")
+            ce, ni = mdx_close(toks, mi, i)
             idx = counter[0]
             counter[0] += 1
-            lines, cells = mdx_table(toks, i + 1, min(ce, end), idx)
+            lines, cells = mdx_table(toks, mi, i + 1, min(ce, end), idx,
+                                     depth + 1)
             tables.extend(cells)
             if lines:
                 blocks.append(mdx_quote("\n".join(lines), quote))
-            i = ni
+            i = min(ni, end)
         elif tk[0] == "o" and tk[1] == "hr":
             flush()
             blocks.append(mdx_quote("---", quote))
@@ -944,12 +965,13 @@ def mdx_blocks(toks, i, end, quote, tables, counter):
         elif tk[0] == "o" and tk[1] == "br":
             buf.append(" ")
             i += 1
-        elif tk[0] == "o" and (tk[1] == "a" or tk[1] in MDX_INLINE_WRAP):
+        elif tk[0] == "o" and structural \
+                and (tk[1] == "a" or tk[1] in MDX_INLINE_WRAP):
             # delegate the whole inline span (open tag included) to
             # mdx_inline — one implementation of link/emphasis rendering
-            _ce, ni = mdx_close(toks, i + 1, tk[1])
+            _ce, ni = mdx_close(toks, mi, i)
             ni2 = min(ni, end)
-            buf.append(mdx_inline(toks, i, ni2))
+            buf.append(mdx_inline(toks, mi, i, ni2, depth))
             i = ni2
         else:
             i += 1
@@ -963,8 +985,9 @@ def mdx_convert(html):
     if not html:
         return "", 0, []
     toks = mdx_tokenize(html)
+    mi = mdx_match_index(toks)
     tables, counter = [], [0]
-    blocks = mdx_blocks(toks, 0, len(toks), 0, tables, counter)
+    blocks = mdx_blocks(toks, mi, 0, len(toks), 0, tables, counter, 0)
     return "\n\n".join(blocks), len(blocks), tables
 
 
