@@ -830,6 +830,13 @@ object SparkEntry {
     "q_harmonic" -> ((s, dir) =>
       graft.ops.Centrality.harmonicExact(linkEdgesFor(s, dir))
         .orderBy(col("url"))),
+
+    // ---- HITS hubs & authorities (completing the PageRank / harmonic /
+    //      HITS ranking trio): exact pinned power iterations — sorted
+    //      folds + correctly-rounded sqrt make the golden bit-exact ----
+    "q_hits" -> ((s, dir) =>
+      graft.ops.Centrality.hitsExact(linkEdgesFor(s, dir), iters = 20)
+        .orderBy(col("url"))),
     "q_harmonic_hll" -> ((s, dir) =>
       graft.ops.Centrality.harmonicHll(linkEdgesFor(s, dir), iters = 10)
         .orderBy(col("url"))),
@@ -2580,6 +2587,7 @@ object SparkEntry {
     "q_link_edges" -> golden("q_link_edges"),
     "q_pagerank" -> golden("q_pagerank"),
     "q_harmonic" -> golden("q_harmonic"),
+    "q_hits" -> golden("q_hits"),
     "q_harmonic_hll" -> golden("q_harmonic_hll"),
     "q_robots" -> golden("q_robots"),
     "q_robots_meta" -> golden("q_robots_meta"),

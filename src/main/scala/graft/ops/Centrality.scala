@@ -184,6 +184,136 @@ object Centrality {
     verts.zip(h)
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) — exact oracle path:
+    * K mutually-recursive power iterations over the collected edge set
+    * with EVERY fold pinned (sorted vertices, sorted in/out neighbor
+    * lists, L2 normalization folded in sorted-vertex order; Math.sqrt is
+    * correctly-rounded IEEE, so the whole run is bit-identical to the
+    * mirror). Same enforced edge cap as pagerank's exactFold; the
+    * distributed form is [[hits]].
+    */
+  def hitsExact(edgesDf: DataFrame, iters: Int = 20): DataFrame = {
+    require(iters >= 1, s"hitsExact: iters must be >= 1, got $iters")
+    val spark = edgesDf.sparkSession
+    import spark.implicits._
+    val ExactModeEdgeCap = 5000000L
+    val simple = edgesDf.select(col("src"), col("dst")).distinct()
+    val bounded = simple.limit((ExactModeEdgeCap + 1).toInt)
+      .as[(String, String)].collect()
+    require(bounded.length <= ExactModeEdgeCap,
+      s"hitsExact is the oracle path: > $ExactModeEdgeCap edges — use hits")
+    localExactHits(bounded, iters).toSeq.toDF("url", "authority", "hub")
+  }
+
+  private[ops] def localExactHits(
+      pairs: Array[(String, String)],
+      iters: Int): Array[(String, Double, Double)] = {
+    val simple = pairs.distinct.sorted
+    val verts = (simple.map(_._1) ++ simple.map(_._2)).distinct.sorted
+    val idx = verts.zipWithIndex.toMap
+    val inN = Array.fill(verts.length)(List.empty[Int])  // u -> v: v's in list
+    val outN = Array.fill(verts.length)(List.empty[Int]) // u -> v: u's out list
+    for (i <- simple.indices.reverse) { // reverse build => sorted lists
+      val (s, d) = simple(i)
+      inN(idx(d)) ::= idx(s)
+      outN(idx(s)) ::= idx(d)
+    }
+    var auth = Array.fill(verts.length)(1.0)
+    var hub = Array.fill(verts.length)(1.0)
+    def normalize(a: Array[Double]): Array[Double] = {
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 } // sorted-vertex fold
+      val n = Math.sqrt(s)
+      if (n == 0.0) a else a.map(_ / n)
+    }
+    var k = 0
+    while (k < iters) {
+      val a2 = new Array[Double](verts.length)
+      var v = 0
+      while (v < verts.length) {
+        var s = 0.0
+        inN(v).foreach(u => s += hub(u)) // sorted-in-neighbor fold
+        a2(v) = s
+        v += 1
+      }
+      auth = normalize(a2)
+      val h2 = new Array[Double](verts.length)
+      v = 0
+      while (v < verts.length) {
+        var s = 0.0
+        outN(v).foreach(w => s += auth(w)) // sorted-out-neighbor fold
+        h2(v) = s
+        v += 1
+      }
+      hub = normalize(h2)
+      k += 1
+    }
+    verts.indices.map(i => (verts(i), auth(i), hub(i))).toArray
+  }
+
+  /** Distributed HITS — the 10^12-edge path, structured like the
+    * pagerank production loop: each half-iteration is one edge ⋈ scores
+    * join + one partial-aggregating sum, the L2 normalizer is a 1-row
+    * agg broadcast back in (one action per round via the eager
+    * checkpoint), rounds lineage-truncated. Float sums shuffle-order
+    * wobble at the ULP level (documented — the exact path is the
+    * oracle).
+    */
+  def hits(edgesDf: DataFrame, iters: Int = 20): DataFrame = {
+    require(iters >= 1, s"hits: iters must be >= 1, got $iters")
+    val spark = edgesDf.sparkSession
+    val simple = CacheRegistry.register(
+      edgesDf.select(col("src"), col("dst")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val vertices = CacheRegistry.register(
+      simple.select(col("src").as("url"))
+        .union(simple.select(col("dst").as("url"))).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    vertices.count()
+
+    var state = vertices.select(col("url"), lit(1.0).as("authority"),
+      lit(1.0).as("hub"))
+    var prevCk: Seq[org.apache.hadoop.fs.Path] = Seq.empty
+    var k = 0
+    while (k < iters) {
+      // authority half: a(v) = sum of hub over in-neighbors, L2-normalized
+      val hubSrc = state.select(col("url").as("__u"), col("hub").as("__h"))
+      val aRaw = vertices.join(
+        simple.join(hubSrc, simple("src") === col("__u"))
+          .groupBy(col("dst")).agg(sum(col("__h")).as("__a"))
+          .withColumnRenamed("dst", "url"),
+        Seq("url"), "left")
+        .select(col("url"), coalesce(col("__a"), lit(0.0)).as("__a"))
+      val aNorm = aRaw.agg(sqrt(sum(col("__a") * col("__a"))).as("__n"))
+      val withA = aRaw.crossJoin(broadcast(aNorm))
+        .select(col("url"),
+          when(col("__n") === 0.0, col("__a"))
+            .otherwise(col("__a") / col("__n")).as("authority"))
+      // hub half: h(v) = sum of authority over out-neighbors, normalized
+      val aDst = withA.select(col("url").as("__w"), col("authority").as("__av"))
+      val hRaw = vertices.join(
+        simple.join(aDst, simple("dst") === col("__w"))
+          .groupBy(col("src")).agg(sum(col("__av")).as("__hh"))
+          .withColumnRenamed("src", "url"),
+        Seq("url"), "left")
+        .select(col("url"), coalesce(col("__hh"), lit(0.0)).as("__hh"))
+      val hNorm = hRaw.agg(sqrt(sum(col("__hh") * col("__hh"))).as("__n2"))
+      val next = withA.join(
+        hRaw.crossJoin(broadcast(hNorm))
+          .select(col("url"),
+            when(col("__n2") === 0.0, col("__hh"))
+              .otherwise(col("__hh") / col("__n2")).as("hub")),
+        Seq("url"))
+      val (truncated, created) = Lineage.truncateTracked(next)
+      Lineage.deleteCheckpointFiles(truncated, prevCk)
+      prevCk = created
+      state = truncated
+      k += 1
+    }
+    state.select(col("url"), col("authority"), col("hub"))
+  }
+
   /** HyperBall harmonic centrality — the production path. Returns
     * (url, harmonic, reach_est): reach_est is the final ball's size
     * estimate (|reachable-to| within `iters`), a useful rank feature on

@@ -93,6 +93,40 @@ class CentralitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("work bound"))
   }
 
+  test("localExactHits: hub/authority split on a bipartite-ish graph") {
+    // hubs h1,h2 point at authorities a1,a2; a1 also gets h2's second vote
+    val h = Centrality.localExactHits(
+      Array(("h1", "a1"), ("h1", "a2"), ("h2", "a1")), iters = 30)
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val (a1a, a1h) = (h("a1")._1, h("a1")._2)
+    val (h1a, h1h) = (h("h1")._1, h("h1")._2)
+    assert(a1a > h("a2")._1) // a1 has more in-links than a2
+    assert(a1h === 0.0)      // pure authority: no out-links
+    assert(h1a === 0.0)      // pure hub: no in-links
+    assert(h1h > h("h2")._2) // h1 points at both authorities
+    // L2 norms are 1
+    val an = h.values.map(v => v._1 * v._1).sum
+    val hn = h.values.map(v => v._2 * v._2).sum
+    assert(math.abs(an - 1.0) < 1e-12 && math.abs(hn - 1.0) < 1e-12)
+  }
+
+  test("distributed hits agrees with the exact path to float wobble") {
+    import spark.implicits._
+    val edges = Seq(
+      ("u1", "u2"), ("u2", "u4"), ("u1", "u3"), ("u3", "u4"),
+      ("u4", "u5"), ("u2", "u5"), ("u6", "u1"), ("u5", "u6"))
+      .toDF("src", "dst")
+    val exact = Centrality.hitsExact(edges, iters = 10).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val dist = Centrality.hits(edges, iters = 10).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(exact.keySet === dist.keySet)
+    for ((u, (ea, eh)) <- exact) {
+      assert(math.abs(dist(u)._1 - ea) < 1e-9, s"$u authority")
+      assert(math.abs(dist(u)._2 - eh) < 1e-9, s"$u hub")
+    }
+  }
+
   test("harmonicHll reach_est approaches component size on a cycle") {
     import spark.implicits._
     val n = 6

@@ -260,6 +260,12 @@ def main():
     write("q_harmonic",
           pa.schema([("url", pa.string()), ("harmonic", pa.float64())]),
           {"url": [x[0] for x in _hc], "harmonic": [x[1] for x in _hc]})
+    _ht = g.lg_hits(_le, iters=20)
+    write("q_hits",
+          pa.schema([("url", pa.string()), ("authority", pa.float64()),
+                     ("hub", pa.float64())]),
+          {"url": [x[0] for x in _ht], "authority": [x[1] for x in _ht],
+           "hub": [x[2] for x in _ht]})
     _hb = g.hc_hyperball(_le, iters=10)
     write("q_harmonic_hll",
           pa.schema([("url", pa.string()), ("harmonic", pa.float64()),

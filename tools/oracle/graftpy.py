@@ -1478,6 +1478,46 @@ def lg_pagerank(edge_rows, iters=20, damping=0.85):
     return [(v, rank[v]) for v in verts]
 
 
+def lg_hits(edge_rows, iters=20):
+    """Exact HITS (mirrors Centrality.localExactHits): pinned sorted
+    folds everywhere; math.sqrt is correctly-rounded IEEE."""
+    simple = sorted({(s, d) for (s, d, _a, _p) in edge_rows})
+    verts = sorted({s for s, _ in simple} | {d for _, d in simple})
+    by_dst = {}
+    by_src = {}
+    for s, d in simple:  # sorted iteration -> sorted neighbor lists
+        by_dst.setdefault(d, []).append(s)
+        by_src.setdefault(s, []).append(d)
+    auth = {v: 1.0 for v in verts}
+    hub = {v: 1.0 for v in verts}
+
+    def normalize(m):
+        s = 0.0
+        for v in verts:  # sorted-vertex fold
+            s += m[v] * m[v]
+        n = math.sqrt(s)
+        if n == 0.0:
+            return m
+        return {v: m[v] / n for v in verts}
+
+    for _ in range(iters):
+        a2 = {}
+        for v in verts:
+            s = 0.0
+            for u in by_dst.get(v, []):
+                s += hub[u]
+            a2[v] = s
+        auth = normalize(a2)
+        h2 = {}
+        for v in verts:
+            s = 0.0
+            for w in by_src.get(v, []):
+                s += auth[w]
+            h2[v] = s
+        hub = normalize(h2)
+    return [(v, auth[v], hub[v]) for v in verts]
+
+
 # ---------------- Centrality (harmonic, exact + HyperBall) -----------------
 # Clean-room mirror of graft/ops/Centrality.scala: pinned md5-head hash,
 # 64-register HLL, portable-ln linear-counting branch, source-sorted BFS.
