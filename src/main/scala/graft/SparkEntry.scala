@@ -534,6 +534,43 @@ object SparkEntry {
     sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
 
+  /** Deterministic script transliteration for the script-mix fixture:
+    * the synthetic corpus is ASCII-only, so every third token (by
+    * (tokenIdx + docId) % 3) of a non-en doc transliterates its ASCII
+    * letters into the lang's script block — zh→Han, es→Cyrillic,
+    * de→Greek (25-letter block), fr→Arabic; en unchanged. Mirrored
+    * token-for-token in graftpy.py `sc_text`.
+    */
+  private[graft] def scriptText(docId: Long, lang: String, text: String): String = {
+    val (base, span) = lang match {
+      case "zh" => (0x4E00, 26)
+      case "es" => (0x0430, 26)
+      case "de" => (0x03B1, 25)
+      case "fr" => (0x0627, 26)
+      case _ => (0, 0)
+    }
+    val t = Option(text).getOrElse("")
+    if (base == 0) return t
+    val toks = t.split(" ")
+    val out = new Array[String](toks.length)
+    var ti = 0
+    while (ti < toks.length) {
+      out(ti) =
+        if ((ti + docId) % 3 == 0) {
+          val sb = new java.lang.StringBuilder(toks(ti).length)
+          toks(ti).foreach { ch =>
+            val lc = if (ch >= 'A' && ch <= 'Z') (ch + 32).toChar else ch
+            if (lc >= 'a' && lc <= 'z')
+              sb.appendCodePoint(base + (lc - 'a') % span)
+            else sb.append(ch)
+          }
+          sb.toString
+        } else toks(ti)
+      ti += 1
+    }
+    out.mkString(" ")
+  }
+
   /** Deterministic STRUCTURED page for the Markdown/table fixtures:
     * headings, inline emphasis/links (with and without href), a nested
     * list on every 3rd doc, a nested blockquote on every 6th, a pre block
@@ -1703,6 +1740,20 @@ object SparkEntry {
     "q_dsir" -> ((s, dir) =>
       graft.ops.Dsir.select(docs(s, dir), col("lang") === "en", k = 100)
         .orderBy(col("doc_id"))),
+
+    // ---- script-mix detection (language-ID's script gate): pinned
+    //      Unicode-range counting over the transliterated fixture;
+    //      map-only per-row kernel ----
+    "q_script_mix" -> ((s, dir) => {
+      import s.implicits._
+      val transformed = docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .filter(col("doc_id").isNotNull)
+        .as[(Long, String, String)]
+        .map { case (id, lang, t) => (id, scriptText(id, lang, t)) }
+        .toDF("doc_id", "text")
+      graft.ops.Scripts.detect(transformed).orderBy(col("doc_id"))
+    }),
 
     // ---- per-shard distribution drift (KL vs corpus over the hashed
     //      feature buckets): the sharded-corpus quality monitor; one
@@ -2979,6 +3030,7 @@ object SparkEntry {
     "q_wordpiece_train" -> golden("q_wordpiece_train"),
     "q_dsir" -> golden("q_dsir"),
     "q_shard_drift" -> golden("q_shard_drift"),
+    "q_script_mix" -> golden("q_script_mix"),
     "q_wordpiece_encode" -> golden("q_wordpiece_encode"),
     "q_unigram_train" -> golden("q_unigram_train"),
     "q_unigram_encode" -> golden("q_unigram_encode"),

@@ -1153,6 +1153,21 @@ def main():
            "score": [x[3] for x in _ds],
            "selected": [x[4] for x in _ds]})
 
+    # ---- q_script_mix (writing-system counts over the transliterated
+    #      fixture; pinned Unicode ranges, integer mixed-flag rule) ----
+    _sc = [g.sc_mix(int(i), g.sc_text(int(i), l, t))
+           for (i, t), l in zip(doc_items, docs.lang.tolist())]
+    write("q_script_mix",
+          pa.schema([("doc_id", pa.int64()), ("n_arabic", pa.int64()),
+                     ("n_cyrillic", pa.int64()), ("n_greek", pa.int64()),
+                     ("n_han", pa.int64()), ("n_latin", pa.int64()),
+                     ("n_letters", pa.int64()),
+                     ("dominant_script", pa.string()),
+                     ("is_mixed", pa.bool_())]),
+          {k: [x[j] for x in _sc] for j, k in enumerate(
+              ["doc_id", "n_arabic", "n_cyrillic", "n_greek", "n_han",
+               "n_latin", "n_letters", "dominant_script", "is_mixed"])})
+
     # ---- q_shard_drift (per-source KL drift over the hashed buckets) ----
     _srcs = docs.source.tolist()
     _dd = g.ds_divergence(

@@ -1478,6 +1478,59 @@ def lg_pagerank(edge_rows, iters=20, damping=0.85):
     return [(v, rank[v]) for v in verts]
 
 
+# ---------------- Scripts (writing-system mix) -----------------------------
+# Clean-room mirror of graft/ops/Scripts.scala + SparkEntry.scriptText.
+
+SC_BASES = {"zh": (0x4E00, 26), "es": (0x0430, 26),
+            "de": (0x03B1, 25), "fr": (0x0627, 26)}
+SC_NAMES = ["arabic", "cyrillic", "greek", "han", "latin"]
+
+
+def sc_text(doc_id, lang, text):
+    if lang not in SC_BASES:
+        return text or ""
+    base, span = SC_BASES[lang]
+    out = []
+    for ti, tok in enumerate((text or "").split(" ")):
+        if (ti + doc_id) % 3 == 0:
+            buf = []
+            for ch in tok:
+                lc = chr(ord(ch) + 32) if "A" <= ch <= "Z" else ch
+                if "a" <= lc <= "z":
+                    buf.append(chr(base + (ord(lc) - ord("a")) % span))
+                else:
+                    buf.append(ch)
+            out.append("".join(buf))
+        else:
+            out.append(tok)
+    return " ".join(out)
+
+
+def sc_mix(doc_id, text):
+    c = [0, 0, 0, 0, 0]  # arabic, cyrillic, greek, han, latin
+    for ch in text or "":
+        cp = ord(ch)
+        if 0x41 <= cp <= 0x5A or 0x61 <= cp <= 0x7A or 0xC0 <= cp <= 0x2AF:
+            c[4] += 1
+        elif 0x370 <= cp <= 0x3FF:
+            c[2] += 1
+        elif 0x400 <= cp <= 0x4FF:
+            c[1] += 1
+        elif 0x600 <= cp <= 0x6FF:
+            c[0] += 1
+        elif 0x3400 <= cp <= 0x4DBF or 0x4E00 <= cp <= 0x9FFF:
+            c[3] += 1
+    dom_i = 0
+    for i in range(1, 5):
+        if c[i] > c[dom_i]:
+            dom_i = i
+    second = max((c[i] for i in range(5) if i != dom_i), default=0)
+    total = sum(c)
+    dom = "none" if total == 0 else SC_NAMES[dom_i]
+    mixed = total > 0 and 5 * second >= c[dom_i]
+    return (doc_id, c[0], c[1], c[2], c[3], c[4], total, dom, mixed)
+
+
 def lg_hits(edge_rows, iters=20):
     """Exact HITS (mirrors Centrality.localExactHits): pinned sorted
     folds everywhere; math.sqrt is correctly-rounded IEEE."""
