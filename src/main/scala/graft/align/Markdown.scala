@@ -237,10 +237,15 @@ object Markdown {
     var counter = 0
     while (i < end) {
       val tk = toks(i)
-      if (tk.name == "li" && !tk.isClose && depth < MaxNest) {
+      // NO depth guard on li itself: item processing is iterative and
+      // renderInline self-caps, so text is never lost at the boundary —
+      // only the nested-list RECURSION below is depth-gated
+      if (tk.name == "li" && !tk.isClose) {
         val (ce, ni) = matchedEnd(toks, mi, i)
         val ce2 = math.min(ce, end)
-        // split the item at its first nested list (if any)
+        // split the item at its first nested list (if any); past the
+        // cap the nested region renders INLINE instead (ul/li are
+        // transparent to renderInline) so its text is never lost
         var j = i + 1
         var nest = -1
         while (j < ce2 && nest < 0) {
@@ -248,12 +253,13 @@ object Markdown {
           if (!t2.isClose && (t2.name == "ul" || t2.name == "ol")) nest = j
           j += 1
         }
-        val itemEnd = if (nest >= 0) nest else ce2
+        val renderNested = nest >= 0 && depth + 1 < MaxNest
+        val itemEnd = if (renderNested) nest else ce2
         counter += 1
         val marker = if (ordered) s"$counter. " else "- "
         val txt = wsNorm(renderInline(toks, mi, i + 1, itemEnd, depth + 1))
         lines += ("  " * listDepth) + marker + txt
-        if (nest >= 0 && depth + 1 < MaxNest) {
+        if (renderNested) {
           val nTag = toks(nest)
           val (nce, _) = matchedEnd(toks, mi, nest)
           lines ++= renderList(toks, mi, nest + 1, math.min(nce, ce2),
@@ -284,7 +290,9 @@ object Markdown {
     var rowIdx = 0
     while (i < end) {
       val tk = toks(i)
-      if (tk.name == "tr" && !tk.isClose && depth < MaxNest) {
+      // NO depth guard on tr/cells: row processing is iterative and the
+      // cell's renderInline self-caps — text is never lost at the boundary
+      if (tk.name == "tr" && !tk.isClose) {
         val (ce, ni) = matchedEnd(toks, mi, i)
         val ce2 = math.min(ce, end)
         var j = i + 1

@@ -118,6 +118,41 @@ object Centrality {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** The exact-path edge cap (shared by every oracle kernel here). */
+  private val ExactModeEdgeCap = 5000000L
+
+  /** ONE bounded collect of the deduplicated edge set — the shared
+    * oracle-path gate (loud failure past the cap).
+    */
+  private def collectBoundedEdges(
+      edgesDf: DataFrame, opName: String): Array[(String, String)] = {
+    val spark = edgesDf.sparkSession
+    import spark.implicits._
+    val bounded = edgesDf.select(col("src"), col("dst")).distinct()
+      .limit((ExactModeEdgeCap + 1).toInt).as[(String, String)].collect()
+    require(bounded.length <= ExactModeEdgeCap,
+      s"$opName is the oracle path (local kernel over collected edges): " +
+        s"> $ExactModeEdgeCap edges — use the distributed form")
+    bounded
+  }
+
+  /** Sorted vertex array + sorted adjacency lists over the deduped,
+    * sorted edge set (reverse build ⇒ each list ends up sorted) — the
+    * pinned-fold substrate both exact kernels share.
+    */
+  private def sortedAdjacency(pairs: Array[(String, String)], reverse: Boolean)
+      : (Array[String], Array[List[Int]]) = {
+    val simple = pairs.distinct.sorted
+    val verts = (simple.map(_._1) ++ simple.map(_._2)).distinct.sorted
+    val idx = verts.zipWithIndex.toMap
+    val adj = Array.fill(verts.length)(List.empty[Int])
+    for (i <- simple.indices.reverse) {
+      val (s, d) = simple(i)
+      if (reverse) adj(idx(d)) ::= idx(s) else adj(idx(s)) ::= idx(d)
+    }
+    (verts, adj)
+  }
+
   /** Exact harmonic centrality — oracle path. Unlike pagerank's exactFold
     * (whose kernel is linear per iteration), all-sources BFS is Θ(V·E),
     * so the edge cap alone bounds memory but NOT runtime: a 1M-edge /
@@ -130,12 +165,7 @@ object Centrality {
       maxBfsWork: Long = 2000000000L): DataFrame = {
     val spark = edgesDf.sparkSession
     import spark.implicits._
-    val ExactModeEdgeCap = 5000000L
-    val simple = edgesDf.select(col("src"), col("dst")).distinct()
-    val bounded = simple.limit((ExactModeEdgeCap + 1).toInt).as[(String, String)].collect()
-    require(bounded.length <= ExactModeEdgeCap,
-      s"harmonicExact is the oracle path (local BFS over collected edges): " +
-        s"> $ExactModeEdgeCap edges — use harmonicHll")
+    val bounded = collectBoundedEdges(edgesDf, "harmonicExact")
     val nV = (bounded.iterator.map(_._1) ++ bounded.iterator.map(_._2))
       .toSet.size.toLong
     require(nV * bounded.length <= maxBfsWork,
@@ -150,15 +180,7 @@ object Centrality {
     */
   private[ops] def localExactHarmonic(
       pairs: Array[(String, String)]): Array[(String, Double)] = {
-    val simple = pairs.distinct.sorted
-    val verts = (simple.map(_._1) ++ simple.map(_._2)).distinct.sorted
-    val idx = verts.zipWithIndex.toMap
-    val adj = Array.fill(verts.length)(List.empty[Int])
-    // build in reverse-sorted edge order so each list ends up sorted
-    for (i <- simple.indices.reverse) {
-      val (s, d) = simple(i)
-      adj(idx(s)) ::= idx(d)
-    }
+    val (verts, adj) = sortedAdjacency(pairs, reverse = false)
     val h = new Array[Double](verts.length)
     val dist = new Array[Int](verts.length)
     var src = 0
@@ -196,28 +218,15 @@ object Centrality {
     require(iters >= 1, s"hitsExact: iters must be >= 1, got $iters")
     val spark = edgesDf.sparkSession
     import spark.implicits._
-    val ExactModeEdgeCap = 5000000L
-    val simple = edgesDf.select(col("src"), col("dst")).distinct()
-    val bounded = simple.limit((ExactModeEdgeCap + 1).toInt)
-      .as[(String, String)].collect()
-    require(bounded.length <= ExactModeEdgeCap,
-      s"hitsExact is the oracle path: > $ExactModeEdgeCap edges — use hits")
-    localExactHits(bounded, iters).toSeq.toDF("url", "authority", "hub")
+    localExactHits(collectBoundedEdges(edgesDf, "hitsExact"), iters)
+      .toSeq.toDF("url", "authority", "hub")
   }
 
   private[ops] def localExactHits(
       pairs: Array[(String, String)],
       iters: Int): Array[(String, Double, Double)] = {
-    val simple = pairs.distinct.sorted
-    val verts = (simple.map(_._1) ++ simple.map(_._2)).distinct.sorted
-    val idx = verts.zipWithIndex.toMap
-    val inN = Array.fill(verts.length)(List.empty[Int])  // u -> v: v's in list
-    val outN = Array.fill(verts.length)(List.empty[Int]) // u -> v: u's out list
-    for (i <- simple.indices.reverse) { // reverse build => sorted lists
-      val (s, d) = simple(i)
-      inN(idx(d)) ::= idx(s)
-      outN(idx(s)) ::= idx(d)
-    }
+    val (verts, inN) = sortedAdjacency(pairs, reverse = true)
+    val (_, outN) = sortedAdjacency(pairs, reverse = false)
     var auth = Array.fill(verts.length)(1.0)
     var hub = Array.fill(verts.length)(1.0)
     def normalize(a: Array[Double]): Array[Double] = {

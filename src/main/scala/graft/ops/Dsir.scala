@@ -156,26 +156,33 @@ object Dsir {
     val bucketsUdf = udf((t: String) => featureBuckets(t))
     val m = NumBuckets
 
+    // a NULL shard key is a real shard (pinned as the empty string —
+    // matching the mirror; an unguarded null would NPE the driver sort)
+    val shardKey = coalesce(shardCol.cast("string"), lit("")).as("__shard")
     // cap probe FIRST, on the column-pruned distinct-shard projection —
     // a limit on the grouped counts could silently truncate a shard's
-    // buckets and pass the cap check with incomplete data
-    val probe = documents.select(shardCol.cast("string").as("__shard"))
+    // buckets and pass the cap check with incomplete data. The probe is
+    // also the OUTPUT row set: a shard whose documents yield zero
+    // feature buckets still gets a row (explode drops it from counts,
+    // but a feature-less shard is exactly what the monitor must flag)
+    val probe = documents.select(shardKey)
       .distinct().limit(maxShards + 1).as[String].collect()
     require(probe.length <= maxShards,
       s"divergence: > $maxShards shards — raise maxShards or pre-bucket " +
         "the shard key")
-    val counts = documents.filter(col("doc_id").isNotNull)
-      .select(shardCol.cast("string").as("__shard"),
-        explode(bucketsUdf(col("text"))).as("bucket"))
+    val counts = documents
+      .select(shardKey, explode(bucketsUdf(col("text"))).as("bucket"))
       .groupBy(col("__shard"), col("bucket"))
       .agg(count(lit(1)).as("c"))
       .as[(String, Int, Long)].collect() // ≤ maxShards·m rows (probed)
 
-    val perShard = counts.groupBy(_._1).map { case (s, rows) =>
+    val grouped = counts.groupBy(_._1)
+    val perShard = probe.sorted.toSeq.map { s =>
       val arr = new Array[Long](m)
+      val rows = grouped.getOrElse(s, Array.empty[(String, Int, Long)])
       rows.foreach { case (_, b, c) => arr(b) = c }
       (s, arr, rows.iterator.map(_._3).sum)
-    }.toSeq.sortBy(_._1)
+    }
     val corpus = new Array[Long](m)
     perShard.foreach { case (_, arr, _) =>
       var b = 0

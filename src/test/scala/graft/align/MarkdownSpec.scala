@@ -145,6 +145,20 @@ class MarkdownSpec extends AnyFunSuite {
     assert(md(ul).markdown.contains("i"))
   }
 
+  test("text is never lost at the MaxNest boundary") {
+    // a ul entered just below the cap: li items still render
+    val nearCap = "<div>" * 99 + "<ul><li>item text</li></ul>" + "</div>" * 99
+    assert(md(nearCap).markdown.contains("item text"))
+    // well past the cap: list/table tags go transparent, text survives
+    val pastCap = "<div>" * 150 +
+      "<table><tr><td>cell text</td></tr></table>" + "</div>" * 150
+    assert(md(pastCap).markdown.contains("cell text"))
+    // nested lists beyond the recursion gate render their text inline
+    val deepList = "<ul><li>t" * 150 + "</li></ul>" * 150
+    val out = md(deepList).markdown
+    assert(out.count(_ == 't') === 150, "every item's text must survive")
+  }
+
   test("block-level inline delegation matches in-paragraph rendering") {
     // the same <a>/<b> outside any block container must render exactly
     // as inside one (single renderInline implementation)

@@ -835,7 +835,9 @@ def mdx_list(toks, mi, i, end, ordered, list_depth, depth):
     lines, counter = [], 0
     while i < end:
         tk = toks[i]
-        if tk[0] == "o" and tk[1] == "li" and depth < MDX_MAX_NEST:
+        # no depth guard on li itself (iterative; inline self-caps) —
+        # only the nested-list recursion below is gated
+        if tk[0] == "o" and tk[1] == "li":
             ce, ni = mdx_close(toks, mi, i)
             ce2 = min(ce, end)
             nest = -1
@@ -843,13 +845,15 @@ def mdx_list(toks, mi, i, end, ordered, list_depth, depth):
                 if toks[j][0] == "o" and toks[j][1] in ("ul", "ol"):
                     nest = j
                     break
-            item_end = nest if nest >= 0 else ce2
+            # past the cap the nested region renders inline (text kept)
+            render_nested = nest >= 0 and depth + 1 < MDX_MAX_NEST
+            item_end = nest if render_nested else ce2
             counter += 1
             marker = "%d. " % counter if ordered else "- "
             lines.append("  " * list_depth + marker +
                          mdx_ws(mdx_inline(toks, mi, i + 1, item_end,
                                            depth + 1)))
-            if nest >= 0 and depth + 1 < MDX_MAX_NEST:
+            if render_nested:
                 nce, _ = mdx_close(toks, mi, nest)
                 lines.extend(mdx_list(toks, mi, nest + 1, min(nce, ce2),
                                       toks[nest][1] == "ol",
@@ -864,7 +868,8 @@ def mdx_table(toks, mi, i, end, table_idx, depth):
     lines, cells, row_idx = [], [], 0
     while i < end:
         tk = toks[i]
-        if tk[0] == "o" and tk[1] == "tr" and depth < MDX_MAX_NEST:
+        # no depth guard on tr/cells (iterative; inline self-caps)
+        if tk[0] == "o" and tk[1] == "tr":
             ce, ni = mdx_close(toks, mi, i)
             ce2 = min(ce, end)
             j, row = i + 1, []
@@ -1727,10 +1732,12 @@ def ds_select(rows, k):
 
 def ds_divergence(rows):
     """rows: [(doc_id, text, shard)] -> [(shard, n_features, kl_nats)]
-    sorted by shard. Mirrors Dsir.divergence (pinned smoothing + folds)."""
+    sorted by shard. Mirrors Dsir.divergence (pinned smoothing + folds;
+    a None shard key is pinned to ""; a shard with zero feature buckets
+    still gets a row)."""
     per = {}
     for _id, text, shard in rows:
-        arr = per.setdefault(shard, [0] * DS_M)
+        arr = per.setdefault(shard if shard is not None else "", [0] * DS_M)
         for b in ds_buckets(text):
             arr[b] += 1
     shards = sorted(per)
