@@ -406,6 +406,20 @@ object SparkEntry {
           r.getDouble(3))).toDF("rank", "piece", "count", "lnprob")
       })
 
+  // q_harmonic and q_crawl_budget share one exact-harmonic computation
+  // (the bounded local BFS is deterministic — same cache discipline as
+  // trainedMergesFor)
+  private val harmonicCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Double)]]()
+  private def harmonicFor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    harmonicCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + dir, _ =>
+        graft.ops.Centrality.harmonicExact(linkEdgesFor(s, dir))
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq)
+      .toDF("url", "harmonic")
+  }
+
   private val wordpieceModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.ops.Wordpiece.Model]()
   private def trainedWordpieceFor(s: SparkSession, dir: String): graft.ops.Wordpiece.Model =
@@ -865,8 +879,7 @@ object SparkEntry {
     //      production loop, whose pinned sketch makes even the
     //      APPROXIMATE path hard-golden-checkable ----
     "q_harmonic" -> ((s, dir) =>
-      graft.ops.Centrality.harmonicExact(linkEdgesFor(s, dir))
-        .orderBy(col("url"))),
+      harmonicFor(s, dir).orderBy(col("url"))),
 
     // ---- HITS hubs & authorities (completing the PageRank / harmonic /
     //      HITS ranking trio): exact pinned power iterations — sorted
@@ -1186,8 +1199,7 @@ object SparkEntry {
     //      allocation over the harmonic ranking (floor-division, never a
     //      double->long cast — Spark truncates, DuckDB rounds) ----
     "q_crawl_budget" -> ((s, dir) =>
-      graft.ops.Recrawl.budget(
-        graft.ops.Centrality.harmonicExact(linkEdgesFor(s, dir)), k = 1000L)
+      graft.ops.Recrawl.budget(harmonicFor(s, dir), k = 1000L)
         .orderBy(col("rank"))),
 
     // ---- WAT metadata sidecar (completes the WARC/WET/WAT triple):
