@@ -887,6 +887,18 @@ object SparkEntry {
     "q_hits" -> ((s, dir) =>
       graft.ops.Centrality.hitsExact(linkEdgesFor(s, dir), iters = 20)
         .orderBy(col("url"))),
+
+    // ---- label-propagation communities (spam-cluster grouping): the
+    //      exact path AND the distributed round loop are bit-identical
+    //      (integer counts + binary-order tie-break), so the distributed
+    //      row shares the exact golden VERBATIM — local/distributed
+    //      anti-drift, the same rule as the stream/batch pairs ----
+    "q_lpa" -> ((s, dir) =>
+      graft.ops.Centrality.lpaExact(linkEdgesFor(s, dir), iters = 10)
+        .orderBy(col("url"))),
+    "q_lpa_dist" -> ((s, dir) =>
+      graft.ops.Centrality.lpa(linkEdgesFor(s, dir), iters = 10)
+        .orderBy(col("url"))),
     "q_harmonic_hll" -> ((s, dir) =>
       graft.ops.Centrality.harmonicHll(linkEdgesFor(s, dir), iters = 10)
         .orderBy(col("url"))),
@@ -2651,6 +2663,9 @@ object SparkEntry {
     "q_pagerank" -> golden("q_pagerank"),
     "q_harmonic" -> golden("q_harmonic"),
     "q_hits" -> golden("q_hits"),
+    "q_lpa" -> golden("q_lpa"),
+    // SHARED golden (anti-drift): distributed loop == exact local path
+    "q_lpa_dist" -> golden("q_lpa"),
     "q_harmonic_hll" -> golden("q_harmonic_hll"),
     "q_robots" -> golden("q_robots"),
     "q_robots_meta" -> golden("q_robots_meta"),

@@ -323,6 +323,123 @@ object Centrality {
     state.select(col("url"), col("authority"), col("hub"))
   }
 
+  /** Label-propagation community detection (Raghavan et al. 2007) over
+    * the UNDIRECTED view of the link graph — the spam-cluster /
+    * link-farm grouping step. Pinned spec (mirrored as `lg_lpa`):
+    *   - neighbors of v = the other endpoint of every deduped directed
+    *     edge touching v (reciprocal edges count twice — deliberate:
+    *     mutual links bind tighter).
+    *   - labels start as the vertex's own url; K SYNCHRONOUS rounds;
+    *     new label = the most frequent neighbor label, ties to the
+    *     SMALLEST label in code-point order.
+    * Every quantity is an integer or a string, so the exact local path
+    * and the distributed loop are BIT-identical — q_lpa_dist shares
+    * q_lpa's golden verbatim (the same anti-drift rule as the
+    * stream/batch pairs).
+    */
+  def lpaExact(edgesDf: DataFrame, iters: Int = 10): DataFrame = {
+    require(iters >= 1, s"lpaExact: iters must be >= 1, got $iters")
+    val spark = edgesDf.sparkSession
+    import spark.implicits._
+    localExactLpa(collectBoundedEdges(edgesDf, "lpaExact"), iters)
+      .toSeq.toDF("url", "community")
+  }
+
+  /** Code-point order — Spark's UTF8String binary order, NOT Ordering
+    * [String]'s UTF-16 code-unit order (they differ for supplementary
+    * planes vs U+E000..U+FFFF).
+    */
+  private def cpLess(a: String, b: String): Boolean = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    a.length - i < b.length - j
+  }
+
+  private[ops] def localExactLpa(
+      pairs: Array[(String, String)], iters: Int): Array[(String, String)] = {
+    val simple = pairs.distinct.sorted
+    val verts = (simple.map(_._1) ++ simple.map(_._2)).distinct.sorted
+    val idx = verts.zipWithIndex.toMap
+    val nbrs = Array.fill(verts.length)(List.empty[Int])
+    for (i <- simple.indices.reverse) { // both directions, one per edge
+      val (s, d) = simple(i)
+      nbrs(idx(s)) ::= idx(d)
+      nbrs(idx(d)) ::= idx(s)
+    }
+    var labels: Array[String] = verts.clone()
+    var k = 0
+    while (k < iters) {
+      val next = new Array[String](verts.length)
+      var v = 0
+      while (v < verts.length) {
+        if (nbrs(v).isEmpty) next(v) = labels(v)
+        else {
+          val counts = scala.collection.mutable.HashMap.empty[String, Long]
+          nbrs(v).foreach(u =>
+            counts.updateWith(labels(u))(c => Some(c.getOrElse(0L) + 1L)))
+          var best: String = null
+          var bestC = 0L
+          counts.foreach { case (l, c) =>
+            if (c > bestC || (c == bestC && cpLess(l, best))) { best = l; bestC = c }
+          }
+          next(v) = best
+        }
+        v += 1
+      }
+      labels = next
+      k += 1
+    }
+    verts.zip(labels)
+  }
+
+  /** Distributed LPA — one undirected-neighbor join + one two-level
+    * aggregation per round (label counts, then a min(struct) argmax
+    * whose struct order IS the pinned tie-break), lineage-truncated.
+    * Integer counts + binary string order make it bit-identical to
+    * [[lpaExact]].
+    */
+  def lpa(edgesDf: DataFrame, iters: Int = 10): DataFrame = {
+    require(iters >= 1, s"lpa: iters must be >= 1, got $iters")
+    val spark = edgesDf.sparkSession
+    val simple = CacheRegistry.register(
+      edgesDf.select(col("src"), col("dst")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val und = CacheRegistry.register(
+      simple.select(col("src").as("v"), col("dst").as("nbr"))
+        .unionAll(simple.select(col("dst").as("v"), col("src").as("nbr")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    und.count()
+
+    var state = und.select(col("v").as("url")).distinct()
+      .select(col("url"), col("url").as("community"))
+    var prevCk: Seq[org.apache.hadoop.fs.Path] = Seq.empty
+    var k = 0
+    while (k < iters) {
+      val nbrLabels = und.join(
+        state.select(col("url").as("__n"), col("community").as("__l")),
+        und("nbr") === col("__n"))
+        .select(col("v"), col("__l"))
+      val next = nbrLabels
+        .groupBy(col("v"), col("__l")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("v"))
+        .agg(min(struct((-col("__c")).as("nc"), col("__l").as("l"))).as("__m"))
+        .select(col("v").as("url"), col("__m.l").as("community"))
+      val (truncated, created) = Lineage.truncateTracked(next)
+      Lineage.deleteCheckpointFiles(truncated, prevCk)
+      prevCk = created
+      state = truncated
+      k += 1
+    }
+    state
+  }
+
   /** HyperBall harmonic centrality — the production path. Returns
     * (url, harmonic, reach_est): reach_est is the final ball's size
     * estimate (|reachable-to| within `iters`), a useful rank feature on

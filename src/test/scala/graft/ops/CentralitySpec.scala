@@ -127,6 +127,23 @@ class CentralitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("lpa: two triangles joined by one bridge form two communities") {
+    import spark.implicits._
+    val edges = Seq(
+      ("a1", "a2"), ("a2", "a3"), ("a3", "a1"), // triangle A
+      ("b1", "b2"), ("b2", "b3"), ("b3", "b1"), // triangle B
+      ("a1", "b1")) // bridge
+      .toDF("src", "dst")
+    val exact = Centrality.lpaExact(edges, iters = 10).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Set(exact("a1"), exact("a2"), exact("a3")).size === 1)
+    assert(Set(exact("b1"), exact("b2"), exact("b3")).size === 1)
+    // the distributed loop is BIT-identical (shared-golden contract)
+    val dist = Centrality.lpa(edges, iters = 10).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dist === exact)
+  }
+
   test("harmonicHll reach_est approaches component size on a cycle") {
     import spark.implicits._
     val n = 6

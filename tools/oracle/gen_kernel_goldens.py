@@ -260,6 +260,10 @@ def main():
     write("q_harmonic",
           pa.schema([("url", pa.string()), ("harmonic", pa.float64())]),
           {"url": [x[0] for x in _hc], "harmonic": [x[1] for x in _hc]})
+    _lpa = g.lg_lpa(_le, iters=10)
+    write("q_lpa",
+          pa.schema([("url", pa.string()), ("community", pa.string())]),
+          {"url": [x[0] for x in _lpa], "community": [x[1] for x in _lpa]})
     _ht = g.lg_hits(_le, iters=20)
     write("q_hits",
           pa.schema([("url", pa.string()), ("authority", pa.float64()),

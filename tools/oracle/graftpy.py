@@ -1536,6 +1536,37 @@ def sc_mix(doc_id, text):
     return (doc_id, c[0], c[1], c[2], c[3], c[4], total, dom, mixed)
 
 
+def lg_lpa(edge_rows, iters=10):
+    """Exact synchronous label propagation (mirrors
+    Centrality.localExactLpa): undirected neighbor lists (one entry per
+    deduped directed edge), most-frequent neighbor label, ties to the
+    smallest label in code-point order."""
+    simple = sorted({(s, d) for (s, d, _a, _p) in edge_rows})
+    verts = sorted({s for s, _ in simple} | {d for _, d in simple})
+    nbrs = {v: [] for v in verts}
+    for s, d in simple:
+        nbrs[s].append(d)
+        nbrs[d].append(s)
+    labels = {v: v for v in verts}
+    for _ in range(iters):
+        nxt = {}
+        for v in verts:
+            if not nbrs[v]:
+                nxt[v] = labels[v]
+                continue
+            counts = {}
+            for u in nbrs[v]:
+                l = labels[u]
+                counts[l] = counts.get(l, 0) + 1
+            best, best_c = None, 0
+            for l, c in counts.items():
+                if c > best_c or (c == best_c and l < best):
+                    best, best_c = l, c
+            nxt[v] = best
+        labels = nxt
+    return [(v, labels[v]) for v in verts]
+
+
 def lg_hits(edge_rows, iters=20):
     """Exact HITS (mirrors Centrality.localExactHits): pinned sorted
     folds everywhere; math.sqrt is correctly-rounded IEEE."""
