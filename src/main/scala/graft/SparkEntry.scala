@@ -893,6 +893,31 @@ object SparkEntry {
     //      (integer counts + binary-order tie-break), so the distributed
     //      row shares the exact golden VERBATIM — local/distributed
     //      anti-drift, the same rule as the stream/batch pairs ----
+    // ---- graph-shape stats (the webgraph profile a crawl QA pass
+    //      reads): five 1-row aggregates crossJoined — every frame is a
+    //      single row, so the crossJoins are broadcast no-ops; the edge
+    //      table is vertex-scale, not corpus-scale ----
+    "q_graph_stats" -> ((s, dir) => {
+      val e = linkEdgesFor(s, dir).select(col("src"), col("dst")).distinct()
+      val base = e.agg(count(lit(1)).as("n_edges"),
+        sum(when(col("src") === col("dst"), 1L).otherwise(0L)).as("n_self_loops"))
+      val nodes = e.select(col("src").as("url"))
+        .union(e.select(col("dst").as("url"))).distinct()
+        .agg(count(lit(1)).as("n_nodes"))
+      val outd = e.groupBy(col("src")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c")).as("max_out_degree"))
+      val ind = e.groupBy(col("dst")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c")).as("max_in_degree"))
+      val recip = e.join(
+        e.select(col("dst").as("__s"), col("src").as("__d")),
+        e("src") === col("__s") && e("dst") === col("__d"))
+        .filter(col("src") =!= col("dst"))
+        .agg(count(lit(1)).as("n_reciprocal"))
+      base.crossJoin(nodes).crossJoin(recip).crossJoin(outd).crossJoin(ind)
+        .select(col("n_edges"), col("n_nodes"), col("n_self_loops"),
+          col("n_reciprocal"), col("max_out_degree"), col("max_in_degree"))
+    }),
+
     "q_lpa" -> ((s, dir) =>
       graft.ops.Centrality.lpaExact(linkEdgesFor(s, dir), iters = 10)
         .orderBy(col("url"))),
@@ -2664,6 +2689,24 @@ object SparkEntry {
     "q_harmonic" -> golden("q_harmonic"),
     "q_hits" -> golden("q_hits"),
     "q_lpa" -> golden("q_lpa"),
+    // graph-shape stats recomputed by DuckDB over the committed edge
+    // golden — independent engine, same deduped edge set
+    "q_graph_stats" ->
+      (s"""WITH e AS (SELECT DISTINCT src, dst
+         |  FROM '$GoldenDir/q_link_edges.parquet')
+         |SELECT
+         |  (SELECT count(*) FROM e) AS n_edges,
+         |  (SELECT count(*) FROM
+         |     (SELECT src AS u FROM e UNION SELECT dst FROM e)) AS n_nodes,
+         |  (SELECT count(*) FROM e WHERE src = dst) AS n_self_loops,
+         |  (SELECT count(*) FROM e a JOIN e b
+         |     ON a.src = b.dst AND a.dst = b.src
+         |     WHERE a.src <> a.dst) AS n_reciprocal,
+         |  (SELECT max(c) FROM
+         |     (SELECT count(*) AS c FROM e GROUP BY src)) AS max_out_degree,
+         |  (SELECT max(c) FROM
+         |     (SELECT count(*) AS c FROM e GROUP BY dst)) AS max_in_degree"""
+        .stripMargin),
     // SHARED golden (anti-drift): distributed loop == exact local path
     "q_lpa_dist" -> golden("q_lpa"),
     "q_harmonic_hll" -> golden("q_harmonic_hll"),
