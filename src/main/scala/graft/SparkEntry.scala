@@ -413,6 +413,10 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Double)]]()
   private def harmonicFor(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // unlike the model-scale tokenizer caches, this payload is
+    // vertex-scale — bound the ENTRY COUNT so a long-lived JVM cycling
+    // apps/dirs can't accumulate tables forever
+    if (harmonicCache.size > 4) harmonicCache.clear()
     harmonicCache.computeIfAbsent(
       s.sparkContext.applicationId + "|" + dir, _ =>
         graft.ops.Centrality.harmonicExact(linkEdgesFor(s, dir))
@@ -898,9 +902,14 @@ object SparkEntry {
     //      single row, so the crossJoins are broadcast no-ops; the edge
     //      table is vertex-scale, not corpus-scale ----
     "q_graph_stats" -> ((s, dir) => {
-      val e = linkEdgesFor(s, dir).select(col("src"), col("dst")).distinct()
+      // persisted: SIX aggregate subtrees consume the deduped edge frame
+      val e = graft.ops.CacheRegistry.register(
+        linkEdgesFor(s, dir).select(col("src"), col("dst")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // count(when(...)), not sum(when(...)): sum over zero rows is NULL
+      // where the DuckDB oracle's count(*) is 0 — empty-graph parity
       val base = e.agg(count(lit(1)).as("n_edges"),
-        sum(when(col("src") === col("dst"), 1L).otherwise(0L)).as("n_self_loops"))
+        count(when(col("src") === col("dst"), 1)).as("n_self_loops"))
       val nodes = e.select(col("src").as("url"))
         .union(e.select(col("dst").as("url"))).distinct()
         .agg(count(lit(1)).as("n_nodes"))
@@ -908,14 +917,16 @@ object SparkEntry {
         .agg(max(col("c")).as("max_out_degree"))
       val ind = e.groupBy(col("dst")).agg(count(lit(1)).as("c"))
         .agg(max(col("c")).as("max_in_degree"))
+      // ORDERED pairs by definition: one mutual link contributes 2 —
+      // the column name says edges, not pairs
       val recip = e.join(
         e.select(col("dst").as("__s"), col("src").as("__d")),
         e("src") === col("__s") && e("dst") === col("__d"))
         .filter(col("src") =!= col("dst"))
-        .agg(count(lit(1)).as("n_reciprocal"))
+        .agg(count(lit(1)).as("n_reciprocal_edges"))
       base.crossJoin(nodes).crossJoin(recip).crossJoin(outd).crossJoin(ind)
         .select(col("n_edges"), col("n_nodes"), col("n_self_loops"),
-          col("n_reciprocal"), col("max_out_degree"), col("max_in_degree"))
+          col("n_reciprocal_edges"), col("max_out_degree"), col("max_in_degree"))
     }),
 
     "q_lpa" -> ((s, dir) =>
@@ -2701,7 +2712,7 @@ object SparkEntry {
          |  (SELECT count(*) FROM e WHERE src = dst) AS n_self_loops,
          |  (SELECT count(*) FROM e a JOIN e b
          |     ON a.src = b.dst AND a.dst = b.src
-         |     WHERE a.src <> a.dst) AS n_reciprocal,
+         |     WHERE a.src <> a.dst) AS n_reciprocal_edges,
          |  (SELECT max(c) FROM
          |     (SELECT count(*) AS c FROM e GROUP BY src)) AS max_out_degree,
          |  (SELECT max(c) FROM

@@ -136,19 +136,26 @@ object Centrality {
     bounded
   }
 
-  /** Sorted vertex array + sorted adjacency lists over the deduped,
-    * sorted edge set (reverse build ⇒ each list ends up sorted) — the
-    * pinned-fold substrate both exact kernels share.
+  /** Sorted vertex array + adjacency lists over the deduped, sorted edge
+    * set (reverse build ⇒ forward/reverse lists end up sorted) — the
+    * pinned-fold substrate every exact kernel here shares. `undirected`
+    * adds BOTH endpoints per edge (reciprocal edges then contribute
+    * twice — the LPA multiplicity rule).
     */
-  private def sortedAdjacency(pairs: Array[(String, String)], reverse: Boolean)
-      : (Array[String], Array[List[Int]]) = {
+  private def sortedAdjacency(
+      pairs: Array[(String, String)], reverse: Boolean,
+      undirected: Boolean = false): (Array[String], Array[List[Int]]) = {
     val simple = pairs.distinct.sorted
     val verts = (simple.map(_._1) ++ simple.map(_._2)).distinct.sorted
     val idx = verts.zipWithIndex.toMap
     val adj = Array.fill(verts.length)(List.empty[Int])
     for (i <- simple.indices.reverse) {
       val (s, d) = simple(i)
-      if (reverse) adj(idx(d)) ::= idx(s) else adj(idx(s)) ::= idx(d)
+      if (undirected) {
+        adj(idx(s)) ::= idx(d)
+        adj(idx(d)) ::= idx(s)
+      } else if (reverse) adj(idx(d)) ::= idx(s)
+      else adj(idx(s)) ::= idx(d)
     }
     (verts, adj)
   }
@@ -364,15 +371,7 @@ object Centrality {
 
   private[ops] def localExactLpa(
       pairs: Array[(String, String)], iters: Int): Array[(String, String)] = {
-    val simple = pairs.distinct.sorted
-    val verts = (simple.map(_._1) ++ simple.map(_._2)).distinct.sorted
-    val idx = verts.zipWithIndex.toMap
-    val nbrs = Array.fill(verts.length)(List.empty[Int])
-    for (i <- simple.indices.reverse) { // both directions, one per edge
-      val (s, d) = simple(i)
-      nbrs(idx(s)) ::= idx(d)
-      nbrs(idx(d)) ::= idx(s)
-    }
+    val (verts, nbrs) = sortedAdjacency(pairs, reverse = false, undirected = true)
     var labels: Array[String] = verts.clone()
     var k = 0
     while (k < iters) {
