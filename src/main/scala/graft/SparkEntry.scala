@@ -929,6 +929,17 @@ object SparkEntry {
           col("n_reciprocal_edges"), col("max_out_degree"), col("max_in_degree"))
     }),
 
+    // ---- weakly-connected components (host islands / dead zones):
+    //      union-find oracle path; the distributed min-label loop runs
+    //      to a certified fixpoint and is bit-identical (min over binary
+    //      string order is order-insensitive) — shared golden ----
+    "q_components" -> ((s, dir) =>
+      graft.ops.Centrality.componentsExact(linkEdgesFor(s, dir))
+        .orderBy(col("url"))),
+    "q_components_dist" -> ((s, dir) =>
+      graft.ops.Centrality.components(linkEdgesFor(s, dir))
+        .orderBy(col("url"))),
+
     "q_lpa" -> ((s, dir) =>
       graft.ops.Centrality.lpaExact(linkEdgesFor(s, dir), iters = 10)
         .orderBy(col("url"))),
@@ -2720,6 +2731,9 @@ object SparkEntry {
         .stripMargin),
     // SHARED golden (anti-drift): distributed loop == exact local path
     "q_lpa_dist" -> golden("q_lpa"),
+    "q_components" -> golden("q_components"),
+    // SHARED golden: min-label fixpoint == union-find
+    "q_components_dist" -> golden("q_components"),
     "q_harmonic_hll" -> golden("q_harmonic_hll"),
     "q_robots" -> golden("q_robots"),
     "q_robots_meta" -> golden("q_robots_meta"),

@@ -398,6 +398,104 @@ object Centrality {
     verts.zip(labels)
   }
 
+  /** Weakly-connected components — the classic webgraph partition (host
+    * islands, dead zones, dedup-cluster resolution's graph twin).
+    * Component id = the MIN member url in code-point order. Exact path =
+    * local union-find over the bounded edge collect; distributed path =
+    * min-label propagation to FIXPOINT (min over binary string order is
+    * order-insensitive, so the distributed result is BIT-identical to
+    * the exact path — q_components_dist shares q_components' golden,
+    * the same local/distributed anti-drift rule as LPA's).
+    */
+  def componentsExact(edgesDf: DataFrame): DataFrame = {
+    val spark = edgesDf.sparkSession
+    import spark.implicits._
+    localExactComponents(collectBoundedEdges(edgesDf, "componentsExact"))
+      .toSeq.toDF("url", "component")
+  }
+
+  private[ops] def localExactComponents(
+      pairs: Array[(String, String)]): Array[(String, String)] = {
+    val (verts, adj) = sortedAdjacency(pairs, reverse = false, undirected = true)
+    val parent = Array.tabulate(verts.length)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    var v = 0
+    while (v < verts.length) {
+      adj(v).foreach { u =>
+        val (rv, ru) = (find(v), find(u))
+        if (rv != ru) parent(math.max(rv, ru)) = math.min(rv, ru)
+      }
+      v += 1
+    }
+    // canonical = min member url in CODE-POINT order (the distributed
+    // min's UTF8-binary order, not JVM string order)
+    val canon = new Array[String](verts.length)
+    v = 0
+    while (v < verts.length) {
+      val r = find(v)
+      if (canon(r) == null || cpLess(verts(v), canon(r))) canon(r) = verts(v)
+      v += 1
+    }
+    verts.indices.map(i => (verts(i), canon(find(i)))).toArray
+  }
+
+  /** Distributed min-label propagation to fixpoint (the string-keyed
+    * sibling of Dedup.nearDupClusters' long-keyed loop): per round one
+    * undirected join + one min group-by, lineage-truncated; convergence
+    * is certified by an explicit changed-row count (the label-sum
+    * certificate needs numeric labels). Fails LOUDLY past maxIters —
+    * a shared-golden row needs the true fixpoint, not a refinement.
+    */
+  def components(edgesDf: DataFrame, maxIters: Int = 50): DataFrame = {
+    require(maxIters >= 1, s"components: maxIters must be >= 1")
+    val spark = edgesDf.sparkSession
+    val simple = CacheRegistry.register(
+      edgesDf.select(col("src"), col("dst")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val und = CacheRegistry.register(
+      simple.select(col("src").as("v"), col("dst").as("nbr"))
+        .unionAll(simple.select(col("dst").as("v"), col("src").as("nbr")))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    und.count()
+
+    var (labels, labelFiles) = Lineage.truncateTracked(
+      und.select(col("v").as("url")).distinct()
+        .select(col("url"), col("url").as("component")))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val superseded = labels
+      val supersededFiles = labelFiles
+      val (next, nextFiles) = Lineage.truncateTracked(
+        und.join(labels.select(col("url").as("__n"), col("component").as("__l")),
+            und("nbr") === col("__n"))
+          .select(col("v").as("url"), col("__l").as("component"))
+          .unionAll(labels)
+          .groupBy(col("url"))
+          .agg(min(col("component")).as("component")))
+      val changed = next.join(
+        superseded.select(col("url"), col("component").as("__prev")), Seq("url"))
+        .filter(col("component") =!= col("__prev")).count()
+      superseded.unpersist()
+      Lineage.deleteCheckpointFiles(superseded, supersededFiles)
+      labels = next
+      labelFiles = nextFiles
+      converged = changed == 0L
+      iter += 1
+    }
+    require(converged,
+      s"components: no fixpoint within $maxIters rounds (graph diameter " +
+        "exceeds the cap) — raise maxIters")
+    labels
+  }
+
   /** Distributed LPA — one undirected-neighbor join + one two-level
     * aggregation per round (label counts, then a min(struct) argmax
     * whose struct order IS the pinned tie-break), lineage-truncated.

@@ -144,6 +144,24 @@ class CentralitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dist === exact)
   }
 
+  test("components: two islands resolve; distributed == exact") {
+    import spark.implicits._
+    val edges = Seq(
+      ("a2", "a1"), ("a3", "a2"),           // chain island A
+      ("b1", "b2"), ("b3", "b2"),           // star island B
+      ("c1", "c1"))                         // self-loop singleton
+      .toDF("src", "dst")
+    val exact = Centrality.componentsExact(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(exact === Map(
+      "a1" -> "a1", "a2" -> "a1", "a3" -> "a1",
+      "b1" -> "b1", "b2" -> "b1", "b3" -> "b1",
+      "c1" -> "c1"))
+    val dist = Centrality.components(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dist === exact)
+  }
+
   test("harmonicHll reach_est approaches component size on a cycle") {
     import spark.implicits._
     val n = 6

@@ -260,6 +260,10 @@ def main():
     write("q_harmonic",
           pa.schema([("url", pa.string()), ("harmonic", pa.float64())]),
           {"url": [x[0] for x in _hc], "harmonic": [x[1] for x in _hc]})
+    _cc = g.lg_components(_le)
+    write("q_components",
+          pa.schema([("url", pa.string()), ("component", pa.string())]),
+          {"url": [x[0] for x in _cc], "component": [x[1] for x in _cc]})
     _lpa = g.lg_lpa(_le, iters=10)
     write("q_lpa",
           pa.schema([("url", pa.string()), ("community", pa.string())]),

@@ -1536,6 +1536,35 @@ def sc_mix(doc_id, text):
     return (doc_id, c[0], c[1], c[2], c[3], c[4], total, dom, mixed)
 
 
+def lg_components(edge_rows):
+    """Weakly-connected components (mirrors
+    Centrality.localExactComponents): union-find over the undirected
+    view; component id = min member url (python str < = code-point)."""
+    simple = sorted({(s, d) for (s, d, _a, _p) in edge_rows})
+    verts = sorted({s for s, _ in simple} | {d for _, d in simple})
+    parent = {v: v for v in verts}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for s, d in simple:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            lo, hi = (rs, rd) if rs < rd else (rd, rs)
+            parent[hi] = lo
+    canon = {}
+    for v in verts:
+        r = find(v)
+        if r not in canon or v < canon[r]:
+            canon[r] = v
+    return [(v, canon[find(v)]) for v in verts]
+
+
 def lg_lpa(edge_rows, iters=10):
     """Exact synchronous label propagation (mirrors
     Centrality.localExactLpa): undirected neighbor lists (one entry per
