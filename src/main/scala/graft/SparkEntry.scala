@@ -940,6 +940,18 @@ object SparkEntry {
       graft.ops.Centrality.components(linkEdgesFor(s, dir))
         .orderBy(col("url"))),
 
+    // ---- the DISCRIMINATING components row: the full link fixture is
+    //      ONE blob (an over-merging bug would pass it), so a pinned
+    //      md5-mask subsample fragments it into ~150 islands of varied
+    //      size — partition-splitting/merging bugs cannot hide ----
+    "q_components_multi" -> ((s, dir) => {
+      val keep = udf((src: String, dst: String) =>
+        (graft.ops.Centrality.hash64(src + "|" + dst) & 3L) == 0L)
+      graft.ops.Centrality.componentsExact(
+        linkEdgesFor(s, dir).filter(keep(col("src"), col("dst"))))
+        .orderBy(col("url"))
+    }),
+
     "q_lpa" -> ((s, dir) =>
       graft.ops.Centrality.lpaExact(linkEdgesFor(s, dir), iters = 10)
         .orderBy(col("url"))),
@@ -2734,6 +2746,7 @@ object SparkEntry {
     "q_components" -> golden("q_components"),
     // SHARED golden: min-label fixpoint == union-find
     "q_components_dist" -> golden("q_components"),
+    "q_components_multi" -> golden("q_components_multi"),
     "q_harmonic_hll" -> golden("q_harmonic_hll"),
     "q_robots" -> golden("q_robots"),
     "q_robots_meta" -> golden("q_robots_meta"),

@@ -50,7 +50,7 @@ object Centrality {
   /** First 8 bytes of md5(utf8) big-endian — the same digest family the
     * shard/sampling layers replay; mirrored as `hc_hash64`.
     */
-  private[ops] def hash64(s: String): Long = {
+  private[graft] def hash64(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(StandardCharsets.UTF_8))
     var h = 0L
@@ -445,41 +445,63 @@ object Centrality {
     verts.indices.map(i => (verts(i), canon(find(i)))).toArray
   }
 
-  /** Distributed min-label propagation to fixpoint (the string-keyed
-    * sibling of Dedup.nearDupClusters' long-keyed loop): per round one
-    * undirected join + one min group-by, lineage-truncated; convergence
-    * is certified by an explicit changed-row count (the label-sum
-    * certificate needs numeric labels). Fails LOUDLY past maxIters —
-    * a shared-golden row needs the true fixpoint, not a refinement.
+  /** The persisted undirected-neighbor view both vertex-label loops
+    * ([[lpa]], [[components]]) iterate over.
     */
-  def components(edgesDf: DataFrame, maxIters: Int = 50): DataFrame = {
-    require(maxIters >= 1, s"components: maxIters must be >= 1")
-    val spark = edgesDf.sparkSession
+  private def undirectedView(edgesDf: DataFrame): DataFrame = {
     val simple = CacheRegistry.register(
       edgesDf.select(col("src"), col("dst")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val und = CacheRegistry.register(
       simple.select(col("src").as("v"), col("dst").as("nbr"))
         .unionAll(simple.select(col("dst").as("v"), col("src").as("nbr")))
-        .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     und.count()
+    und
+  }
+
+  /** Distributed min-label propagation to fixpoint (the string-keyed
+    * sibling of Dedup.nearDupClusters' long-keyed loop), accelerated by
+    * POINTER JUMPING: each round takes the neighbor-min and then the
+    * label-of-its-label, so labels reach the component min in
+    * O(log diameter) rounds, not O(diameter) — a 2^50-hop chain fits
+    * the default cap. Min over binary string order is order-insensitive,
+    * so the fixpoint is bit-identical to [[componentsExact]];
+    * convergence is certified by an explicit changed-row count (the
+    * label-sum certificate needs numeric labels). Fails LOUDLY past
+    * maxIters — a shared-golden row needs the true fixpoint, not a
+    * refinement.
+    */
+  def components(edgesDf: DataFrame, maxIters: Int = 50): DataFrame = {
+    require(maxIters >= 1, s"components: maxIters must be >= 1")
+    val und = undirectedView(edgesDf)
+    // distinct here (not in the view): lpa counts multiplicity, WCC
+    // must not
+    val vertices = und.select(col("v").as("url")).distinct()
 
     var (labels, labelFiles) = Lineage.truncateTracked(
-      und.select(col("v").as("url")).distinct()
-        .select(col("url"), col("url").as("component")))
+      vertices.select(col("url"), col("url").as("component")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
       val superseded = labels
       val supersededFiles = labelFiles
+      // neighbor-min half: component' = min(own, neighbors' labels)
+      val nbrMin = und.join(
+          labels.select(col("url").as("__n"), col("component").as("__l")),
+          und("nbr") === col("__n"))
+        .select(col("v").as("url"), col("__l").as("component"))
+        .unionAll(labels)
+        .groupBy(col("url"))
+        .agg(min(col("component")).as("component"))
+      // pointer-jumping half: component'' = component'(component') —
+      // always ≤ component' (labels only shrink), collapses chains
+      // exponentially
       val (next, nextFiles) = Lineage.truncateTracked(
-        und.join(labels.select(col("url").as("__n"), col("component").as("__l")),
-            und("nbr") === col("__n"))
-          .select(col("v").as("url"), col("__l").as("component"))
-          .unionAll(labels)
-          .groupBy(col("url"))
-          .agg(min(col("component")).as("component")))
+        nbrMin.join(
+          nbrMin.select(col("url").as("__cu"), col("component").as("__cc")),
+          nbrMin("component") === col("__cu"))
+          .select(col("url"), col("__cc").as("component")))
       val changed = next.join(
         superseded.select(col("url"), col("component").as("__prev")), Seq("url"))
         .filter(col("component") =!= col("__prev")).count()
@@ -491,8 +513,8 @@ object Centrality {
       iter += 1
     }
     require(converged,
-      s"components: no fixpoint within $maxIters rounds (graph diameter " +
-        "exceeds the cap) — raise maxIters")
+      s"components: no fixpoint within $maxIters pointer-jumping rounds — " +
+        "raise maxIters")
     labels
   }
 
@@ -504,37 +526,43 @@ object Centrality {
     */
   def lpa(edgesDf: DataFrame, iters: Int = 10): DataFrame = {
     require(iters >= 1, s"lpa: iters must be >= 1, got $iters")
-    val spark = edgesDf.sparkSession
-    val simple = CacheRegistry.register(
-      edgesDf.select(col("src"), col("dst")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val und = CacheRegistry.register(
-      simple.select(col("src").as("v"), col("dst").as("nbr"))
-        .unionAll(simple.select(col("dst").as("v"), col("src").as("nbr")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    und.count()
-
+    val und = undirectedView(edgesDf)
     var state = und.select(col("v").as("url")).distinct()
       .select(col("url"), col("url").as("community"))
     var prevCk: Seq[org.apache.hadoop.fs.Path] = Seq.empty
     var k = 0
     while (k < iters) {
-      val nbrLabels = und.join(
-        state.select(col("url").as("__n"), col("community").as("__l")),
-        und("nbr") === col("__n"))
-        .select(col("v"), col("__l"))
-      val next = nbrLabels
-        .groupBy(col("v"), col("__l")).agg(count(lit(1)).as("__c"))
-        .groupBy(col("v"))
-        .agg(min(struct((-col("__c")).as("nc"), col("__l").as("l"))).as("__m"))
-        .select(col("v").as("url"), col("__m.l").as("community"))
-      val (truncated, created) = Lineage.truncateTracked(next)
+      val (truncated, created) = Lineage.truncateTracked(lpaRound(und, state))
       Lineage.deleteCheckpointFiles(truncated, prevCk)
       prevCk = created
       state = truncated
       k += 1
     }
     state
+  }
+
+  /** One LPA round's pre-truncation frame — shared by the loop and by
+    * PlanDump (the checkpointed loop state would otherwise dump as a
+    * bare LogicalRDD scan, hiding the round's join/agg shape).
+    */
+  private[graft] def lpaRound(und: DataFrame, state: DataFrame): DataFrame =
+    und.join(
+        state.select(col("url").as("__n"), col("community").as("__l")),
+        und("nbr") === col("__n"))
+      .select(col("v"), col("__l"))
+      .groupBy(col("v"), col("__l")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("v"))
+      .agg(min(struct((-col("__c")).as("nc"), col("__l").as("l"))).as("__m"))
+      .select(col("v").as("url"), col("__m.l").as("community"))
+
+  /** The first LPA round's plan over the given edges — PlanDump's
+    * plan-shape evidence entry point.
+    */
+  private[graft] def lpaRoundPlan(edgesDf: DataFrame): DataFrame = {
+    val und = undirectedView(edgesDf)
+    val state = und.select(col("v").as("url")).distinct()
+      .select(col("url"), col("url").as("community"))
+    lpaRound(und, state)
   }
 
   /** HyperBall harmonic centrality — the production path. Returns

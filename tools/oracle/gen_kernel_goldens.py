@@ -264,6 +264,13 @@ def main():
     write("q_components",
           pa.schema([("url", pa.string()), ("component", pa.string())]),
           {"url": [x[0] for x in _cc], "component": [x[1] for x in _cc]})
+    # the discriminating row: md5-mask subsample -> ~150 islands
+    _ccm = g.lg_components(
+        [(s, d, a, p) for (s, d, a, p) in _le
+         if (g.hc_hash64(s + "|" + d) & 3) == 0])
+    write("q_components_multi",
+          pa.schema([("url", pa.string()), ("component", pa.string())]),
+          {"url": [x[0] for x in _ccm], "component": [x[1] for x in _ccm]})
     _lpa = g.lg_lpa(_le, iters=10)
     write("q_lpa",
           pa.schema([("url", pa.string()), ("community", pa.string())]),
