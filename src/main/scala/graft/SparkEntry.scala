@@ -589,6 +589,57 @@ object SparkEntry {
     out.mkString(" ")
   }
 
+  /** Deterministic feed document for the RSS/Atom fixture: even docs are
+    * RSS 2.0 (text links, guid/pubDate), odd docs Atom (href-attribute
+    * links incl. a single-quoted one, id/updated); every 3rd doc plants
+    * a link-less entry (skipped), every doc a partial entry (nullable
+    * columns bind), every 7th an unterminated block (damage stop).
+    * Entities in titles bind the decode. Mirrored in graftpy `fd_xml_for`.
+    */
+  private[graft] def feedXml(docId: Long, text: String): String = {
+    val toks = Option(text).getOrElse("").split(" ").filter(_.nonEmpty)
+    def tk(i: Int): String = if (toks.isEmpty) "lorem" else toks((i % toks.length).toInt)
+    val sb = new java.lang.StringBuilder
+    if (docId % 2 == 0) {
+      sb.append("<?xml version=\"1.0\"?><rss version=\"2.0\"><channel>")
+        .append("<title>Feed ").append(docId).append("</title>")
+      sb.append("<item><title>").append(tk(0)).append(" &amp; ").append(tk(1))
+        .append("</title><link>https://ex.org/").append(docId)
+        .append("/0</link><guid>g").append(docId)
+        .append("-0</guid><pubDate>Mon, 0").append(docId % 7)
+        .append(" Jan 2026</pubDate></item>")
+      sb.append("<item><title>").append(tk(2)).append(" &#x2014; ").append(tk(3))
+        .append("</title><link> https://ex.org/").append(docId)
+        .append("/1 </link></item>")
+      if (docId % 3 == 0)
+        sb.append("<item><title>no link item</title></item>")
+      sb.append("<item><link>https://ex.org/").append(docId)
+        .append("/2</link></item>")
+      if (docId % 7 == 0)
+        sb.append("<item><title>unterminated")
+      sb.append("</channel></rss>")
+    } else {
+      sb.append("<?xml version=\"1.0\"?><feed xmlns=\"http://www.w3.org/2005/Atom\">")
+        .append("<title>Feed ").append(docId).append("</title>")
+      sb.append("<entry><title>").append(tk(0)).append(" &amp; ").append(tk(1))
+        .append("</title><link href=\"https://ex.org/").append(docId)
+        .append("/a\"/><id>tag:").append(docId)
+        .append(":a</id><updated>2026-01-0").append(docId % 9 + 1)
+        .append("</updated></entry>")
+      sb.append("<entry><title>").append(tk(2))
+        .append("</title><link rel=\"alternate\" href='https://ex.org/")
+        .append(docId).append("/b'/></entry>")
+      if (docId % 3 == 0)
+        sb.append("<entry><title>no link</title></entry>")
+      sb.append("<entry><link href=\"https://ex.org/").append(docId)
+        .append("/c\"/></entry>")
+      if (docId % 7 == 0)
+        sb.append("<entry><title>unterminated")
+      sb.append("</feed>")
+    }
+    sb.toString
+  }
+
   /** Deterministic STRUCTURED page for the Markdown/table fixtures:
     * headings, inline emphasis/links (with and without href), a nested
     * list on every 3rd doc, a nested blockquote on every 6th, a pre block
@@ -1823,6 +1874,20 @@ object SparkEntry {
     "q_dsir" -> ((s, dir) =>
       graft.ops.Dsir.select(docs(s, dir), col("lang") === "en", k = 100)
         .orderBy(col("doc_id"))),
+
+    // ---- RSS/Atom feed parsing (the freshness-side ingest XML next to
+    //      sitemaps): map-only total parser over the feed fixture ----
+    "q_feeds" -> ((s, dir) => {
+      import s.implicits._
+      val feeds = docs(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id").isNotNull)
+        .as[(Long, String)]
+        .map { case (id, t) =>
+          (s"https://feeds.example.org/f$id.xml", feedXml(id, t))
+        }
+        .toDF("feed_url", "feed_xml")
+      graft.ops.Feeds.parse(feeds).orderBy(col("feed_url"), col("seq"))
+    }),
 
     // ---- script-mix detection (language-ID's script gate): pinned
     //      Unicode-range counting over the transliterated fixture;
@@ -3139,6 +3204,7 @@ object SparkEntry {
     "q_dsir" -> golden("q_dsir"),
     "q_shard_drift" -> golden("q_shard_drift"),
     "q_script_mix" -> golden("q_script_mix"),
+    "q_feeds" -> golden("q_feeds"),
     "q_wordpiece_encode" -> golden("q_wordpiece_encode"),
     "q_unigram_train" -> golden("q_unigram_train"),
     "q_unigram_encode" -> golden("q_unigram_encode"),

@@ -74,7 +74,7 @@ object Sitemaps {
     sb.toString
   }
 
-  @inline private def asciiTrim(s: String): String = {
+  @inline private[ops] def asciiTrim(s: String): String = {
     var a = 0
     var b = s.length
     while (a < b && s.charAt(a) <= ' ') a += 1
@@ -85,7 +85,7 @@ object Sitemaps {
   /** First `<tag>text</tag>` inside `block`, trimmed + entity-decoded;
     * null when absent or unterminated.
     */
-  private def tagText(block: String, tag: String): String = {
+  private[ops] def tagText(block: String, tag: String): String = {
     val open = "<" + tag + ">"
     val at = block.indexOf(open)
     if (at < 0) return null

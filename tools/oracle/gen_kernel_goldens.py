@@ -1168,6 +1168,22 @@ def main():
            "score": [x[3] for x in _ds],
            "selected": [x[4] for x in _ds]})
 
+    # ---- q_feeds (RSS/Atom entry extraction over the feed fixture) ----
+    _fd_rows = []
+    for i, t in doc_items:
+        kind, es = g.fd_parse(g.fd_xml_for(int(i), t))
+        u = "https://feeds.example.org/f%d.xml" % i
+        for (seq, title, link, eid, pub) in es:
+            _fd_rows.append((u, kind, seq, title, link, eid, pub))
+    write("q_feeds",
+          pa.schema([("feed_url", pa.string()), ("kind", pa.string()),
+                     ("seq", pa.int32()), ("title", pa.string()),
+                     ("link", pa.string()), ("entry_id", pa.string()),
+                     ("published", pa.string())]),
+          {k: [x[j] for x in _fd_rows] for j, k in enumerate(
+              ["feed_url", "kind", "seq", "title", "link", "entry_id",
+               "published"])})
+
     # ---- q_script_mix (writing-system counts over the transliterated
     #      fixture; pinned Unicode ranges, integer mixed-flag rule) ----
     _sc = [g.sc_mix(int(i), g.sc_text(int(i), l, t))

@@ -2934,6 +2934,100 @@ def _sm_tag_text(block, tag):
     return sm_decode_entities(_sm_ascii_trim(block[start:end]))
 
 
+FD_HREF_RE = re.compile(r"\bhref[ \t\n\r\f]*=[ \t\n\r\f]*(\"([^\"]*)\"|'([^']*)')")
+
+
+def fd_xml_for(doc_id, text):
+    """Mirror of SparkEntry.feedXml — the RSS/Atom fixture."""
+    toks = [w for w in (text or "").split(" ") if w]
+
+    def tk(i):
+        return toks[i % len(toks)] if toks else "lorem"
+
+    p = []
+    if doc_id % 2 == 0:
+        p.append('<?xml version="1.0"?><rss version="2.0"><channel>'
+                 "<title>Feed %d</title>" % doc_id)
+        p.append("<item><title>%s &amp; %s</title><link>https://ex.org/%d"
+                 "/0</link><guid>g%d-0</guid><pubDate>Mon, 0%d Jan 2026"
+                 "</pubDate></item>"
+                 % (tk(0), tk(1), doc_id, doc_id, doc_id % 7))
+        p.append("<item><title>%s &#x2014; %s</title><link> "
+                 "https://ex.org/%d/1 </link></item>"
+                 % (tk(2), tk(3), doc_id))
+        if doc_id % 3 == 0:
+            p.append("<item><title>no link item</title></item>")
+        p.append("<item><link>https://ex.org/%d/2</link></item>" % doc_id)
+        if doc_id % 7 == 0:
+            p.append("<item><title>unterminated")
+        p.append("</channel></rss>")
+    else:
+        p.append('<?xml version="1.0"?>'
+                 '<feed xmlns="http://www.w3.org/2005/Atom">'
+                 "<title>Feed %d</title>" % doc_id)
+        p.append('<entry><title>%s &amp; %s</title><link href="https://'
+                 'ex.org/%d/a"/><id>tag:%d:a</id><updated>2026-01-0%d'
+                 "</updated></entry>"
+                 % (tk(0), tk(1), doc_id, doc_id, doc_id % 9 + 1))
+        p.append("<entry><title>%s</title><link rel=\"alternate\" "
+                 "href='https://ex.org/%d/b'/></entry>" % (tk(2), doc_id))
+        if doc_id % 3 == 0:
+            p.append("<entry><title>no link</title></entry>")
+        p.append('<entry><link href="https://ex.org/%d/c"/></entry>' % doc_id)
+        if doc_id % 7 == 0:
+            p.append("<entry><title>unterminated")
+        p.append("</feed>")
+    return "".join(p)
+
+
+def fd_atom_href(block):
+    at = block.find("<link")
+    if at < 0:
+        return None
+    gt = block.find(">", at)
+    tag = block[at:] if gt < 0 else block[at:gt]
+    m = FD_HREF_RE.search(tag)
+    if not m:
+        return None
+    v = m.group(2) if m.group(2) is not None else m.group(3)
+    return sm_decode_entities(_sm_ascii_trim(v))
+
+
+def fd_parse(xml):
+    """-> (kind, [(seq, title, link, entry_id, published)]); clean-room
+    mirror of Feeds.parseFeed."""
+    if xml is None:
+        return "", []
+    i_rss = xml.find("<rss")
+    i_atom = xml.find("<feed")
+    if i_rss < 0 and i_atom < 0:
+        return "", []
+    kind = "rss" if (i_atom < 0 or (0 <= i_rss < i_atom)) else "atom"
+    tag = "item" if kind == "rss" else "entry"
+    open_, close = "<" + tag + ">", "</" + tag + ">"
+    out = []
+    pos = xml.find(open_)
+    seq = 0
+    while pos >= 0:
+        start = pos + len(open_)
+        end = xml.find(close, start)
+        if end < 0:
+            break
+        block = xml[start:end]
+        link = (_sm_tag_text(block, "link") if kind == "rss"
+                else fd_atom_href(block))
+        if link:
+            out.append((seq,
+                        _sm_tag_text(block, "title"),
+                        link,
+                        _sm_tag_text(block, "guid" if kind == "rss" else "id"),
+                        _sm_tag_text(block,
+                                     "pubDate" if kind == "rss" else "updated")))
+            seq += 1
+        pos = xml.find(open_, end + len(close))
+    return kind, out
+
+
 def sm_parse(xml):
     """-> (kind, [(seq, loc, lastmod, changefreq, priority)]); clean-room
     mirror of Sitemaps.parseSitemap."""
