@@ -606,7 +606,9 @@ object SparkEntry {
       sb.append("<item><title>").append(tk(0)).append(" &amp; ").append(tk(1))
         .append("</title><link>https://ex.org/").append(docId)
         .append("/0</link><guid>g").append(docId)
-        .append("-0</guid><pubDate>Mon, 0").append(docId % 7)
+        // floorMod: Scala % yields negative remainders where Python %
+        // does not — embedded DIGITS must agree even for negative ids
+        .append("-0</guid><pubDate>Mon, 0").append(java.lang.Math.floorMod(docId, 7L))
         .append(" Jan 2026</pubDate></item>")
       sb.append("<item><title>").append(tk(2)).append(" &#x2014; ").append(tk(3))
         .append("</title><link> https://ex.org/").append(docId)
@@ -624,7 +626,8 @@ object SparkEntry {
       sb.append("<entry><title>").append(tk(0)).append(" &amp; ").append(tk(1))
         .append("</title><link href=\"https://ex.org/").append(docId)
         .append("/a\"/><id>tag:").append(docId)
-        .append(":a</id><updated>2026-01-0").append(docId % 9 + 1)
+        .append(":a</id><updated>2026-01-0")
+        .append(java.lang.Math.floorMod(docId, 9L) + 1)
         .append("</updated></entry>")
       sb.append("<entry><title>").append(tk(2))
         .append("</title><link rel=\"alternate\" href='https://ex.org/")

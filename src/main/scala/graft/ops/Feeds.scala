@@ -58,33 +58,19 @@ object Feeds {
       else "atom"
     if (kind.isEmpty) return ("", IndexedSeq.empty)
     val blockTag = if (kind == "rss") "item" else "entry"
-    val open = "<" + blockTag + ">"
-    val close = "</" + blockTag + ">"
-    val out = IndexedSeq.newBuilder[FeedEntry]
-    var pos = xml.indexOf(open)
-    var seq = 0
-    while (pos >= 0) {
-      val bodyStart = pos + open.length
-      val end = xml.indexOf(close, bodyStart)
-      if (end < 0) pos = -1 // unterminated block: damage, stop
-      else {
-        val block = xml.substring(bodyStart, end)
-        val link =
-          if (kind == "rss") Sitemaps.tagText(block, "link")
-          else atomLinkHref(block)
-        if (link != null && link.nonEmpty) {
-          out += FeedEntry(
-            seq,
-            Sitemaps.tagText(block, "title"),
-            link,
-            Sitemaps.tagText(block, if (kind == "rss") "guid" else "id"),
-            Sitemaps.tagText(block, if (kind == "rss") "pubDate" else "updated"))
-          seq += 1
-        }
-        pos = xml.indexOf(open, end + close.length)
-      }
+    val entries = Sitemaps.scanBlocks(xml, blockTag) { (seq, block) =>
+      val link =
+        if (kind == "rss") Sitemaps.tagText(block, "link")
+        else atomLinkHref(block)
+      if (link == null || link.isEmpty) None
+      else Some(FeedEntry(
+        seq,
+        Sitemaps.tagText(block, "title"),
+        link,
+        Sitemaps.tagText(block, if (kind == "rss") "guid" else "id"),
+        Sitemaps.tagText(block, if (kind == "rss") "pubDate" else "updated")))
     }
-    (kind, out.result())
+    (kind, entries)
   }
 
   /** Feed table (feed_url, feed_xml) → one row per entry:

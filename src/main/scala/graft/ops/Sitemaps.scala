@@ -95,6 +95,34 @@ object Sitemaps {
     decodeEntities(asciiTrim(block.substring(start, end)))
   }
 
+  /** The shared damage-semantics block scanner both XML-ingest kernels
+    * ([[parseSitemap]], [[Feeds.parseFeed]]) run: `<tag>…</tag>` blocks
+    * in document order, an UNTERMINATED block stops the scan, `mk`
+    * returning None SKIPS the block (consuming no seq). One copy per
+    * language — the mirror's `_sm_scan_blocks` is the other.
+    */
+  private[ops] def scanBlocks[T](xml: String, blockTag: String)(
+      mk: (Int, String) => Option[T]): IndexedSeq[T] = {
+    val open = "<" + blockTag + ">"
+    val close = "</" + blockTag + ">"
+    val out = IndexedSeq.newBuilder[T]
+    var pos = xml.indexOf(open)
+    var seq = 0
+    while (pos >= 0) {
+      val bodyStart = pos + open.length
+      val end = xml.indexOf(close, bodyStart)
+      if (end < 0) pos = -1 // unterminated block: damage, stop
+      else {
+        mk(seq, xml.substring(bodyStart, end)).foreach { t =>
+          out += t
+          seq += 1
+        }
+        pos = xml.indexOf(open, end + close.length)
+      }
+    }
+    out.result()
+  }
+
   final case class SitemapEntry(
       seq: Int,
       loc: String,
@@ -115,34 +143,22 @@ object Sitemaps {
       else "sitemapindex"
     if (kind.isEmpty) return ("", IndexedSeq.empty)
     val blockTag = if (kind == "urlset") "url" else "sitemap"
-    val open = "<" + blockTag + ">"
-    val close = "</" + blockTag + ">"
-    val out = IndexedSeq.newBuilder[SitemapEntry]
-    var pos = xml.indexOf(open)
-    var seq = 0
-    while (pos >= 0) {
-      val bodyStart = pos + open.length
-      val end = xml.indexOf(close, bodyStart)
-      if (end < 0) pos = -1 // unterminated block: damage, stop
+    val entries = scanBlocks(xml, blockTag) { (seq, block) =>
+      val loc = tagText(block, "loc")
+      if (loc == null || loc.isEmpty) None
       else {
-        val block = xml.substring(bodyStart, end)
-        val loc = tagText(block, "loc")
-        if (loc != null && loc.nonEmpty) {
-          val pr = if (kind == "urlset") tagText(block, "priority") else null
-          out += SitemapEntry(
-            seq,
-            loc,
-            tagText(block, "lastmod"),
-            if (kind == "urlset") tagText(block, "changefreq") else null,
-            if (pr != null && NumberValue.pattern.matcher(pr).matches())
-              java.lang.Double.valueOf(pr)
-            else null)
-          seq += 1
-        }
-        pos = xml.indexOf(open, end + close.length)
+        val pr = if (kind == "urlset") tagText(block, "priority") else null
+        Some(SitemapEntry(
+          seq,
+          loc,
+          tagText(block, "lastmod"),
+          if (kind == "urlset") tagText(block, "changefreq") else null,
+          if (pr != null && NumberValue.pattern.matcher(pr).matches())
+            java.lang.Double.valueOf(pr)
+          else null))
       }
     }
-    (kind, out.result())
+    (kind, entries)
   }
 
   /** Sitemap table (host, sitemap_xml) → one row per entry:

@@ -3004,28 +3004,41 @@ def fd_parse(xml):
         return "", []
     kind = "rss" if (i_atom < 0 or (0 <= i_rss < i_atom)) else "atom"
     tag = "item" if kind == "rss" else "entry"
-    open_, close = "<" + tag + ">", "</" + tag + ">"
-    out = []
-    pos = xml.find(open_)
-    seq = 0
-    while pos >= 0:
-        start = pos + len(open_)
-        end = xml.find(close, start)
-        if end < 0:
-            break
-        block = xml[start:end]
+
+    def mk(seq, block):
         link = (_sm_tag_text(block, "link") if kind == "rss"
                 else fd_atom_href(block))
-        if link:
-            out.append((seq,
-                        _sm_tag_text(block, "title"),
-                        link,
-                        _sm_tag_text(block, "guid" if kind == "rss" else "id"),
-                        _sm_tag_text(block,
-                                     "pubDate" if kind == "rss" else "updated")))
+        if not link:
+            return None
+        return (seq,
+                _sm_tag_text(block, "title"),
+                link,
+                _sm_tag_text(block, "guid" if kind == "rss" else "id"),
+                _sm_tag_text(block,
+                             "pubDate" if kind == "rss" else "updated"))
+
+    return kind, _sm_scan_blocks(xml, tag, mk)
+
+
+def _sm_scan_blocks(xml, tag, mk):
+    """Shared damage-semantics block scanner (mirrors
+    Sitemaps.scanBlocks): <tag> blocks in order, unterminated stops,
+    mk returning None skips (no seq consumed)."""
+    open_t, close_t = "<" + tag + ">", "</" + tag + ">"
+    out = []
+    pos = xml.find(open_t)
+    seq = 0
+    while pos >= 0:
+        start = pos + len(open_t)
+        end = xml.find(close_t, start)
+        if end < 0:
+            break  # unterminated block: damage, stop
+        row = mk(seq, xml[start:end])
+        if row is not None:
+            out.append(row)
             seq += 1
-        pos = xml.find(open_, end + len(close))
-    return kind, out
+        pos = xml.find(open_t, end + len(close_t))
+    return out
 
 
 def sm_parse(xml):
@@ -3039,27 +3052,19 @@ def sm_parse(xml):
         return "", []
     kind = ("urlset" if i_ix < 0 or (0 <= i_us < i_ix) else "sitemapindex")
     block_tag = "url" if kind == "urlset" else "sitemap"
-    open_t, close_t = "<" + block_tag + ">", "</" + block_tag + ">"
-    out = []
-    pos = xml.find(open_t)
-    seq = 0
-    while pos >= 0:
-        body_start = pos + len(open_t)
-        end = xml.find(close_t, body_start)
-        if end < 0:
-            break  # unterminated block: damage, stop
-        block = xml[body_start:end]
+
+    def mk(seq, block):
         loc = _sm_tag_text(block, "loc")
-        if loc:
-            pr = _sm_tag_text(block, "priority") if kind == "urlset" else None
-            out.append((seq, loc, _sm_tag_text(block, "lastmod"),
-                        (_sm_tag_text(block, "changefreq")
-                         if kind == "urlset" else None),
-                        (float(pr) if pr is not None
-                         and _SM_NUM_RE.match(pr) else None)))
-            seq += 1
-        pos = xml.find(open_t, end + len(close_t))
-    return kind, out
+        if not loc:
+            return None
+        pr = _sm_tag_text(block, "priority") if kind == "urlset" else None
+        return (seq, loc, _sm_tag_text(block, "lastmod"),
+                (_sm_tag_text(block, "changefreq")
+                 if kind == "urlset" else None),
+                (float(pr) if pr is not None
+                 and _SM_NUM_RE.match(pr) else None))
+
+    return kind, _sm_scan_blocks(xml, block_tag, mk)
 
 
 def sm_rows():
