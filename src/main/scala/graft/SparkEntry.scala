@@ -697,8 +697,32 @@ object SparkEntry {
     sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Session-level tuning applied once at query entry (optimization round
+    * 7, guide §2.2/§9): `canChangeCachedPlanOutputPartitioning=true` lets
+    * AQE right-size the output partitioning of cached/checkpointed plans
+    * from their MEASURED byte size (it is off by default in Spark 4 only
+    * to keep cached output partitioning stable for downstream exchange
+    * reuse, which no query here relies on). Without it every cached frame
+    * pins `spark.sql.shuffle.partitions` tasks per consumer stage
+    * regardless of data size — the iterative graph loops paid 32—64 fixed
+    * tasks per round at any SF. Scale-adaptive by construction (AQE
+    * derives the count from bytes, not a constant); `GRAFT_TUNE=0` opts
+    * out.
+    */
+  private def applySessionTuning(s: SparkSession): Unit =
+    if (!sys.env.get("GRAFT_TUNE").contains("0")) {
+      s.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    }
+
+  /** One entry per implemented operator from SURVEY.md §2 (wrapped with
+    * [[applySessionTuning]] at the bottom of the file).
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queryImpls.view.mapValues { fn =>
+      (s: SparkSession, dir: String) => { applySessionTuning(s); fn(s, dir) }
+    }.toMap
+
+  private def queryImpls: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- flagship kernel pipeline (non-SQL; golden/differential-verified) ----
     "q_align_spans" -> ((s, dir) => {
       AlignJob.spans(AlignJob.align(AlignJob.synthPages(s, dir),

@@ -22,6 +22,12 @@ object QueryTime {
       .config("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // experiment knob: GRAFT_QT_CONF="spark.sql.adaptive.enabled=false,..."
+    sys.env.get("GRAFT_QT_CONF").foreach(_.split(',').filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     for (name <- args) {
       val fn = graft.SparkEntry.queries(name)
       val times = (1 to runs).map { _ =>
