@@ -14,8 +14,15 @@ private[graft] object CacheRegistry {
   // sized so no single query's working set (≤4 persists) can be evicted by
   // one other in-flight query's registrations — FIFO eviction of an entry a
   // still-unexecuted downstream plan needs is CORRECT (Spark recomputes) but
-  // a perf cliff; the headroom makes it require 4+ interleaved operators
-  private val MaxEntries = 16
+  // a perf cliff; the headroom makes it require many interleaved operators.
+  // Raised 16 → 64 in optimization round 7: the sort-child persist
+  // (SparkEntry.cacheSortChild) registers 1-2 entries per query pass, and
+  // at 16 the churn evicted the session memos (aligned table, link edges)
+  // between their alphabetically-distant consumers, silently re-running
+  // their full upstream. Entries stay metadata/vertex-scale (signatures,
+  // counts, spans — not corpus text), so 64 remains MBs at local SF and
+  // bounded at production SF.
+  private val MaxEntries = 64
   private val entries = new java.util.ArrayDeque[DataFrame]()
 
   def register(df: DataFrame): DataFrame = entries.synchronized {

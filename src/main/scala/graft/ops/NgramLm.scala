@@ -88,9 +88,6 @@ object NgramLm {
       .as[(Long, Long)].collect().toMap
   }
 
-  private def mergeHists(hs: Map[Long, Long]*): Map[Long, Long] =
-    hs.flatten.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
-
   /** Train unigram/bigram counts distributed, collect under a hard cap.
     * The cap is the broadcast-model contract (a production filtering LM is
     * pruned to fit workers). An over-cap reference slice DEGRADES by
@@ -106,28 +103,32 @@ object NgramLm {
   def train(refDocs: DataFrame, maxModelEntries: Long = 2000000L): Model = {
     val spark = refDocs.sparkSession
     import spark.implicits._
-    val toks = refDocs.select(
-      explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
-    val bigrams = refDocs.select(col("text")).as[String]
+    // ONE tagged pass over the corpus counts unigrams AND bigrams together
+    // (optimization round 7, guide §1.2 "how many full passes are
+    // unavoidable": the old form scanned the reference slice twice and ran
+    // 2 aggregations + 2 histogram collects + 2 filtered collects as six
+    // sequential driver jobs). `n` disambiguates the orders; "" can never
+    // collide with a token (tokens are filtered nonEmpty). Counts, the
+    // merged histogram, the threshold and the model are bit-identical.
+    val grams = refDocs.select(col("text")).as[String]
       .flatMap { t =>
         val ws = Option(t).getOrElse("").split(" ").filter(_.nonEmpty)
-        (0 until math.max(0, ws.length - 1)).iterator
-          .map(i => (ws(i), ws(i + 1)))
-      }.toDF("w1", "w2")
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+        ws.iterator.map(w => (1, w, "")) ++
+          (0 until math.max(0, ws.length - 1)).iterator
+            .map(i => (2, ws(i), ws(i + 1)))
+      }.toDF("n", "w1", "w2")
+      .groupBy(col("n"), col("w1"), col("w2")).agg(count(lit(1)).as("c"))
       .persist() // histogram pass + filtered collect
-    val unigrams = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      .persist()
-    val t = pruneThreshold(
-      mergeHists(histOf(unigrams), histOf(bigrams)), maxModelEntries)
+    val t = pruneThreshold(histOf(grams), maxModelEntries)
     if (t > 1L)
       System.err.println(s"[graft.ngramlm] model over $maxModelEntries " +
         s"entries — pruned to minCount=$t")
-    val u = unigrams.filter(col("c") >= t).as[(String, Long)].collect().toMap
-    val b = bigrams.filter(col("c") >= t).collect()
-      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
-    unigrams.unpersist()
-    bigrams.unpersist()
+    val kept = grams.filter(col("c") >= t)
+      .as[(Int, String, String, Long)].collect()
+    grams.unpersist()
+    val u = kept.iterator.filter(_._1 == 1).map(r => (r._2, r._4)).toMap
+    val b = kept.iterator.filter(_._1 == 2)
+      .map(r => ((r._2, r._3), r._4)).toMap
     val c = b.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
     Model(u, b, c, t)
   }
@@ -206,8 +207,9 @@ object NgramLm {
     val bTypes: Long = biTypes.size.toLong
   }
 
-  /** Train the pinned KN-trigram model: three distributed count
-    * aggregations (trigram / bigram / unigram counts), collected under the
+  /** Train the pinned KN-trigram model: ONE tagged distributed count
+    * aggregation (trigram / bigram / unigram counts in a single corpus
+    * pass), collected under the
     * same hard broadcast-model cap as [[train]] with the same min-count
     * degradation: ONE shared threshold t filters all three levels (a
     * bigram TYPE survives iff its raw count ≥ t; a word stays in the
@@ -218,38 +220,36 @@ object NgramLm {
   def trainKn(refDocs: DataFrame, maxModelEntries: Long = 2000000L): KnModel = {
     val spark = refDocs.sparkSession
     import spark.implicits._
-    val texts = refDocs.select(col("text")).as[String]
-    val tri = texts.flatMap { t =>
+    // ONE tagged pass counts uni/bi/trigrams together (optimization round
+    // 7, guide §1.2: the old form scanned the reference slice three times
+    // and ran nine sequential driver jobs — 3 aggregations + 3 histogram
+    // collects + 3 filtered collects). Counts, the merged histogram, the
+    // threshold and the model are bit-identical; "" never collides with a
+    // real token (tokens are filtered nonEmpty).
+    val grams = refDocs.select(col("text")).as[String]
+      .flatMap { t =>
         val ws = Option(t).getOrElse("").split(" ").filter(_.nonEmpty)
-        (0 until math.max(0, ws.length - 2)).iterator
-          .map(i => (ws(i), ws(i + 1), ws(i + 2)))
-      }.toDF("w1", "w2", "w3")
-      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c"))
+        ws.iterator.map(w => (1, w, "", "")) ++
+          (0 until math.max(0, ws.length - 1)).iterator
+            .map(i => (2, ws(i), ws(i + 1), "")) ++
+          (0 until math.max(0, ws.length - 2)).iterator
+            .map(i => (3, ws(i), ws(i + 1), ws(i + 2)))
+      }.toDF("n", "w1", "w2", "w3")
+      .groupBy(col("n"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c"))
       .persist()
-    val bi = texts.flatMap { t =>
-        val ws = Option(t).getOrElse("").split(" ").filter(_.nonEmpty)
-        (0 until math.max(0, ws.length - 1)).iterator
-          .map(i => (ws(i), ws(i + 1)))
-      }.toDF("w1", "w2")
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
-      .persist()
-    val uni = refDocs.select(
-      explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      .persist()
-    val t = pruneThreshold(
-      mergeHists(histOf(tri), histOf(bi), histOf(uni)), maxModelEntries)
+    val t = pruneThreshold(histOf(grams), maxModelEntries)
     if (t > 1L)
       System.err.println(s"[graft.ngramlm] KN model over $maxModelEntries " +
         s"entries — pruned to minCount=$t")
-    val model = KnModel(
-      uni.filter(col("c") >= t).select(col("tok")).as[String].collect().toSet,
-      tri.filter(col("c") >= t).collect().map(r =>
-        ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3))).toMap,
-      bi.filter(col("c") >= t).select(col("w1"), col("w2"))
-        .as[(String, String)].collect().toSet)
-    tri.unpersist(); bi.unpersist(); uni.unpersist()
-    model
+    val kept = grams.filter(col("c") >= t)
+      .as[(Int, String, String, String, Long)].collect()
+    grams.unpersist()
+    KnModel(
+      kept.iterator.filter(_._1 == 1).map(_._2).toSet,
+      kept.iterator.filter(_._1 == 3)
+        .map(r => ((r._2, r._3, r._4), r._5)).toMap,
+      kept.iterator.filter(_._1 == 2).map(r => (r._2, r._3)).toSet)
   }
 
   /** p1 / p(c|b) / p(c|a,b) per the pinned formulas (None = unk). */

@@ -132,7 +132,14 @@ object AlignJob {
   }
 
   /** Flat spans table: (url, seq, syl, ulx, uly, lrx, lry). */
-  def spans(aligned: Dataset[AlignedDoc]): DataFrame =
+  def spans(aligned: Dataset[AlignedDoc]): DataFrame = spansDf(aligned.toDF())
+
+  /** [[spans]] over an untyped aligned table (the session-memoized cached
+    * form — the typed plan's accumulator closures make every align() call
+    * plan-unique, so sharing kernel output across queries requires sharing
+    * the DataFrame itself).
+    */
+  def spansDf(aligned: DataFrame): DataFrame =
     aligned
       .select(col("url"), explode(col("spans")).as("s"))
       .select(col("url"), col("s.seq").as("seq"), col("s.syl").as("syl"),
@@ -140,6 +147,9 @@ object AlignJob {
         col("s.lrx").as("lrx"), col("s.lry").as("lry"))
 
   /** Per-document metrics/lineage side table. */
-  def metrics(aligned: Dataset[AlignedDoc]): DataFrame =
+  def metrics(aligned: Dataset[AlignedDoc]): DataFrame = metricsDf(aligned.toDF())
+
+  /** [[metrics]] over an untyped aligned table. */
+  def metricsDf(aligned: DataFrame): DataFrame =
     aligned.drop("spans")
 }
