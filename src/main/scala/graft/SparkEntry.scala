@@ -2297,16 +2297,34 @@ object SparkEntry {
     //      value, not a flaky statistic ----
     "q_ann_recall" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val brute = Similarity.bruteForceTopK(e, queryMaxId = 20, k = 5)
-        .select(col("q_id"), col("neighbor_id"))
-      val cand = Similarity.lshTopK(e, queryMaxId = 20, k = 5)
-        .select(lit("lsh").as("method"), col("q_id"), col("neighbor_id"))
-        .unionAll(Similarity.ivfTopK(e, queryMaxId = 20, k = 5)
-          .select(lit("ivf").as("method"), col("q_id"), col("neighbor_id")))
-        .unionAll(Similarity.quantizedTopK(e, queryMaxId = 20, k = 5)
-          .select(lit("q8").as("method"), col("q_id"), col("neighbor_id")))
-        .unionAll(Similarity.ivfQuantizedTopK(e, queryMaxId = 20, k = 5)
-          .select(lit("ivf_q8").as("method"), col("q_id"), col("neighbor_id")))
+      // the five method constructions each run a chain of tiny driver jobs
+      // (codebook builds, probe collects) — sequentially they serialized
+      // ~29 one-task jobs (round-7 probe); constructing them concurrently
+      // overlaps those chains (guide §2.6: actions are only sequential
+      // because the driver calls them sequentially)
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val fBrute = Future(Similarity.bruteForceTopK(e, queryMaxId = 20, k = 5)
+        .select(col("q_id"), col("neighbor_id")))
+      val fLsh = Future(Similarity.lshTopK(e, queryMaxId = 20, k = 5)
+        .select(lit("lsh").as("method"), col("q_id"), col("neighbor_id")))
+      val fIvf = Future(Similarity.ivfTopK(e, queryMaxId = 20, k = 5)
+        .select(lit("ivf").as("method"), col("q_id"), col("neighbor_id")))
+      val fQ8 = Future(Similarity.quantizedTopK(e, queryMaxId = 20, k = 5)
+        .select(lit("q8").as("method"), col("q_id"), col("neighbor_id")))
+      val fIvfQ8 = Future(Similarity.ivfQuantizedTopK(e, queryMaxId = 20, k = 5)
+        .select(lit("ivf_q8").as("method"), col("q_id"), col("neighbor_id")))
+      import scala.concurrent.duration.Duration
+      val (brute, cand) =
+        try {
+          val b = Await.result(fBrute, Duration.Inf)
+          val c = Await.result(fLsh, Duration.Inf)
+            .unionAll(Await.result(fIvf, Duration.Inf))
+            .unionAll(Await.result(fQ8, Duration.Inf))
+            .unionAll(Await.result(fIvfQ8, Duration.Inf))
+          (b, c)
+        } finally pool.shutdown()
       cand.join(brute, Seq("q_id", "neighbor_id"))
         .groupBy(col("method"))
         .agg(count(lit(1)).as("hits"))

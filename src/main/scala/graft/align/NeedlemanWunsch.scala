@@ -62,12 +62,23 @@ object NeedlemanWunsch {
     private[align] var rows: Array[Array[Double]] = Array.fill(6)(new Array[Double](0))
     private[align] var lrows: Array[Array[Long]] = Array.fill(6)(new Array[Long](0))
     private[align] var ptrs: Array[Byte] = new Array[Byte](0)
+    private[align] var ocrChars: Array[Char] = new Array[Char](0)
     private[align] def ensureRows(m: Int): Unit =
       if (rows(0).length < m) rows = Array.fill(6)(new Array[Double](m))
     private[align] def ensureRowsLong(m: Int): Unit =
       if (lrows(0).length < m) lrows = Array.fill(6)(new Array[Long](m))
     private[align] def ensurePtrs(sz: Int): Unit =
       if (ptrs.length < sz) ptrs = new Array[Byte](sz)
+    /** The OCR stream copied into a flat char array once per fill — the
+      * inner loop reads it once per cell, and `String.charAt`'s indirection
+      * + bounds check is measurable at ~10 ns/cell total loop cost
+      * (optimization round 7).
+      */
+    private[align] def ocrArray(s: String): Array[Char] = {
+      if (ocrChars.length < s.length) ocrChars = new Array[Char](s.length)
+      s.getChars(0, s.length, ocrChars, 0)
+      ocrChars
+    }
   }
 
   /** First index of the maximum of three values (Python
@@ -450,6 +461,7 @@ object NeedlemanWunsch {
     val width = 2 * band + 1
 
     ws.ensureRows(m)
+    val ocr = ws.ocrArray(ocrStream)
     var matPrev = ws.rows(0)
     var xPrev = ws.rows(1)
     var yPrev = ws.rows(2)
@@ -497,33 +509,38 @@ object NeedlemanWunsch {
       // current-row left neighbor of the band start (unless it's col 0)
       if (jLo - 1 >= 1) { matCur(jLo - 1) = NegInf; xCur(jLo - 1) = NegInf; yCur(jLo - 1) = NegInf }
 
+      // carried registers — the exact twin of fillBandLong's loop (the
+      // equivalence suite compares both fills); candidate order unchanged
+      var pmJ1 = matPrev(jLo - 1); var pxJ1 = xPrev(jLo - 1); var pyJ1 = yPrev(jLo - 1)
+      var cmJ1 = matCur(jLo - 1); var cxJ1 = xCur(jLo - 1); var cyJ1 = yCur(jLo - 1)
       j = jLo
       while (j <= jHi) {
-        val msc = if (ti == ocrStream.charAt(j - 1)) matchS else mismatchS
+        val msc = if (ti == ocr(j - 1)) matchS else mismatchS
 
-        val m0 = matPrev(j - 1); val m1 = xPrev(j - 1); val m2 = yPrev(j - 1)
-        var mBest = 0; var mVal = m0
-        if (m1 > mVal) { mBest = 1; mVal = m1 }
-        if (m2 > mVal) { mBest = 2; mVal = m2 }
-        matCur(j) = mVal + msc
+        var mBest = 0; var mVal = pmJ1
+        if (pxJ1 > mVal) { mBest = 1; mVal = pxJ1 }
+        if (pyJ1 > mVal) { mBest = 2; mVal = pyJ1 }
+        val mOut = mVal + msc
 
-        val y0 = matCur(j - 1) + goy + gey
-        val y1 = xCur(j - 1) + goy + gey
-        val y2 = yCur(j - 1) + gey
+        val y0 = cmJ1 + goy + gey
+        val y1 = cxJ1 + goy + gey
+        val y2 = cyJ1 + gey
         var yBest = 0; var yVal = y0
         if (y1 > yVal) { yBest = 1; yVal = y1 }
         if (y2 > yVal) { yBest = 2; yVal = y2 }
-        yCur(j) = yVal
 
-        val x0 = matPrev(j) + gox + gex
-        val x1 = xPrev(j) + gex
-        val x2 = yPrev(j) + gox + gex
+        val pm = matPrev(j); val px = xPrev(j); val py = yPrev(j)
+        val x0 = pm + gox + gex
+        val x1 = px + gex
+        val x2 = py + gox + gex
         var xBest = 0; var xVal = x0
         if (x1 > xVal) { xBest = 1; xVal = x1 }
         if (x2 > xVal) { xBest = 2; xVal = x2 }
-        xCur(j) = xVal
 
+        matCur(j) = mOut; yCur(j) = yVal; xCur(j) = xVal
         ptrs(rowOff + j) = (mBest | (xBest << 2) | (yBest << 4)).toByte
+        pmJ1 = pm; pxJ1 = px; pyJ1 = py
+        cmJ1 = mOut; cxJ1 = xVal; cyJ1 = yVal
         j += 1
       }
       cells += jHi - jLo + 1
@@ -577,6 +594,7 @@ object NeedlemanWunsch {
     val width = 2 * band + 1
 
     ws.ensureRowsLong(m)
+    val ocr = ws.ocrArray(ocrStream)
     var matPrev = ws.lrows(0)
     var xPrev = ws.lrows(1)
     var yPrev = ws.lrows(2)
@@ -628,33 +646,43 @@ object NeedlemanWunsch {
       @inline def add(base: Long, cost: Long): Long =
         if (base == NegInfL) NegInfL else base + cost
 
+      // carried registers (optimization round 7): each iteration used to
+      // reload 6 values it had already read — prev-row (j-1) is last
+      // iteration's prev-row (j), and cur-row (j-1) is last iteration's
+      // own output. Carrying them cuts the loop to 3 fresh array loads
+      // per cell; candidate ORDER and comparisons are untouched, so the
+      // fill is bit-identical (pinned by the property/differential
+      // suites and the BandSweep tool).
+      var pmJ1 = matPrev(jLo - 1); var pxJ1 = xPrev(jLo - 1); var pyJ1 = yPrev(jLo - 1)
+      var cmJ1 = matCur(jLo - 1); var cxJ1 = xCur(jLo - 1); var cyJ1 = yCur(jLo - 1)
       j = jLo
       while (j <= jHi) {
-        val msc = if (ti == ocrStream.charAt(j - 1)) matchS else mismatchS
+        val msc = if (ti == ocr(j - 1)) matchS else mismatchS
 
-        val m0 = matPrev(j - 1); val m1 = xPrev(j - 1); val m2 = yPrev(j - 1)
-        var mBest = 0; var mVal = m0
-        if (m1 > mVal) { mBest = 1; mVal = m1 }
-        if (m2 > mVal) { mBest = 2; mVal = m2 }
-        matCur(j) = add(mVal, msc)
+        var mBest = 0; var mVal = pmJ1
+        if (pxJ1 > mVal) { mBest = 1; mVal = pxJ1 }
+        if (pyJ1 > mVal) { mBest = 2; mVal = pyJ1 }
+        val mOut = add(mVal, msc)
 
-        val y0 = add(matCur(j - 1), goyGey)
-        val y1 = add(xCur(j - 1), goyGey)
-        val y2 = add(yCur(j - 1), gey)
+        val y0 = add(cmJ1, goyGey)
+        val y1 = add(cxJ1, goyGey)
+        val y2 = add(cyJ1, gey)
         var yBest = 0; var yVal = y0
         if (y1 > yVal) { yBest = 1; yVal = y1 }
         if (y2 > yVal) { yBest = 2; yVal = y2 }
-        yCur(j) = yVal
 
-        val x0 = add(matPrev(j), goxGex)
-        val x1 = add(xPrev(j), gex)
-        val x2 = add(yPrev(j), goxGex)
+        val pm = matPrev(j); val px = xPrev(j); val py = yPrev(j)
+        val x0 = add(pm, goxGex)
+        val x1 = add(px, gex)
+        val x2 = add(py, goxGex)
         var xBest = 0; var xVal = x0
         if (x1 > xVal) { xBest = 1; xVal = x1 }
         if (x2 > xVal) { xBest = 2; xVal = x2 }
-        xCur(j) = xVal
 
+        matCur(j) = mOut; yCur(j) = yVal; xCur(j) = xVal
         ptrs(rowOff + j) = (mBest | (xBest << 2) | (yBest << 4)).toByte
+        pmJ1 = pm; pxJ1 = px; pyJ1 = py
+        cmJ1 = mOut; cxJ1 = xVal; cyJ1 = yVal
         j += 1
       }
       cells += jHi - jLo + 1
