@@ -887,13 +887,13 @@ object SparkEntry {
     //      12 — the 4-token overlap and the short final chunk both bind;
     //      zero-token docs emit no chunks) ----
     "q_chunk_tokens" -> ((s, dir) =>
-      graft.ops.Chunking.chunkByTokens(docs(s, dir), chunkSize = 16, stride = 12)
+      graft.ops.Chunking.chunkByTokens(fanOut(s, docs(s, dir)), chunkSize = 16, stride = 12)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
     // ---- per-doc distinctive terms (tf-idf-shaped, integer-exact rank:
     //      tf desc, df asc, term asc) ----
     "q_top_terms" -> ((s, dir) =>
-      graft.ops.Terms.topTermsPerDoc(docs(s, dir), k = 5)
+      graft.ops.Terms.topTermsPerDoc(fanOut(s, docs(s, dir)), k = 5)
         .orderBy(col("doc_id"), col("rnk"))),
 
     // ---- exact-k-per-group sampling via the two-phase salted top-k
@@ -943,7 +943,7 @@ object SparkEntry {
     //      map-only inference; dyadic stand-in weights make the logit
     //      bit-exact cross-engine — golden is the clean-room mirror) ----
     "q_classifier_score" -> ((s, dir) =>
-      graft.ops.Classifier.score(docs(s, dir)).orderBy(col("doc_id"))),
+      graft.ops.Classifier.score(fanOut(s, docs(s, dir))).orderBy(col("doc_id"))),
 
     // ---- classifier TRAINING (the RefinedWeb/FineWeb pattern: distill a
     //      heuristic label — here lang=='en' — into the hashed linear
@@ -966,7 +966,7 @@ object SparkEntry {
     //      Python mirror ----
     "q_main_content" -> ((s, dir) => {
       import s.implicits._
-      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      fanOut(s, docs(s, dir).select(col("doc_id"), col("text"))).as[(Long, String)]
         .map { case (id, text) =>
           val e = graft.align.MainContent.extract(boilerplateHtml(id, text))
           (id, e.content, e.nBlocks, e.nKept, e.removedChars)
@@ -995,7 +995,7 @@ object SparkEntry {
     //      q_markdown (one kernel, two consumers) ----
     "q_html_tables" -> ((s, dir) => {
       import s.implicits._
-      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      fanOut(s, docs(s, dir).select(col("doc_id"), col("text"))).as[(Long, String)]
         .flatMap { case (id, text) =>
           graft.align.Markdown.convert(structuredHtml(id, text)).tables
             .map(c => (id, c.tableIdx, c.rowIdx, c.colIdx, c.isHeader, c.text))
@@ -1137,7 +1137,7 @@ object SparkEntry {
     //      link graph; parser + fixture mirrored clean-room ----
     "q_html_meta" -> ((s, dir) => {
       import s.implicits._
-      val pages = docs(s, dir).select(col("doc_id"), col("text"))
+      val pages = fanOut(s, docs(s, dir).select(col("doc_id"), col("text")))
         .filter(col("doc_id").isNotNull)
         .as[(Long, String)]
         .map { case (id, t) =>
@@ -1154,7 +1154,7 @@ object SparkEntry {
     //      bytes and every text op; mirrored clean-room ----
     "q_charset" -> ((s, dir) => {
       import s.implicits._
-      val payloads = docs(s, dir).select(col("doc_id"), col("text"))
+      val payloads = fanOut(s, docs(s, dir).select(col("doc_id"), col("text")))
         .filter(col("doc_id").isNotNull)
         .as[(Long, String)]
         .map { case (id, t) =>
@@ -1185,7 +1185,7 @@ object SparkEntry {
     //      mirrored clean-room over the PdfGen fixture ----
     "q_pdf_text" -> ((s, dir) => {
       import s.implicits._
-      val payloads = docs(s, dir).select(col("doc_id"), col("text"))
+      val payloads = fanOut(s, docs(s, dir).select(col("doc_id"), col("text")))
         .filter(col("doc_id").isNotNull)
         .as[(Long, String)]
         .map { case (id, t) =>
@@ -1200,7 +1200,7 @@ object SparkEntry {
     //      PDF payloads, even ids mixed-encoding HTML) ----
     "q_extract_route" -> ((s, dir) => {
       import s.implicits._
-      val payloads = docs(s, dir).select(col("doc_id"), col("text"))
+      val payloads = fanOut(s, docs(s, dir).select(col("doc_id"), col("text")))
         .filter(col("doc_id").isNotNull)
         .as[(Long, String)]
         .map { case (id, t) =>
@@ -1221,7 +1221,7 @@ object SparkEntry {
     //      end-to-end in the golden ----
     "q_sent_langid" -> ((s, dir) => {
       import s.implicits._
-      docs(s, dir).select(col("doc_id"), col("text"))
+      fanOut(s, docs(s, dir).select(col("doc_id"), col("text")))
         .filter(col("doc_id").isNotNull)
         .as[(Long, String)]
         .map { case (id, t) =>
@@ -1484,7 +1484,7 @@ object SparkEntry {
     //      fixture (shared convention; splitter mirrored clean-room) ----
     "q_sentences" -> ((s, dir) => {
       import s.implicits._
-      val cased = docs(s, dir).select(col("doc_id"), col("text"))
+      val cased = fanOut(s, docs(s, dir).select(col("doc_id"), col("text")))
         .filter(col("doc_id").isNotNull) // non-nullable tuple encoder
         .as[(Long, String)]
         .map { case (id, t) => (id, sentenceizeText(id, t)) }
@@ -1561,7 +1561,7 @@ object SparkEntry {
     //      row_number argmax (identical output — same oracle hash). ----
     "q_iou_argmax" -> ((s, dir) => {
       val W = 16
-      val boxes = tbl(s, dir, "part").select(
+      val boxes = fanOut(s, tbl(s, dir, "part")).select(
           col("p_partkey"), col("p_brand"),
           (col("p_partkey") % 97).as("ulx"), (col("p_partkey") % 89).as("uly"),
           (col("p_partkey") % 97 + 1 + col("p_size") % 13).as("lrx"),
@@ -1982,7 +1982,7 @@ object SparkEntry {
     //      trip): per-doc piece counts; the golden computes them from its
     //      OWN independently trained merge list ----
     "q_bpe_encode" -> ((s, dir) =>
-      graft.ops.Bpe.encodeCounts(docs(s, dir), trainedMergesFor(s, dir))
+      graft.ops.Bpe.encodeCounts(fanOut(s, docs(s, dir)), trainedMergesFor(s, dir))
         .orderBy(col("doc_id"))),
 
     // ---- DSIR importance resampling (hashed unigram+bigram log-ratio
@@ -2012,8 +2012,8 @@ object SparkEntry {
     //      map-only per-row kernel ----
     "q_script_mix" -> ((s, dir) => {
       import s.implicits._
-      val transformed = docs(s, dir)
-        .select(col("doc_id"), col("lang"), col("text"))
+      val transformed = fanOut(s, docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("text")))
         .filter(col("doc_id").isNotNull)
         .as[(Long, String, String)]
         .map { case (id, lang, t) => (id, scriptText(id, lang, t)) }
@@ -2041,7 +2041,7 @@ object SparkEntry {
     //      longest-match with ## continuations, whole-word [UNK] on any
     //      miss (minSymCount=2 makes hapax code points bind it) ----
     "q_wordpiece_encode" -> ((s, dir) =>
-      graft.ops.Wordpiece.encodeCounts(docs(s, dir),
+      graft.ops.Wordpiece.encodeCounts(fanOut(s, docs(s, dir)),
         trainedWordpieceFor(s, dir))
         .orderBy(col("doc_id"))),
 
@@ -2059,7 +2059,7 @@ object SparkEntry {
     //      Viterbi segmentation per word against the broadcast vocab,
     //      identity fallback for unseen code points ----
     "q_unigram_encode" -> ((s, dir) =>
-      graft.ops.Unigram.encodeCounts(docs(s, dir),
+      graft.ops.Unigram.encodeCounts(fanOut(s, docs(s, dir)),
         trainedUnigramFor(s, dir))
         .orderBy(col("doc_id"))),
 
@@ -2395,7 +2395,7 @@ object SparkEntry {
     // ---- O17 parse_transcript (syllables + word-begin flags) ----
     "q_parse_transcript" -> ((s, dir) => {
       import s.implicits._
-      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      fanOut(s, docs(s, dir).select(col("doc_id"), col("text"))).as[(Long, String)]
         .mapPartitions { it =>
           val cache = new Syllabify.Cache // per-partition memo
           it.flatMap { case (id, text) =>
