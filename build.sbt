@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // default raised 8g -> 16g in optimization round 7: local[32] runs all
+  // tasks in this one JVM, and stage probes showed occasional ~1 s GC
+  // stalls in the heavy union/aggregate stages at 8g on this 128 GiB box;
+  // still parameterized for smaller hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -421,6 +421,9 @@ object SparkEntry {
           .filter { case (_, i) => (i + id) % 37 != 0 }.map(_._1)
         (id + 1000000L, kept.mkString(" "))
       }.toDF("doc_id", "text")
+    // NOT fanned out (optimization round 7): consumers re-scan this frame
+    // several times (signature pass, Jaccard text join-back), so a
+    // repartition here is re-paid per scan — measured net regression
     d.unionAll(mutated)
   }
 
@@ -943,7 +946,7 @@ object SparkEntry {
     //      map-only inference; dyadic stand-in weights make the logit
     //      bit-exact cross-engine — golden is the clean-room mirror) ----
     "q_classifier_score" -> ((s, dir) =>
-      graft.ops.Classifier.score(fanOut(s, docs(s, dir))).orderBy(col("doc_id"))),
+      graft.ops.Classifier.score(docs(s, dir)).orderBy(col("doc_id"))),
 
     // ---- classifier TRAINING (the RefinedWeb/FineWeb pattern: distill a
     //      heuristic label — here lang=='en' — into the hashed linear
@@ -1484,7 +1487,7 @@ object SparkEntry {
     //      fixture (shared convention; splitter mirrored clean-room) ----
     "q_sentences" -> ((s, dir) => {
       import s.implicits._
-      val cased = fanOut(s, docs(s, dir).select(col("doc_id"), col("text")))
+      val cased = docs(s, dir).select(col("doc_id"), col("text"))
         .filter(col("doc_id").isNotNull) // non-nullable tuple encoder
         .as[(Long, String)]
         .map { case (id, t) => (id, sentenceizeText(id, t)) }
@@ -1982,7 +1985,7 @@ object SparkEntry {
     //      trip): per-doc piece counts; the golden computes them from its
     //      OWN independently trained merge list ----
     "q_bpe_encode" -> ((s, dir) =>
-      graft.ops.Bpe.encodeCounts(fanOut(s, docs(s, dir)), trainedMergesFor(s, dir))
+      graft.ops.Bpe.encodeCounts(docs(s, dir), trainedMergesFor(s, dir))
         .orderBy(col("doc_id"))),
 
     // ---- DSIR importance resampling (hashed unigram+bigram log-ratio
@@ -2012,8 +2015,8 @@ object SparkEntry {
     //      map-only per-row kernel ----
     "q_script_mix" -> ((s, dir) => {
       import s.implicits._
-      val transformed = fanOut(s, docs(s, dir)
-        .select(col("doc_id"), col("lang"), col("text")))
+      val transformed = docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"))
         .filter(col("doc_id").isNotNull)
         .as[(Long, String, String)]
         .map { case (id, lang, t) => (id, scriptText(id, lang, t)) }

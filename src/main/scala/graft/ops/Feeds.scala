@@ -28,16 +28,33 @@ object Feeds {
   private val HrefRe =
     java.util.regex.Pattern.compile("\\bhref[ \t\n\r\f]*=[ \t\n\r\f]*(\"([^\"]*)\"|'([^']*)')")
 
-  /** The href of the first `<link` tag inside an Atom entry block. */
+  /** The href of the first `<link` TAG inside an Atom entry block. A
+    * delimiter (ASCII whitespace, '>', '/', or end-of-block) must follow
+    * the name, so a longer tag name starting with "link" (e.g.
+    * `<linkfoo href=…>`) is never harvested (ADVICE r6 low #2 — the same
+    * indexOf-prefix class as the round-6 /Font anchoring fix; mirrored in
+    * fd_atom_href).
+    */
   private def atomLinkHref(block: String): String = {
-    val at = block.indexOf("<link")
-    if (at < 0) return null
-    val gt = block.indexOf('>', at)
-    val tag = if (gt < 0) block.substring(at) else block.substring(at, gt)
-    val m = HrefRe.matcher(tag)
-    if (!m.find()) return null
-    val v = if (m.group(2) != null) m.group(2) else m.group(3)
-    Sitemaps.decodeEntities(Sitemaps.asciiTrim(v))
+    var at = block.indexOf("<link")
+    while (at >= 0) {
+      val d = at + 5
+      val delimited = d >= block.length || {
+        val c = block.charAt(d)
+        c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' ||
+          c == '>' || c == '/'
+      }
+      if (delimited) {
+        val gt = block.indexOf('>', at)
+        val tag = if (gt < 0) block.substring(at) else block.substring(at, gt)
+        val m = HrefRe.matcher(tag)
+        if (!m.find()) return null
+        val v = if (m.group(2) != null) m.group(2) else m.group(3)
+        return Sitemaps.decodeEntities(Sitemaps.asciiTrim(v))
+      }
+      at = block.indexOf("<link", at + 1)
+    }
+    null
   }
 
   final case class FeedEntry(

@@ -27,6 +27,16 @@ class FeedsSpec extends AnyFunSuite {
     assert(es.head.seq === 0) // skipped items consume no seq
   }
 
+  test("atom: <linkfoo is not a link tag; the real <link after it wins") {
+    // ADVICE r6 low #2: a longer tag name starting with "link" must not be
+    // harvested as the entry link — a delimiter must follow "<link"
+    val (_, es) = Feeds.parseFeed(
+      "<feed><entry><linkfoo href=\"https://evil/x\"/>" +
+        "<link href=\"https://x/real\"/></entry>" +
+        "<entry><linkfoo href=\"https://evil/y\"/></entry></feed>")
+    assert(es.map(_.link) === IndexedSeq("https://x/real"))
+  }
+
   test("atom: href attribute links (both quote styles), id/updated") {
     val (kind, es) = Feeds.parseFeed(
       "<feed><entry><title>T</title>" +

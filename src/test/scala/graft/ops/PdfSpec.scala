@@ -207,6 +207,26 @@ class PdfSpec extends AnyFunSuite {
     assert(d(d.length - 2) === 253.toByte && d(d.length - 1) === 254.toByte)
   }
 
+  test("structural regexes are ASCII-pinned: 0xA0/0x1C are not whitespace") {
+    // ADVICE r6 medium #1: Java \s is ASCII-only while an unpinned Python
+    // \s also matches 0x1C-0x1F/0x85/0xA0 on latin-1 text. Pin the Scala
+    // side's behavior so the mirrored re.ASCII patterns cannot drift: a
+    // 0xA0 between a /Name token and its object ref must NOT form a font
+    // entry, and "7\u00a00 obj" must NOT parse as an object header.
+    val body = "1 0 obj<</Type/Page/Resources<</Font<</F1\u00a02 0 R>>>>" +
+      ">>endobj\n7\u00a00 obj<<>>endobj\n" +
+      "3 0 obj<</Length 2>>stream\nAB\nendstream endobj"
+    val bytes = body.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    // must not throw; the 0xA0-joined tokens are simply not structural
+    val (n, _) = Pdf.extractText(bytes)
+    assert(n >= 0)
+    // the delimiter forms DO bind (sanity that the patterns still match)
+    val ok = "1 0 obj<</Font<</F1 2 0 R>>>>endobj"
+    val (n2, _) = Pdf.extractText(
+      ok.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(n2 >= 0)
+  }
+
   test("extractText: /Font-prefixed tokens don't harvest unrelated dicts") {
     def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
     def streamObj(n: Int, data: String) =

@@ -2981,16 +2981,23 @@ def fd_xml_for(doc_id, text):
 
 
 def fd_atom_href(block):
+    # a delimiter (ASCII ws, '>', '/', or end) must follow "<link" so a
+    # longer tag name starting with "link" is never harvested (ADVICE r6
+    # low #2; mirrors Feeds.atomLinkHref)
     at = block.find("<link")
-    if at < 0:
-        return None
-    gt = block.find(">", at)
-    tag = block[at:] if gt < 0 else block[at:gt]
-    m = FD_HREF_RE.search(tag)
-    if not m:
-        return None
-    v = m.group(2) if m.group(2) is not None else m.group(3)
-    return sm_decode_entities(_sm_ascii_trim(v))
+    while at >= 0:
+        d = at + 5
+        delimited = d >= len(block) or block[d] in " \t\n\r\f>/"
+        if delimited:
+            gt = block.find(">", at)
+            tag = block[at:] if gt < 0 else block[at:gt]
+            m = FD_HREF_RE.search(tag)
+            if not m:
+                return None
+            v = m.group(2) if m.group(2) is not None else m.group(3)
+            return sm_decode_entities(_sm_ascii_trim(v))
+        at = block.find("<link", at + 1)
+    return None
 
 
 def fd_parse(xml):
@@ -4258,10 +4265,16 @@ def pdf_length_of(dict_s):
     return int(dict_s[b:i])
 
 
-_PDF_OBJ_RE = __import__("re").compile(r"(\d{1,9})\s+0\s+obj")
+# re.ASCII pins \s/\d to the ASCII classes Java uses — Unicode \s also
+# matches 0x1C-0x1F/0x85/0xA0 on latin-1-decoded PDF text, silently
+# diverging from the production parser on adversarial payloads (ADVICE r6
+# medium #1; the repo rule is "never bare \s in mirrored regexes")
+_PDF_OBJ_RE = __import__("re").compile(
+    r"(\d{1,9})\s+0\s+obj", __import__("re").ASCII)
 _PDF_FONT_ENTRY_RE = __import__("re").compile(
-    r"/([^\s/<>\[\]()]+)\s+(\d{1,9})\s+0\s+R")
-_PDF_TOUNI_RE = __import__("re").compile(r"/ToUnicode\s+(\d{1,9})\s+0\s+R")
+    r"/([^\s/<>\[\]()]+)\s+(\d{1,9})\s+0\s+R", __import__("re").ASCII)
+_PDF_TOUNI_RE = __import__("re").compile(
+    r"/ToUnicode\s+(\d{1,9})\s+0\s+R", __import__("re").ASCII)
 
 
 def pdf_extract_text(pdf_bytes_):
