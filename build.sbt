@@ -26,9 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // default raised 8g -> 16g in optimization round 7: local[32] runs all
-  // tasks in this one JVM, and stage probes showed occasional ~1 s GC
-  // stalls in the heavy union/aggregate stages at 8g on this 128 GiB box;
-  // still parameterized for smaller hosts.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // kept at 8g after an optimization-round-7 A/B: 16g measured neutral to
+  // slightly WORSE (the bench's per-query System.gc() full collections
+  // scale with heap size, and the working set never approaches 8g);
+  // parameterized for hosts that need more.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
