@@ -14,15 +14,14 @@ private[graft] object CacheRegistry {
   // sized so no single query's working set (≤4 persists) can be evicted by
   // one other in-flight query's registrations — FIFO eviction of an entry a
   // still-unexecuted downstream plan needs is CORRECT (Spark recomputes) but
-  // a perf cliff; the headroom makes it require many interleaved operators.
-  // Raised 16 → 64 in optimization round 7: the sort-child persist
-  // (SparkEntry.cacheSortChild) registers 1-2 entries per query pass, and
-  // at 16 the churn evicted the session memos (aligned table, link edges)
-  // between their alphabetically-distant consumers, silently re-running
-  // their full upstream. Entries stay metadata/vertex-scale (signatures,
-  // counts, spans — not corpus text), so 64 remains MBs at local SF and
-  // bounded at production SF.
-  private val MaxEntries = 64
+  // a perf cliff; the headroom makes it require 4+ interleaved operators.
+  // Optimization round 7: briefly raised to 64 to protect the session
+  // memos from the sort-child churn, then restored once the memos became
+  // registry-EXEMPT (SparkEntry.refreshMemo) — registered entries are now
+  // only needed within one query's bench passes, and every live cache
+  // entry lengthens CacheManager's per-QueryExecution sameResult sweep,
+  // a per-query planning tax across all 167 queries.
+  private val MaxEntries = 16
   private val entries = new java.util.ArrayDeque[DataFrame]()
 
   def register(df: DataFrame): DataFrame = entries.synchronized {
